@@ -1,0 +1,904 @@
+"""Cube — N-dimensional model over a Spark fact DataFrame.
+
+Data layout (SURVEY.md §1): one row per **base-level** cell::
+
+    (dim1 INT, ..., dimN INT, value DOUBLE, value_str STRING)
+
+``value_str`` carries non-numeric cell writes and rule error sentinels;
+only ``value`` participates in aggregation (reference ``cube.py:468,493``:
+the aggregation loop skips non-float values).
+
+Read path (parity with reference ``cube.py:282-497``, re-expressed
+set-at-a-time):
+
+- point reads are *batched*: ``cube.get_many(addresses)`` answers any mix
+  of base and aggregated addresses in at most TWO Spark jobs (one exact
+  equality join for base cells, one closure-rollup join for aggregates);
+- a driver-side cell cache (bolt -> value, invalidated on write — reference
+  ``cube.py:347-349,510-511``) makes repeated interactive reads free;
+- whole grids (views) compute in ONE job via
+  :func:`tinyolap_spark.engine.aggregate_grid`.
+
+Write path: point writes buffer in a driver dict and flush as one merge
+(anti-join + union) — the Spark analogue of the reference's per-cell
+``FactTable.set`` (``facttable.py:146-164``); bulk loads go straight to
+:meth:`Cube.load_dataframe`.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterable, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import engine
+from .metadata import (
+    Dimension,
+    InvalidAddressError,
+    InvalidCellWriteError,
+    Member,
+)
+from .rules import (
+    CONTINUE,
+    RuleDef,
+    RuleRegistry,
+    RuleScope,
+    map_rule_error,
+)
+
+MAX_DIMS_PER_CUBE = 32  # reference database.py:35-37
+
+
+class Cell:
+    """Cursor at one cube address, handed to rules
+    (reference ``cell.py:17``, member resolution ``cell.py:251-331``).
+
+    Inside a rule::
+
+        @rule("sales", trigger=["Profit in %"])
+        def profit_pct(c):
+            return c["Profit"] / c["Sales"]
+
+    Modifier syntax for ``c[...]``: a bare member name (resolved against the
+    first dimension that contains it), ``"dim:member"``, or ``"i:member"``
+    with a 0-based dimension ordinal.  Multiple modifiers combine.
+    """
+
+    __slots__ = ("_cube", "_idx_address", "bypass_rules")
+
+    def __init__(self, cube: "Cube", idx_address: tuple[int, ...], bypass_rules: bool = False):
+        self._cube = cube
+        self._idx_address = idx_address
+        self.bypass_rules = bypass_rules
+
+    # -- address ----------------------------------------------------------
+    @property
+    def address(self) -> tuple[str, ...]:
+        return tuple(
+            dim._defs[idx].name
+            for dim, idx in zip(self._cube.dimensions, self._idx_address)
+        )
+
+    def member(self, dim: "str | int") -> Member:
+        pos = self._cube._dim_position(dim)
+        return Member(self._cube.dimensions[pos], self._idx_address[pos])
+
+    # -- reads ------------------------------------------------------------
+    @property
+    def value(self) -> Any:
+        return self._cube._get_idx(
+            self._idx_address, bypass_rules=self.bypass_rules
+        )
+
+    def _shifted(self, modifiers: "str | tuple") -> tuple[int, ...]:
+        if isinstance(modifiers, str):
+            modifiers = (modifiers,)
+        addr = list(self._idx_address)
+        for mod in modifiers:
+            pos, midx = self._resolve_modifier(str(mod))
+            addr[pos] = midx
+        return tuple(addr)
+
+    def _resolve_modifier(self, mod: str) -> tuple[int, int]:
+        cube = self._cube
+        if ":" in mod:
+            dpart, mname = mod.split(":", 1)
+            dpart, mname = dpart.strip(), mname.strip()
+            if dpart.isdigit():
+                pos = int(dpart)
+                if pos >= len(cube.dimensions):
+                    raise KeyError(f"dimension ordinal {pos} out of range")
+            else:
+                pos = cube._dim_position(dpart)
+            return pos, cube.dimensions[pos].member(mname).index
+        for pos, dim in enumerate(cube.dimensions):
+            if mod in dim:
+                return pos, dim.member(mod).index
+        raise KeyError(f"member '{mod}' not found in any dimension")
+
+    def __getitem__(self, modifiers) -> Any:
+        return self._cube._get_idx(
+            self._shifted(modifiers), bypass_rules=self.bypass_rules
+        )
+
+    def __setitem__(self, modifiers, value) -> None:
+        self._cube._set_idx(self._shifted(modifiers), value)
+
+    # float-ish arithmetic (reference cell.py:336-448)
+    def _f(self) -> float:
+        v = self.value
+        return float(v) if isinstance(v, (int, float)) else 0.0
+
+    def __float__(self) -> float:
+        return self._f()
+
+    def __add__(self, o):
+        return self._f() + float(o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._f() - float(o)
+
+    def __rsub__(self, o):
+        return float(o) - self._f()
+
+    def __mul__(self, o):
+        return self._f() * float(o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return self._f() / float(o)
+
+    def __rtruediv__(self, o):
+        return float(o) / self._f()
+
+    def __eq__(self, o):
+        return self._f() == o
+
+    def __lt__(self, o):
+        return self._f() < o
+
+    def __le__(self, o):
+        return self._f() <= o
+
+    def __gt__(self, o):
+        return self._f() > o
+
+    def __ge__(self, o):
+        return self._f() >= o
+
+    def __hash__(self):
+        return hash((id(self._cube), self._idx_address))
+
+
+class Cube:
+    """See module docstring."""
+
+    def __init__(
+        self,
+        name: str,
+        dimensions: Sequence[Dimension],
+        spark: SparkSession,
+        description: str = "",
+    ):
+        if not (1 <= len(dimensions) <= MAX_DIMS_PER_CUBE):
+            raise ValueError(
+                f"cubes support 1..{MAX_DIMS_PER_CUBE} dimensions"
+            )
+        self.name = name
+        self.description = description
+        self.spark = spark
+        self.dimensions: list[Dimension] = list(dimensions)
+        # fact column per dimension; duplicates of the same dimension get a
+        # positional suffix (the reference allows using a dimension twice)
+        cols: list[str] = []
+        for i, d in enumerate(self.dimensions):
+            base = _safe_col(d.name)
+            cols.append(base if base not in cols else f"{base}_{i}")
+        self._cols = cols
+        self._schema = StructType(
+            [StructField(c, IntegerType(), False) for c in cols]
+            + [
+                StructField("value", DoubleType(), True),
+                StructField("value_str", StringType(), True),
+            ]
+        )
+        self._fact: DataFrame = spark.createDataFrame([], schema=self._schema)
+        self._fact_is_persisted = False
+        self._pending: dict[tuple[int, ...], Any] = {}
+        self.rules = RuleRegistry()
+        self.caching = True
+        self._cache: dict[tuple[int, ...], Any] = {}
+        # stats (reference cube.py:118-127)
+        self.counter_cell_requests = 0
+        self.counter_aggregations = 0
+        self.counter_rule_requests = 0
+        self.counter_cache_hits = 0
+
+    # ------------------------------------------------------------ plumbing
+    @property
+    def dim_cols(self) -> list[str]:
+        return list(self._cols)
+
+    def _dim_position(self, dim: "str | int | Dimension") -> int:
+        if isinstance(dim, int):
+            if 0 <= dim < len(self.dimensions):
+                return dim
+            raise InvalidAddressError(f"dimension ordinal {dim} out of range")
+        if isinstance(dim, Dimension):
+            for i, d in enumerate(self.dimensions):
+                if d is dim:
+                    return i
+            raise InvalidAddressError(f"dimension '{dim.name}' not in cube")
+        key = str(dim).strip().lower()
+        for i, d in enumerate(self.dimensions):
+            if d.name.lower() == key or self._cols[i].lower() == key:
+                return i
+        raise InvalidAddressError(f"dimension '{dim}' not in cube '{self.name}'")
+
+    def _dims_spec(self) -> list[tuple[str, Dimension]]:
+        return list(zip(self._cols, self.dimensions))
+
+    def _resolve_address(self, address: Sequence) -> tuple[tuple[int, ...], int]:
+        """names -> (idx_address, super_level) — the reference's "bolt"
+        (``cube.py:601-627``)."""
+        if len(address) != len(self.dimensions):
+            raise InvalidAddressError(
+                f"address has {len(address)} components, cube "
+                f"'{self.name}' has {len(self.dimensions)} dimensions"
+            )
+        idxs = []
+        super_level = 0
+        for dim, name in zip(self.dimensions, address):
+            m = dim.member(name)
+            idxs.append(m.index)
+            super_level += m.level
+        return tuple(idxs), super_level
+
+    def _super_level(self, idx_address: Sequence[int]) -> int:
+        return sum(
+            dim._defs[idx].level
+            for dim, idx in zip(self.dimensions, idx_address)
+        )
+
+    # ------------------------------------------------------------- fact df
+    @property
+    def fact(self) -> DataFrame:
+        """The (flushed) fact DataFrame."""
+        self._flush()
+        return self._fact
+
+    def _replace_fact(self, df: DataFrame, persist: bool = True) -> None:
+        old = self._fact
+        self._fact = df
+        if persist:
+            self._fact.persist()
+            self._fact_is_persisted = True
+        if old is not None and self._fact_is_persisted:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        self._invalidate()
+
+    def _invalidate(self) -> None:
+        self._cache.clear()
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        pending = self._pending
+        self._pending = {}
+        rows = []
+        for addr, v in pending.items():
+            if v is None:
+                rows.append(tuple(addr) + (None, None))
+            elif isinstance(v, str):
+                rows.append(tuple(addr) + (None, v))
+            else:
+                rows.append(tuple(addr) + (float(v), None))
+        new = self.spark.createDataFrame(rows, schema=self._schema)
+        keep = self._fact.join(new.select(*self._cols), on=self._cols, how="left_anti")
+        inserts = new.where(
+            F.col("value").isNotNull() | F.col("value_str").isNotNull()
+        )
+        merged = keep.unionByName(inserts)
+        # cut lineage so thousands of interactive writes don't stack plans
+        self._replace_fact(merged.localCheckpoint(eager=True), persist=False)
+
+    # -------------------------------------------------------------- writes
+    def set(self, address: Sequence, value: Any) -> None:
+        """Write one base cell (reference ``cube.py:508-540``)."""
+        idx_address, super_level = self._resolve_address(address)
+        if super_level > 0:
+            raise InvalidCellWriteError(
+                "writing to aggregated cells is not supported "
+                f"(address {tuple(address)!r})"
+            )
+        self._set_idx(idx_address, value)
+
+    def _set_idx(self, idx_address: tuple[int, ...], value: Any) -> None:
+        if isinstance(value, bool):
+            pass  # stored as value_str? reference stores any object; keep float path for bool
+        if isinstance(value, int) and not isinstance(value, bool):
+            value = float(value)  # reference cube.py:515-516
+        self._pending[idx_address] = value
+        self._invalidate()
+        # ON_ENTRY push rules (reference cube.py:526-537)
+        rdef = self.rules.match(idx_address, (RuleScope.ON_ENTRY,))
+        if rdef is not None:
+            try:
+                rdef.function(Cell(self, idx_address, bypass_rules=True))
+            except Exception:
+                pass
+
+    def __setitem__(self, address, value) -> None:
+        if not isinstance(address, tuple):
+            address = (address,)
+        self.set(address, value)
+
+    def delete(self, address: Sequence) -> None:
+        self.set(address, None)
+
+    def clear(self) -> None:
+        self._pending.clear()
+        self._replace_fact(
+            self.spark.createDataFrame([], schema=self._schema), persist=False
+        )
+
+    def write_rows(
+        self, rows: Iterable[Sequence], last_write_wins: bool = True
+    ) -> None:
+        """Bulk write of (member_name..., value) tuples in ONE merge."""
+        resolved = []
+        for r in rows:
+            *addr, value = r
+            idx_address, super_level = self._resolve_address(addr)
+            if super_level > 0:
+                raise InvalidCellWriteError(
+                    f"bulk write contains aggregated address {tuple(addr)!r}"
+                )
+            if isinstance(value, int) and not isinstance(value, bool):
+                value = float(value)
+            if isinstance(value, str):
+                resolved.append(tuple(idx_address) + (None, value))
+            else:
+                resolved.append(tuple(idx_address) + (value, None))
+        if last_write_wins:
+            dedup: dict[tuple, tuple] = {}
+            for row in resolved:
+                dedup[row[: len(self._cols)]] = row
+            resolved = list(dedup.values())
+        new = self.spark.createDataFrame(resolved, schema=self._schema)
+        keep = self._fact.join(new.select(*self._cols), on=self._cols, how="left_anti")
+        self._replace_fact(keep.unionByName(new))
+
+    def load_dataframe(
+        self,
+        df: DataFrame,
+        mapping: Optional[dict[str, str]] = None,
+        value_col: str = "value",
+        by_name: bool = False,
+        additive: bool = False,
+    ) -> None:
+        """Bulk-load a fact DataFrame (the 100 TB path — no driver round-trip).
+
+        ``df`` columns: one per dimension (member *ids*, or member *names*
+        when ``by_name``) plus ``value_col``.  ``mapping`` renames df columns
+        to cube fact columns.  ``additive=True`` sums duplicate addresses
+        (reference semantics are last-write-wins per cell; additive is the
+        natural bulk mode for transaction feeds).
+        """
+        if mapping:
+            for src, dst in mapping.items():
+                df = df.withColumnRenamed(src, dst)
+        if by_name:
+            for col, dim in self._dims_spec():
+                mdf = (
+                    engine.members_df(self.spark, dim)
+                    .select(
+                        F.lower(F.col("name")).alias(f"__k_{col}"),
+                        F.col("member_id").alias(f"__id_{col}"),
+                    )
+                )
+                df = (
+                    df.join(
+                        F.broadcast(mdf),
+                        F.lower(F.trim(F.col(col))) == F.col(f"__k_{col}"),
+                        "inner",
+                    )
+                    .drop(col, f"__k_{col}")
+                    .withColumnRenamed(f"__id_{col}", col)
+                )
+        sel = [F.col(c).cast(IntegerType()).alias(c) for c in self._cols]
+        sel.append(F.col(value_col).cast(DoubleType()).alias("value"))
+        sel.append(F.lit(None).cast(StringType()).alias("value_str"))
+        df = df.select(*sel)
+        if additive:
+            df = df.groupBy(*self._cols).agg(
+                F.sum("value").alias("value")
+            ).withColumn("value_str", F.lit(None).cast(StringType()))
+        else:
+            # last-write-wins on duplicates within the load
+            df = df.dropDuplicates(self._cols)
+        base = self._fact
+        if base.isEmpty():
+            self._replace_fact(df)
+        else:
+            keep = base.join(df.select(*self._cols), on=self._cols, how="left_anti")
+            self._replace_fact(keep.unionByName(df))
+
+    # --------------------------------------------------------------- reads
+    def get(self, address: Sequence) -> Any:
+        idx_address, _ = self._resolve_address(address)
+        return self._get_idx(idx_address)
+
+    def __getitem__(self, address) -> Any:
+        if not isinstance(address, tuple):
+            address = (address,)
+        return self.get(address)
+
+    def get_many(self, addresses: Sequence[Sequence]) -> list[Any]:
+        """Answer N point reads in <= 2 Spark jobs (+ rule evaluation)."""
+        idxs = [self._resolve_address(a)[0] for a in addresses]
+        self._prefetch(idxs)
+        return [self._get_idx(i) for i in idxs]
+
+    def _prefetch(self, idx_addresses: Sequence[tuple[int, ...]]) -> None:
+        """Batch-compute values for addresses not in cache / not rule-covered."""
+        self._flush()
+        base: dict[int, tuple[int, ...]] = {}
+        aggs: dict[int, tuple[int, ...]] = {}
+        for i, addr in enumerate(idx_addresses):
+            if addr in self._cache:
+                continue
+            if self.rules.match(
+                addr, (RuleScope.ALL_LEVELS, RuleScope.AGGREGATION_LEVEL, RuleScope.BASE_LEVEL)
+            ):
+                continue  # rule cells evaluate lazily (may recurse)
+            if self._super_level(addr) == 0:
+                base[i] = addr
+            else:
+                aggs[i] = addr
+        if base:
+            vals = engine.base_lookup(
+                self._fact, self.spark, self._cols, base
+            )
+            for i, addr in base.items():
+                self._cache[addr] = vals[i]
+        if aggs:
+            self.counter_aggregations += len(aggs)
+            vals2 = engine.aggregate_cells(
+                self._fact, self.spark, self._dims_spec(), aggs
+            )
+            for i, addr in aggs.items():
+                self._cache[addr] = vals2[i]
+
+    def _get_idx(self, idx_address: tuple[int, ...], bypass_rules: bool = False) -> Any:
+        self.counter_cell_requests += 1
+        super_level = self._super_level(idx_address)
+        # 1) ALL_LEVELS rules first (reference cube.py:351-367)
+        if not bypass_rules:
+            rdef = self.rules.match(idx_address, (RuleScope.ALL_LEVELS,))
+            if rdef is not None:
+                v = self._run_rule(rdef, idx_address)
+                if v is not CONTINUE:
+                    return v
+        if super_level == 0:
+            if not bypass_rules:
+                rdef = self.rules.match(idx_address, (RuleScope.BASE_LEVEL,))
+                if rdef is not None and rdef.feeder is None:
+                    v = self._run_rule(rdef, idx_address)
+                    if v is not CONTINUE:
+                        return v
+            return self._read_base(idx_address)
+        # aggregated
+        if not bypass_rules:
+            rdef = self.rules.match(idx_address, (RuleScope.AGGREGATION_LEVEL,))
+            if rdef is not None:
+                v = self._run_rule(rdef, idx_address)
+                if v is not CONTINUE:
+                    return v
+            rdef = self.rules.match(idx_address, (RuleScope.BASE_LEVEL,))
+            if rdef is not None:
+                return self._aggregate_base_rule(rdef, idx_address)
+        return self._read_aggregate(idx_address)
+
+    def _run_rule(self, rdef: RuleDef, idx_address: tuple[int, ...]) -> Any:
+        self.counter_rule_requests += 1
+        try:
+            return rdef.function(Cell(self, idx_address))
+        except Exception as exc:  # noqa: BLE001 — sentinel mapping is the contract
+            return map_rule_error(exc)
+
+    def _read_base(self, idx_address: tuple[int, ...]) -> Any:
+        if idx_address in self._pending:
+            v = self._pending[idx_address]
+            return v
+        if self.caching and idx_address in self._cache:
+            self.counter_cache_hits += 1
+            return self._cache[idx_address]
+        self._flush()
+        vals = engine.base_lookup(
+            self._fact, self.spark, self._cols, {0: idx_address}
+        )
+        v = vals[0]
+        if self.caching:
+            self._cache[idx_address] = v
+        return v
+
+    def _read_aggregate(self, idx_address: tuple[int, ...]) -> Any:
+        if self.caching and idx_address in self._cache:
+            self.counter_cache_hits += 1
+            return self._cache[idx_address]
+        self._flush()
+        self.counter_aggregations += 1
+        vals = engine.aggregate_cells(
+            self._fact, self.spark, self._dims_spec(), {0: idx_address}
+        )
+        v = vals[0]
+        if self.caching:
+            self._cache[idx_address] = v
+        return v
+
+    def _aggregate_base_rule(
+        self, rdef: RuleDef, idx_address: tuple[int, ...]
+    ) -> Any:
+        """BASE_LEVEL rule under an aggregated address: the aggregate is the
+        weighted sum of the rule evaluated at every matching *base* cell
+        (reference ``cube.py:416-497`` feeder re-addressing).
+
+        The base-cell set comes from the feeder slice when a feeder is
+        declared (rows of ``Quantity`` drive ``Sales``), else from the
+        trigger slice itself.
+        """
+        self._flush()
+        query_addr = list(idx_address)
+        if rdef.feeder:
+            for pos, midx in rdef.feeder_idx_pattern:
+                query_addr[pos] = midx
+        # all base rows under the (possibly feeder-swapped) address, with
+        # rollup weights — one Spark job
+        requested = {c: [query_addr[i]] for i, c in enumerate(self._cols)}
+        df, _ = engine._joined_rollup(
+            self._fact, self.spark, self._dims_spec(), requested
+        )
+        wprod = F.lit(1.0)
+        for c in self._cols:
+            if f"__w_{c}" in df.columns:
+                wprod = wprod * F.col(f"__w_{c}")
+        rows = df.select(
+            *[F.col(c) for c in self._cols], wprod.alias("__w_total"),
+            F.col("value"),
+        ).collect()
+        if not rows:
+            return None
+        total = 0.0
+        for row in rows:
+            trigger_idx = [row[c] for c in self._cols]
+            for pos, midx in rdef.trigger_idx_pattern or rdef.idx_pattern:
+                trigger_idx[pos] = midx
+            try:
+                v = rdef.function(Cell(self, tuple(trigger_idx), bypass_rules=False))
+            except Exception as exc:  # noqa: BLE001
+                return map_rule_error(exc)
+            if v is CONTINUE:
+                v = row["value"]
+            if isinstance(v, float):
+                total += v * row["__w_total"]
+        return total
+
+    # --------------------------------------------------------------- rules
+    def register_rule(
+        self,
+        function,
+        trigger: "Sequence[str] | str | None" = None,
+        scope: Optional[RuleScope] = None,
+        feeder: "Sequence[str] | str | None" = None,
+    ) -> None:
+        """Register a rule function (decorated with ``@rule`` or raw)."""
+        if hasattr(function, "_rule_def"):
+            rdef: RuleDef = function._rule_def
+        else:
+            if trigger is None:
+                raise ValueError("trigger required for undecorated rule")
+            rdef = RuleDef(
+                function=function,
+                trigger=[trigger] if isinstance(trigger, str) else list(trigger),
+                scope=scope or RuleScope.ALL_LEVELS,
+                feeder=(
+                    [feeder] if isinstance(feeder, str) else list(feeder)
+                )
+                if feeder is not None
+                else None,
+                name=getattr(function, "__name__", "rule"),
+            )
+        if scope is not None:
+            rdef.scope = scope
+        self.rules.register(self, rdef)
+        self._invalidate()
+
+    # ---------------------------------------------------------------- area
+    def area(self, *defs) -> "Area":
+        return Area(self, defs)
+
+    # ---------------------------------------------------------------- info
+    @property
+    def cells_count(self) -> int:
+        return self.fact.count()
+
+    def __len__(self) -> int:
+        return self.cells_count
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "description": self.description,
+            "dimensions": [d.name for d in self.dimensions],
+            "columns": self._cols,
+        }
+
+
+def _safe_col(name: str) -> str:
+    out = "".join(ch if ch.isalnum() or ch == "_" else "_" for ch in name.strip())
+    if not out or out[0].isdigit():
+        out = "d_" + out
+    return out.lower()
+
+
+class AreaTransform:
+    """Lazy scalar transform over an area (reference ``area.py:512-570``):
+    ``cube.area("Plan") = cube.area("Actual") * 1.15``."""
+
+    def __init__(self, area: "Area", fn_col):
+        self.area = area
+        self.fn_col = fn_col  # Column -> Column
+
+
+class Area:
+    """Subspace of a cube — mass operations (reference ``tinyolap/area.py``).
+
+    Definitions: each arg pins one dimension to one or more members —
+    ``"2023"`` (bare member, resolved to its dimension), ``"years:2023"``,
+    ``("Jan", "Feb")`` (list within ONE dimension), or a ``Member``.
+    OR within a dimension, AND across dimensions
+    (reference ``facttable.py:350-373``).
+    """
+
+    def __init__(self, cube: Cube, defs: Sequence):
+        self.cube = cube
+        # dim position -> list of member idx (ancestors allowed)
+        self.filters: dict[int, list[int]] = {}
+        for d in defs:
+            self._add_def(d)
+
+    def _add_def(self, d) -> None:
+        cube = self.cube
+        if isinstance(d, Member):
+            pos = cube._dim_position(d.dimension)
+            self.filters.setdefault(pos, []).append(d.index)
+            return
+        if isinstance(d, (list, tuple, set)):
+            items = list(d)
+            pos = None
+            idxs = []
+            for item in items:
+                p, i = self._resolve_one(str(item))
+                if pos is None:
+                    pos = p
+                elif pos != p:
+                    raise InvalidAddressError(
+                        "a member list in an area definition must address a "
+                        "single dimension"
+                    )
+                idxs.append(i)
+            if pos is not None:
+                self.filters.setdefault(pos, []).extend(idxs)
+            return
+        pos, idx = self._resolve_one(str(d))
+        self.filters.setdefault(pos, []).append(idx)
+
+    def _resolve_one(self, s: str) -> tuple[int, int]:
+        cube = self.cube
+        if ":" in s:
+            dpart, mname = s.split(":", 1)
+            pos = cube._dim_position(dpart.strip())
+            return pos, cube.dimensions[pos].member(mname.strip()).index
+        for pos, dim in enumerate(cube.dimensions):
+            if s in dim:
+                return pos, dim.member(s).index
+        raise InvalidAddressError(f"member '{s}' not found in any dimension")
+
+    # ------------------------------------------------------------- reading
+    def _filter_cols(self) -> dict[str, list[int]]:
+        return {
+            self.cube._cols[pos]: idxs for pos, idxs in self.filters.items()
+        }
+
+    def rows_df(self) -> DataFrame:
+        """Fact rows inside the area (leaf-level, stored values)."""
+        return engine.area_rows(
+            self.cube.fact,
+            self.cube.spark,
+            self.cube._dims_spec(),
+            self._filter_cols(),
+        )
+
+    def to_df(self, names: bool = True) -> DataFrame:
+        """Area rows, optionally with member names instead of ids."""
+        df = self.rows_df()
+        if names:
+            for col, dim in self.cube._dims_spec():
+                mdf = engine.members_df(self.cube.spark, dim).select(
+                    F.col("member_id").alias(f"__id_{col}"),
+                    F.col("name").alias(f"__n_{col}"),
+                )
+                df = (
+                    df.join(F.broadcast(mdf), df[col] == F.col(f"__id_{col}"))
+                    .drop(col, f"__id_{col}")
+                    .withColumnRenamed(f"__n_{col}", col)
+                )
+            df = df.select(*self.cube._cols, "value", "value_str")
+        return df
+
+    def records(self) -> list[tuple]:
+        """Collected (names..., value) tuples (reference ``Area.records``)."""
+        out = []
+        for row in self.to_df(names=True).collect():
+            v = row["value"] if row["value"] is not None else row["value_str"]
+            out.append(tuple(row[c] for c in self.cube._cols) + (v,))
+        return out
+
+    def addresses(self, enumerate_data_space: bool = False) -> list[tuple[str, ...]]:
+        """Addresses in the area; with ``enumerate_data_space`` the dense
+        cartesian product of leaf members (reference ``area.py:140-192``)."""
+        if enumerate_data_space:
+            per_dim: list[list[str]] = []
+            for pos, dim in enumerate(self.cube.dimensions):
+                if pos in self.filters:
+                    leaves: list[str] = []
+                    seen = set()
+                    for idx in self.filters[pos]:
+                        for leaf in Member(dim, idx).leaves:
+                            if leaf.index not in seen:
+                                seen.add(leaf.index)
+                                leaves.append(leaf.name)
+                    per_dim.append(leaves)
+                else:
+                    per_dim.append([m.name for m in dim.leaf_members])
+            return list(itertools.product(*per_dim))
+        return [r[:-1] for r in self.records()]
+
+    # -------------------------------------------------------- aggregations
+    def _agg(self, fn) -> Optional[float]:
+        row = self.rows_df().agg(
+            fn(F.col("value")).alias("v"), F.count(F.col("value")).alias("n")
+        ).collect()[0]
+        # empty area (or all-non-float) -> None (reference area.py:372-447)
+        return row["v"] if row["n"] > 0 else None
+
+    def sum(self) -> Optional[float]:
+        return self._agg(F.sum)
+
+    def min(self) -> Optional[float]:
+        return self._agg(F.min)
+
+    def max(self) -> Optional[float]:
+        return self._agg(F.max)
+
+    def avg(self) -> Optional[float]:
+        return self._agg(F.avg)
+
+    def count(self) -> int:
+        return self.rows_df().count()
+
+    def __len__(self) -> int:
+        return self.count()
+
+    # --------------------------------------------------------------- writes
+    def clear(self) -> None:
+        """Remove all fact rows in the area (reference ``area.py:80-83``)."""
+        cube = self.cube
+        cube._flush()
+        keep = engine.area_rows(
+            cube._fact, cube.spark, cube._dims_spec(), self._filter_cols()
+        )
+        # anti-semantics: keep rows NOT in the area
+        remaining = cube._fact.exceptAll(keep)
+        cube._replace_fact(remaining)
+
+    def multiply(self, factor: float) -> None:
+        self.transform(lambda c: c * F.lit(float(factor)))
+
+    def increment(self, delta: float) -> None:
+        self.transform(lambda c: c + F.lit(float(delta)))
+
+    def transform(self, fn_col) -> None:
+        """Apply a Column->Column function to stored values in the area."""
+        cube = self.cube
+        cube._flush()
+        inside = self.rows_df()
+        outside = cube._fact.exceptAll(inside)
+        changed = inside.withColumn("value", fn_col(F.col("value")))
+        cube._replace_fact(outside.unionByName(changed))
+
+    def set_value(self, value: Any) -> None:
+        """Set every *existing* cell in the area to ``value``; with a dense
+        enumerate this would be a cross-join write (reference
+        ``area.py:287-336``)."""
+        if callable(value):
+            raise NotImplementedError(
+                "callable cell generators: use set_random()/transform()"
+            )
+        self.transform(lambda c: F.lit(float(value)))
+
+    def __mul__(self, factor: float) -> AreaTransform:
+        return AreaTransform(self, lambda c: c * F.lit(float(factor)))
+
+    def __truediv__(self, factor: float) -> AreaTransform:
+        return AreaTransform(self, lambda c: c / F.lit(float(factor)))
+
+    def __add__(self, delta: float) -> AreaTransform:
+        return AreaTransform(self, lambda c: c + F.lit(float(delta)))
+
+    def __sub__(self, delta: float) -> AreaTransform:
+        return AreaTransform(self, lambda c: c - F.lit(float(delta)))
+
+    def assign_from(
+        self, source: "Area | AreaTransform"
+    ) -> None:
+        """``cube.area("Plan","2023") = cube.area("Actual","2022") * 1.5``
+        (reference ``area.py:72-78, 287-310, 693-743``).
+
+        Source rows are re-pinned onto this area's single-member dimensions,
+        the target area is cleared, and the transformed source is merged in.
+        The source is materialized BEFORE the clear (reference
+        ``_pinned_records``) so self-overlapping copies are safe.
+        """
+        if isinstance(source, AreaTransform):
+            src_area, fn_col = source.area, source.fn_col
+        else:
+            src_area, fn_col = source, None
+        cube = self.cube
+        if src_area.cube is not cube:
+            # cross-cube copy requires identical dimensionality
+            if len(src_area.cube.dimensions) != len(cube.dimensions):
+                raise InvalidAddressError(
+                    "source and target area cubes are not compatible"
+                )
+        # compatibility: both areas must pin the same dim positions with one
+        # member each where they differ (reference area.py:235-278)
+        src_rows = src_area.rows_df()
+        if fn_col is not None:
+            src_rows = src_rows.withColumn("value", fn_col(F.col("value")))
+        # re-pin: for every dim this area pins to a single member, overwrite
+        for pos, idxs in self.filters.items():
+            if len(idxs) != 1:
+                raise InvalidAddressError(
+                    "target area must pin dimensions to single members"
+                )
+            col = cube._cols[pos]
+            src_rows = src_rows.withColumn(col, F.lit(int(idxs[0])))
+        src_rows = src_rows.groupBy(*cube._cols).agg(
+            F.sum("value").alias("value"),
+            F.first("value_str").alias("value_str"),
+        )
+        # materialize source before clearing the target
+        src_rows = src_rows.localCheckpoint(eager=True)
+        cube._flush()
+        inside = engine.area_rows(
+            cube._fact, cube.spark, cube._dims_spec(), self._filter_cols()
+        )
+        remaining = cube._fact.exceptAll(inside)
+        cube._replace_fact(remaining.unionByName(src_rows))

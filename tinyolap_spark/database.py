@@ -1,0 +1,141 @@
+"""Database — root container of dimensions and cubes
+(reference ``tinyolap/database.py:28``).
+
+Persistence (reference uses SQLite, ``storage/sqlite.py``): we standardize on
+**Parquet facts + a JSON metadata document** per database directory::
+
+    <path>/
+      database.json            # dims (members/hierarchy/attrs), cube defs
+      cubes/<cube>.parquet     # leaf-level fact rows
+
+This is the cloud-native analogue — facts are columnar, splittable,
+predicate-pushdown-friendly; metadata is tiny and driver-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from .cube import Cube
+from .metadata import Dimension, TinyOlapError
+
+
+class DuplicateKeyError(TinyOlapError):
+    pass
+
+
+class Database:
+    def __init__(self, name: str = "db", spark: Optional[SparkSession] = None):
+        self.name = name
+        self.spark = spark or SparkSession.getActiveSession()
+        if self.spark is None:
+            raise TinyOlapError("no active SparkSession; pass spark=")
+        self.dimensions: dict[str, Dimension] = {}
+        self.cubes: dict[str, Cube] = {}
+
+    # ------------------------------------------------------------- dims
+    def add_dimension(self, name: str, description: str = "") -> Dimension:
+        key = name.lower()
+        if key in self.dimensions:
+            raise DuplicateKeyError(f"dimension '{name}' already exists")
+        d = Dimension(name, description)
+        self.dimensions[key] = d
+        return d
+
+    def dimension(self, name: str) -> Dimension:
+        return self.dimensions[name.lower()]
+
+    def dimension_remove(self, name: str) -> None:
+        key = name.lower()
+        for cube in self.cubes.values():
+            if any(d is self.dimensions[key] for d in cube.dimensions):
+                raise TinyOlapError(
+                    f"dimension '{name}' is in use by cube '{cube.name}'"
+                )
+        del self.dimensions[key]
+
+    # ------------------------------------------------------------- cubes
+    def add_cube(
+        self, name: str, dimensions: Sequence["Dimension | str"], description: str = ""
+    ) -> Cube:
+        key = name.lower()
+        if key in self.cubes:
+            raise DuplicateKeyError(f"cube '{name}' already exists")
+        dims = [
+            d if isinstance(d, Dimension) else self.dimension(d)
+            for d in dimensions
+        ]
+        c = Cube(name, dims, self.spark, description)
+        self.cubes[key] = c
+        return c
+
+    def cube(self, name: str) -> Cube:
+        return self.cubes[name.lower()]
+
+    def __getitem__(self, item):
+        """``db["cube", m1, ..., mN]`` cell read (reference
+        ``database.py:409-421``)."""
+        if isinstance(item, tuple):
+            cube, *addr = item
+            return self.cube(cube).get(addr)
+        return self.cube(item)
+
+    def __setitem__(self, item, value):
+        if isinstance(item, tuple):
+            cube, *addr = item
+            self.cube(cube).set(addr, value)
+        else:
+            raise TinyOlapError("cell write needs ('cube', m1, ..., mN)")
+
+    # ------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        meta = {
+            "name": self.name,
+            "dimensions": [d.to_dict() for d in self.dimensions.values()],
+            "cubes": [c.to_dict() for c in self.cubes.values()],
+        }
+        with open(os.path.join(path, "database.json"), "w") as f:
+            json.dump(meta, f, indent=1)
+        for cube in self.cubes.values():
+            cube.fact.write.mode("overwrite").parquet(
+                os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
+            )
+
+    @classmethod
+    def open(cls, path: str, spark: Optional[SparkSession] = None) -> "Database":
+        with open(os.path.join(path, "database.json")) as f:
+            meta = json.load(f)
+        db = cls(meta["name"], spark)
+        for ddata in meta["dimensions"]:
+            dim = Dimension.from_dict(ddata)
+            db.dimensions[dim.name.lower()] = dim
+        for cdata in meta["cubes"]:
+            cube = db.add_cube(
+                cdata["name"],
+                [db.dimension(n) for n in cdata["dimensions"]],
+                cdata.get("description", ""),
+            )
+            fpath = os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
+            if os.path.exists(fpath):
+                df = db.spark.read.parquet(fpath)
+                cube._replace_fact(df.select(*cube._schema.fieldNames()))
+        return db
+
+    def export(self, path: str) -> None:
+        """Snapshot/clone (reference ``database.py:319-380``)."""
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self.save(path)
+
+    def close(self) -> None:
+        for cube in self.cubes.values():
+            try:
+                cube._fact.unpersist()
+            except Exception:
+                pass

@@ -1,0 +1,306 @@
+"""Spark plan builders — the distributed execution core.
+
+Replaces the reference's per-cell interpreter (``cube.py:334-497``: bolt →
+inverted-index row-set intersection → Python float loop) with declarative
+DataFrame plans that Catalyst/Tungsten compile to broadcast-hash-join +
+partial-aggregate pipelines:
+
+- :func:`aggregate_grid` — ONE job computes a whole view grid (the reference
+  runs O(rows x cols) point aggregations per view refresh, ``view.py:769-911``).
+- :func:`aggregate_cells` — ONE job answers any batch of aggregated point
+  reads (never N jobs for N cells).
+- :func:`base_lookup` — ONE job answers a batch of exact base-cell reads.
+
+Scale design (100 TB story):
+
+- dimension closure tables are tiny (<= 1e5 rows) → always `F.broadcast`;
+  the fact side never shuffles for the join itself, only for the final
+  aggregate (map-side partial aggregation applies because the plan is a
+  plain hash aggregate over a join — whole-stage codegen, no Python in the
+  hot path).
+- the per-dimension closure join is a *fan-out* join: one fact row emits one
+  output row per matching requested ancestor.  Fan-out is bounded by the
+  number of requested ancestors per dim (axis sizes), not hierarchy depth.
+- requested-member filters are applied to the closure BEFORE the join, so
+  the broadcast side stays minimal and unmatched fact rows are dropped by
+  the join itself (semi-join effect; Catalyst can push nothing useful into
+  the fact scan beyond partition pruning, which the storage layer enables by
+  partitioning facts on a chosen dimension column).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .metadata import Dimension
+
+# ---------------------------------------------------------------------------
+# closure / members DataFrames (cached per dimension version)
+# ---------------------------------------------------------------------------
+
+_CLOSURE_SCHEMA = StructType(
+    [
+        StructField("member_id", IntegerType(), False),
+        StructField("ancestor_id", IntegerType(), False),
+        StructField("weight", DoubleType(), False),
+    ]
+)
+
+_closure_cache: dict[tuple[int, int, int], DataFrame] = {}
+_members_cache: dict[tuple[int, int, int], DataFrame] = {}
+
+
+def closure_df(spark: SparkSession, dim: Dimension) -> DataFrame:
+    """Broadcastable closure table ``(member_id, ancestor_id, weight)``.
+
+    Includes the identity row ``(m, m, 1.0)`` for every member, so a leaf
+    address and an aggregated address run the same plan.
+    """
+    key = (id(spark), id(dim), dim.version)
+    df = _closure_cache.get(key)
+    if df is None:
+        rows = [(int(m), int(a), float(w)) for (m, a, w) in dim.closure_rows]
+        df = spark.createDataFrame(rows, schema=_CLOSURE_SCHEMA)
+        _closure_cache[key] = df
+    return df
+
+
+def members_df(spark: SparkSession, dim: Dimension) -> DataFrame:
+    """Members DataFrame per FIXTURES.md (member_id, name, level, ordinal,
+    format, attr_*)."""
+    key = (id(spark), id(dim), dim.version)
+    df = _members_cache.get(key)
+    if df is None:
+        rows = dim.member_rows()
+        fields = [
+            StructField("member_id", IntegerType(), False),
+            StructField("name", StringType(), False),
+            StructField("level", IntegerType(), False),
+            StructField("ordinal", IntegerType(), False),
+            StructField("format", StringType(), True),
+        ]
+        for a in dim.attributes:
+            fields.append(StructField(f"attr_{a}", StringType(), True))
+        data = [
+            tuple(
+                [r["member_id"], r["name"], r["level"], r["ordinal"], r["format"]]
+                + [
+                    None if r.get(f"attr_{a}") is None else str(r.get(f"attr_{a}"))
+                    for a in dim.attributes
+                ]
+            )
+            for r in rows
+        ]
+        df = spark.createDataFrame(data, schema=StructType(fields))
+        _members_cache[key] = df
+    return df
+
+
+def clear_caches() -> None:
+    _closure_cache.clear()
+    _members_cache.clear()
+
+
+# ---------------------------------------------------------------------------
+# rollup plans
+# ---------------------------------------------------------------------------
+
+
+def _joined_rollup(
+    fact: DataFrame,
+    spark: SparkSession,
+    dims: Sequence[tuple[str, Dimension]],
+    requested: dict[str, Sequence[int]],
+    value_col: str = "value",
+) -> tuple[DataFrame, Column]:
+    """fact joined with per-dim filtered broadcast closures.
+
+    Returns (joined_df, weighted_value_column).  ``requested`` maps fact
+    column name -> list of requested ancestor member ids for that dim; dims
+    absent from ``requested`` are not joined (they aggregate over all rows —
+    callers that need full-address semantics always request every dim).
+    """
+    df = fact
+    weighted: Column = F.col(value_col)
+    for col, dim in dims:
+        if col not in requested:
+            continue
+        ids = [int(i) for i in requested[col]]
+        cdf = closure_df(spark, dim)
+        if len(ids) == 1:
+            cdf = cdf.where(F.col("ancestor_id") == ids[0])
+        else:
+            cdf = cdf.where(F.col("ancestor_id").isin(ids))
+        cdf = cdf.select(
+            F.col("member_id").alias(f"__m_{col}"),
+            F.col("ancestor_id").alias(f"__a_{col}"),
+            F.col("weight").alias(f"__w_{col}"),
+        )
+        df = df.join(F.broadcast(cdf), df[col] == F.col(f"__m_{col}"), "inner")
+        weighted = weighted * F.col(f"__w_{col}")
+    return df, weighted
+
+
+def aggregate_grid(
+    fact: DataFrame,
+    spark: SparkSession,
+    dims: Sequence[tuple[str, Dimension]],
+    axes: dict[str, Sequence[int]],
+    group_cols: Sequence[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """One weighted rollup over requested ancestor sets.
+
+    ``axes``: fact column -> requested ancestor ids (every cube dim must be
+    present — full-address semantics).  ``group_cols``: the subset of axis
+    columns that appear in the output (row/col axes); the rest are filter
+    dims (pinned, usually a single member).
+
+    Output: one row per present combination ``(col..., value, __cnt)``.
+    Empty combinations are absent (caller densifies if needed — reference
+    semantics: missing cell reads as None, ``facttable.py:166-170``).
+
+    The plan is: broadcast-join per dim (fan-out to requested ancestors) →
+    single hash aggregate.  `.explain()` shows BroadcastHashJoin chains
+    inside one WholeStageCodegen span followed by partial+final HashAggregate.
+    """
+    df, weighted = _joined_rollup(fact, spark, dims, axes, value_col)
+    keys = [F.col(f"__a_{c}").alias(c) for c in group_cols]
+    out = df.groupBy(*keys).agg(
+        F.sum(weighted).alias("value"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    # rows matched but all values non-float (null) -> 0.0 (reference
+    # cube.py:468: the float loop starts at 0.0 and skips non-floats);
+    # no rows matched -> row absent -> None.
+    return out.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
+
+
+def aggregate_cells(
+    fact: DataFrame,
+    spark: SparkSession,
+    dims: Sequence[tuple[str, Dimension]],
+    addresses: dict[int, Sequence[int]],
+    value_col: str = "value",
+) -> dict[int, Optional[float]]:
+    """Batch of aggregated point reads in ONE job.
+
+    ``addresses``: request_id -> tuple of member ids (one per cube dim, in
+    fact-column order).  Returns request_id -> value (None where no fact
+    rows matched).
+    """
+    if not addresses:
+        return {}
+    cols = [c for c, _ in dims]
+    # distinct requested members per dim bound the closure fan-out
+    requested = {
+        c: sorted({int(addr[i]) for addr in addresses.values()})
+        for i, c in enumerate(cols)
+    }
+    df, weighted = _joined_rollup(fact, spark, dims, requested, value_col)
+
+    req_schema = StructType(
+        [StructField("__req_id", LongType(), False)]
+        + [StructField(f"__r_{c}", IntegerType(), False) for c in cols]
+    )
+    req_rows = [
+        tuple([int(rid)] + [int(m) for m in addr]) for rid, addr in addresses.items()
+    ]
+    reqs = spark.createDataFrame(req_rows, schema=req_schema)
+    cond = None
+    for c in cols:
+        this = F.col(f"__a_{c}") == F.col(f"__r_{c}")
+        cond = this if cond is None else (cond & this)
+    joined = df.join(F.broadcast(reqs), cond, "inner")
+    agg = (
+        joined.groupBy("__req_id")
+        .agg(F.sum(weighted).alias("value"), F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    out: dict[int, Optional[float]] = {rid: None for rid in addresses}
+    for row in agg:
+        out[row["__req_id"]] = row["value"] if row["value"] is not None else 0.0
+    return out
+
+
+def base_lookup(
+    fact: DataFrame,
+    spark: SparkSession,
+    dim_cols: Sequence[str],
+    addresses: dict[int, Sequence[int]],
+    value_col: str = "value",
+    value_str_col: str = "value_str",
+) -> dict[int, object]:
+    """Batch of exact base-cell reads in ONE job (reference
+    ``facttable.py:166-170`` dict lookup, batched).
+
+    Returns request_id -> float | str | None.
+    """
+    if not addresses:
+        return {}
+    req_schema = StructType(
+        [StructField("__req_id", LongType(), False)]
+        + [StructField(f"__r_{c}", IntegerType(), False) for c in dim_cols]
+    )
+    req_rows = [
+        tuple([int(rid)] + [int(m) for m in addr]) for rid, addr in addresses.items()
+    ]
+    reqs = spark.createDataFrame(req_rows, schema=req_schema)
+    cond = None
+    for c in dim_cols:
+        this = F.col(c) == F.col(f"__r_{c}")
+        cond = this if cond is None else (cond & this)
+    has_str = value_str_col in fact.columns
+    sel = [F.col("__req_id"), F.col(value_col)]
+    if has_str:
+        sel.append(F.col(value_str_col))
+    rows = fact.join(F.broadcast(reqs), cond, "inner").select(*sel).collect()
+    out: dict[int, object] = {rid: None for rid in addresses}
+    for row in rows:
+        v = row[value_col]
+        if v is None and has_str and row[value_str_col] is not None:
+            v = row[value_str_col]
+        out[row["__req_id"]] = v
+    return out
+
+
+def area_rows(
+    fact: DataFrame,
+    spark: SparkSession,
+    dims: Sequence[tuple[str, Dimension]],
+    filters: dict[str, Sequence[int]],
+) -> DataFrame:
+    """Fact rows inside an area: OR within a dim, AND across dims
+    (reference ``facttable.py:350-373``).
+
+    Unlike the rollup join this is a pure SEMI-join — each fact row appears
+    at most once regardless of how many requested ancestors it rolls into,
+    and no weights apply (reference Area aggregates sum *stored* values,
+    ``area.py:372-447``).
+    """
+    df = fact
+    for col, dim in dims:
+        if col not in filters or not filters[col]:
+            continue
+        ids = [int(i) for i in filters[col]]
+        cdf = (
+            closure_df(spark, dim)
+            .where(F.col("ancestor_id").isin(ids))
+            .select(F.col("member_id").alias(f"__m_{col}"))
+            .distinct()
+        )
+        df = df.join(
+            F.broadcast(cdf), df[col] == F.col(f"__m_{col}"), "leftsemi"
+        )
+    return df

@@ -1,0 +1,713 @@
+"""Driver-side model metadata: Dimension / Member / Attribute / Subset.
+
+Semantics mirror the reference engine (Zeutschler/tinyolap):
+
+- members are case-insensitive strings with stable int surrogate ids and
+  insertion ordinals (reference: ``tinyolap/dimension.py:830``,
+  ``utilities/hybrid_dict.py:26``);
+- a dimension is a multi-parent DAG with per-edge weights (reference
+  ``dimension.py:2144-2294``); cycles are rejected at ``commit()``;
+- ``level`` is a member's height: leaves are 0, a parent is
+  ``max(child level) + 1`` (reference ``dimension.py:2233-2238``);
+- aggregation rolls **base-level** (leaf) facts up to any ancestor with set
+  semantics (a leaf reachable via two paths under one ancestor counts ONCE)
+  and a merged per-(leaf, ancestor) weight where the **last DFS path in
+  child-insertion order wins** (reference ``dimension.py:815-827`` dict-union
+  merge).  See :meth:`Dimension._compute_closure`.
+
+Dimensions are tiny (<= ~1e5 members) so all graph work happens on the
+driver; the resulting *closure table* ``(member_id, ancestor_id, weight)`` is
+shipped to executors as a broadcast DataFrame by the engine layer.  This is
+the Spark-first replacement for the reference's insert-time inverted-index
+fan-out (``cube.py:542-549``): instead of indexing every fact row under every
+ancestor at write time, we broadcast-join facts to the closure at read time
+and let Catalyst do the rest.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Optional, Sequence
+
+
+class TinyOlapError(Exception):
+    """Base error for the engine."""
+
+
+class DimensionEditError(TinyOlapError):
+    pass
+
+
+class InvalidAddressError(TinyOlapError):
+    pass
+
+
+class InvalidCellWriteError(TinyOlapError):
+    pass
+
+
+@dataclass
+class MemberDef:
+    """Internal member record (reference ``dimension.py:908-919``)."""
+
+    idx: int
+    name: str
+    ordinal: int
+    level: int = 0
+    # parent_idx -> weight of the edge child->parent (default +1.0)
+    parents: dict[int, float] = field(default_factory=dict)
+    # child idxs in insertion order (drives weight-merge DFS order)
+    children: list[int] = field(default_factory=list)
+    attributes: dict[str, Any] = field(default_factory=dict)
+    format: Optional[str] = None
+    aliases: list[str] = field(default_factory=list)
+    description: str = ""
+
+
+class Member:
+    """Immutable navigation handle over one member (reference ``member.py:15``)."""
+
+    __slots__ = ("_dim", "_idx")
+
+    def __init__(self, dimension: "Dimension", idx: int):
+        self._dim = dimension
+        self._idx = idx
+
+    # -- identity ---------------------------------------------------------
+    @property
+    def dimension(self) -> "Dimension":
+        return self._dim
+
+    @property
+    def index(self) -> int:
+        return self._idx
+
+    @property
+    def name(self) -> str:
+        return self._dim._defs[self._idx].name
+
+    @property
+    def level(self) -> int:
+        return self._dim._defs[self._idx].level
+
+    @property
+    def ordinal(self) -> int:
+        return self._dim._defs[self._idx].ordinal
+
+    @property
+    def format(self) -> Optional[str]:
+        return self._dim._defs[self._idx].format
+
+    # -- predicates -------------------------------------------------------
+    @property
+    def is_leaf(self) -> bool:
+        return self.level == 0
+
+    @property
+    def is_parent(self) -> bool:
+        return bool(self._dim._defs[self._idx].children)
+
+    @property
+    def is_root(self) -> bool:
+        return not self._dim._defs[self._idx].parents
+
+    def is_child_of(self, parent: "str | Member") -> bool:
+        p = self._dim.member(parent)
+        return p.index in self._dim._defs[self._idx].parents
+
+    # -- navigation -------------------------------------------------------
+    @property
+    def children(self) -> list["Member"]:
+        return [Member(self._dim, c) for c in self._dim._defs[self._idx].children]
+
+    @property
+    def parents(self) -> list["Member"]:
+        return [Member(self._dim, p) for p in self._dim._defs[self._idx].parents]
+
+    @property
+    def leaves(self) -> list["Member"]:
+        """All transitive base-level descendants (deduplicated, first-seen order)."""
+        out: list[int] = []
+        seen: set[int] = set()
+
+        def walk(i: int) -> None:
+            d = self._dim._defs[i]
+            if not d.children:
+                if i not in seen:
+                    seen.add(i)
+                    out.append(i)
+            else:
+                for c in d.children:
+                    walk(c)
+
+        walk(self._idx)
+        return [Member(self._dim, i) for i in out]
+
+    @property
+    def roots(self) -> list["Member"]:
+        return self._dim.roots
+
+    def parent_weight(self, parent: "str | Member") -> float:
+        p = self._dim.member(parent)
+        try:
+            return self._dim._defs[self._idx].parents[p.index]
+        except KeyError:
+            raise InvalidAddressError(
+                f"'{p.name}' is not a parent of '{self.name}'"
+            ) from None
+
+    @property
+    def next(self) -> Optional["Member"]:
+        """Next member in definition order, or None."""
+        order = self._dim._ordered_idx
+        pos = order.index(self._idx)
+        return Member(self._dim, order[pos + 1]) if pos + 1 < len(order) else None
+
+    @property
+    def previous(self) -> Optional["Member"]:
+        order = self._dim._ordered_idx
+        pos = order.index(self._idx)
+        return Member(self._dim, order[pos - 1]) if pos > 0 else None
+
+    @property
+    def first(self) -> "Member":
+        return Member(self._dim, self._dim._ordered_idx[0])
+
+    @property
+    def last(self) -> "Member":
+        return Member(self._dim, self._dim._ordered_idx[-1])
+
+    # attribute access ----------------------------------------------------
+    def attribute(self, name: str) -> Any:
+        return self._dim._defs[self._idx].attributes.get(name.lower())
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Member({self._dim.name}:{self.name})"
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Member)
+            and other._dim is self._dim
+            and other._idx == self._idx
+        )
+
+    def __hash__(self) -> int:
+        return hash((id(self._dim), self._idx))
+
+
+@dataclass
+class AttributeField:
+    """Typed per-member attribute (reference ``dimension.py:46``)."""
+
+    dimension: "Dimension"
+    name: str
+    value_type: type = object
+
+    def get(self, member: "str | Member") -> Any:
+        m = self.dimension.member(member)
+        return self.dimension._defs[m.index].attributes.get(self.name)
+
+    def set(self, member: "str | Member", value: Any) -> None:
+        if (
+            self.value_type is not object
+            and value is not None
+            and not isinstance(value, self.value_type)
+        ):
+            raise TypeError(
+                f"attribute '{self.name}' expects {self.value_type.__name__}, "
+                f"got {type(value).__name__}"
+            )
+        m = self.dimension.member(member)
+        self.dimension._defs[m.index].attributes[self.name] = value
+
+    @property
+    def values(self) -> list[Any]:
+        """Distinct non-None values (reference ``dimension.py:210-216``)."""
+        seen: list[Any] = []
+        for d in self.dimension._iter_defs():
+            v = d.attributes.get(self.name)
+            if v is not None and v not in seen:
+                seen.append(v)
+        return seen
+
+    def filter(self, pattern: Any) -> list[Member]:
+        """fnmatch wildcard / equality filter (reference ``dimension.py:135-168``)."""
+        out = []
+        for d in self.dimension._iter_defs():
+            v = d.attributes.get(self.name)
+            if v is None:
+                continue
+            if isinstance(pattern, str) and isinstance(v, str):
+                if fnmatch.fnmatch(v.lower(), pattern.lower()):
+                    out.append(Member(self.dimension, d.idx))
+            elif v == pattern:
+                out.append(Member(self.dimension, d.idx))
+        return out
+
+    def match(self, regex: str) -> list[Member]:
+        """Regex filter (reference ``dimension.py:170-180``)."""
+        rx = re.compile(regex)
+        return [
+            Member(self.dimension, d.idx)
+            for d in self.dimension._iter_defs()
+            if d.attributes.get(self.name) is not None
+            and rx.search(str(d.attributes.get(self.name)))
+        ]
+
+
+class Subset:
+    """Static, attribute-query or callable member list
+    (reference ``dimension.py:371-494``)."""
+
+    def __init__(
+        self,
+        dimension: "Dimension",
+        name: str,
+        members: Optional[Sequence[str]] = None,
+        attribute_query: Optional[dict[str, Any]] = None,
+        callable_fn: Optional[Callable[["Dimension", str], Sequence[str]]] = None,
+    ):
+        self.dimension = dimension
+        self.name = name
+        self._static = list(members) if members is not None else None
+        self._query = dict(attribute_query) if attribute_query else None
+        self._fn = callable_fn
+
+    @property
+    def members(self) -> list[Member]:
+        dim = self.dimension
+        if self._static is not None:
+            return [dim.member(m) for m in self._static]
+        if self._fn is not None:
+            return [dim.member(m) for m in self._fn(dim, self.name)]
+        if self._query is not None:
+            # ANDed attribute filters.  NOTE: the reference *intends* AND but
+            # drops the intersection result (``dimension.py:490`` bug); we
+            # implement the intended AND semantics.
+            result: Optional[set[int]] = None
+            for attr, value in self._query.items():
+                fieldobj = dim.attribute_field(attr)
+                matches = {m.index for m in fieldobj.filter(value)}
+                result = matches if result is None else (result & matches)
+            idxs = result or set()
+            return [
+                Member(dim, d.idx) for d in dim._iter_defs() if d.idx in idxs
+            ]
+        return []
+
+
+class Dimension:
+    """An editable, ordered, multi-parent member hierarchy.
+
+    Usage (mirrors the reference API)::
+
+        d = Dimension("months")
+        d.edit()
+        d.add_many("Q1", ["Jan", "Feb", "Mar"])
+        d.add_many("Year", ["Q1", "Q2", "Q3", "Q4"])
+        d.commit()
+
+    ``commit()`` validates (cycle check), recomputes levels and the weighted
+    transitive closure, and bumps :attr:`version` so downstream caches (Spark
+    DataFrames, grids) invalidate.
+    """
+
+    def __init__(self, name: str, description: str = ""):
+        self.name = name
+        self.description = description
+        self._defs: dict[int, MemberDef] = {}
+        self._lookup: dict[str, int] = {}  # lower(name or alias) -> idx
+        self._ordered_idx: list[int] = []
+        self._next_idx = 0
+        self._edit_mode = False
+        self._backup: Optional[dict] = None
+        self.attributes: dict[str, AttributeField] = {}
+        self.subsets: dict[str, Subset] = {}
+        # closure rows (member_idx, ancestor_idx, weight); computed at commit
+        self._closure: list[tuple[int, int, float]] = []
+        self.version = 0
+
+    # ------------------------------------------------------------------ edit
+    def edit(self) -> "Dimension":
+        if self._edit_mode:
+            raise DimensionEditError(f"dimension '{self.name}' already in edit mode")
+        self._edit_mode = True
+        self._backup = self._snapshot()
+        return self
+
+    def _snapshot(self) -> dict:
+        import copy
+
+        return {
+            "defs": copy.deepcopy(self._defs),
+            "lookup": dict(self._lookup),
+            "ordered": list(self._ordered_idx),
+            "next": self._next_idx,
+        }
+
+    def rollback(self) -> "Dimension":
+        if not self._edit_mode:
+            raise DimensionEditError("not in edit mode")
+        assert self._backup is not None
+        self._defs = self._backup["defs"]
+        self._lookup = self._backup["lookup"]
+        self._ordered_idx = self._backup["ordered"]
+        self._next_idx = self._backup["next"]
+        self._backup = None
+        self._edit_mode = False
+        return self
+
+    def commit(self) -> "Dimension":
+        if not self._edit_mode:
+            raise DimensionEditError("not in edit mode")
+        self._check_cycles()
+        self._recompute_levels()
+        self._compute_closure()
+        self._edit_mode = False
+        self._backup = None
+        self.version += 1
+        return self
+
+    def _require_edit(self) -> None:
+        if not self._edit_mode:
+            raise DimensionEditError(
+                f"dimension '{self.name}' must be in edit mode (call .edit())"
+            )
+
+    # ----------------------------------------------------------- membership
+    def _key(self, name: str) -> str:
+        return name.strip().lower()
+
+    def _add_or_get(self, name: str) -> int:
+        key = self._key(name)
+        if key in self._lookup:
+            return self._lookup[key]
+        idx = self._next_idx
+        self._next_idx += 1
+        self._defs[idx] = MemberDef(idx=idx, name=name.strip(), ordinal=len(self._ordered_idx))
+        self._lookup[key] = idx
+        self._ordered_idx.append(idx)
+        return idx
+
+    def add_member(
+        self,
+        name: str,
+        children: Optional[Sequence[str]] = None,
+        weights: Optional[Sequence[float]] = None,
+        description: str = "",
+    ) -> Member:
+        """Add a member, optionally with (weighted) children.
+
+        Mirrors reference ``Dimension.add_many`` (``dimension.py:2144-2155``):
+        ``add_member('Profit', ['Sales', 'Cost'], [1.0, -1.0])``.
+        """
+        self._require_edit()
+        idx = self._add_or_get(name)
+        if description:
+            self._defs[idx].description = description
+        if children:
+            if weights is not None and len(weights) != len(children):
+                raise DimensionEditError("len(weights) must equal len(children)")
+            for pos, child in enumerate(children):
+                cidx = self._add_or_get(child)
+                w = float(weights[pos]) if weights is not None else 1.0
+                cdef = self._defs[cidx]
+                if idx not in cdef.parents:
+                    self._defs[idx].children.append(cidx)
+                cdef.parents[idx] = w
+        return Member(self, idx)
+
+    # reference-compatible aliases
+    add_many = add_member
+
+    def remove_member(self, name: str) -> None:
+        self._require_edit()
+        m = self.member(name)
+        idx = m.index
+        d = self._defs[idx]
+        for p in list(d.parents):
+            self._defs[p].children.remove(idx)
+        for c in list(d.children):
+            self._defs[c].parents.pop(idx, None)
+        for alias in d.aliases:
+            self._lookup.pop(self._key(alias), None)
+        self._lookup.pop(self._key(d.name), None)
+        self._ordered_idx.remove(idx)
+        del self._defs[idx]
+        for pos, i in enumerate(self._ordered_idx):
+            self._defs[i].ordinal = pos
+
+    def rename_member(self, old: str, new: str) -> None:
+        self._require_edit()
+        m = self.member(old)
+        d = self._defs[m.index]
+        self._lookup.pop(self._key(d.name))
+        d.name = new.strip()
+        self._lookup[self._key(new)] = m.index
+
+    def add_alias(self, member: str, alias: str) -> None:
+        m = self.member(member)
+        key = self._key(alias)
+        if key in self._lookup and self._lookup[key] != m.index:
+            raise DimensionEditError(f"alias '{alias}' already in use")
+        self._lookup[key] = m.index
+        self._defs[m.index].aliases.append(alias)
+
+    def set_format(self, member: str, fmt: str) -> None:
+        self._defs[self.member(member).index].format = fmt
+
+    # ----------------------------------------------------------- validation
+    def _check_cycles(self) -> None:
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {i: WHITE for i in self._defs}
+
+        def dfs(i: int) -> None:
+            color[i] = GRAY
+            for p in self._defs[i].parents:
+                if color[p] == GRAY:
+                    raise DimensionEditError(
+                        f"Failed to commit dimension '{self.name}': circular "
+                        f"reference detected for member "
+                        f"'{self._defs[i].name}'"
+                    )
+                if color[p] == WHITE:
+                    dfs(p)
+            color[i] = BLACK
+
+        for i in self._defs:
+            if color[i] == WHITE:
+                dfs(i)
+
+    def _recompute_levels(self) -> None:
+        """Leaf = 0; parent = max(child level) + 1 (height, not depth)."""
+        memo: dict[int, int] = {}
+
+        def height(i: int) -> int:
+            if i in memo:
+                return memo[i]
+            ch = self._defs[i].children
+            h = 0 if not ch else max(height(c) for c in ch) + 1
+            memo[i] = h
+            return h
+
+        for i in self._defs:
+            self._defs[i].level = height(i)
+
+    def _compute_closure(self) -> None:
+        """(member, ancestor, weight) rows.
+
+        - identity row (m, m, 1.0) for every member;
+        - for every aggregated member P: one row per distinct transitive
+          *leaf* under P, weight = product of edge weights along the path,
+          merged across multiple paths with LAST-DFS-path-wins semantics
+          (reference ``dimension.py:815-827``: ``{**acc, **recurse}``).
+        """
+        rows: list[tuple[int, int, float]] = []
+        for i in self._defs:
+            rows.append((i, i, 1.0))
+
+        def weighted_leaves(parent_idx: int, base_weight: float) -> dict[int, float]:
+            out: dict[int, float] = {}
+            for cidx in self._defs[parent_idx].children:
+                w = self._defs[cidx].parents[parent_idx]
+                if self._defs[cidx].children:
+                    out = {**out, **weighted_leaves(cidx, base_weight * w)}
+                else:
+                    out[cidx] = base_weight * w
+            return out
+
+        for i in self._defs:
+            if self._defs[i].children:
+                for leaf, w in weighted_leaves(i, 1.0).items():
+                    rows.append((leaf, i, w))
+        self._closure = rows
+
+    # ------------------------------------------------------------- queries
+    def member(self, name: "str | Member") -> Member:
+        if isinstance(name, Member):
+            if name._dim is not self:
+                raise InvalidAddressError(
+                    f"member '{name.name}' belongs to dimension "
+                    f"'{name._dim.name}', not '{self.name}'"
+                )
+            return name
+        key = self._key(str(name))
+        if key not in self._lookup:
+            raise InvalidAddressError(
+                f"unknown member '{name}' in dimension '{self.name}'"
+            )
+        return Member(self, self._lookup[key])
+
+    def __contains__(self, name: str) -> bool:
+        return self._key(str(name)) in self._lookup
+
+    def __len__(self) -> int:
+        return len(self._ordered_idx)
+
+    def _iter_defs(self) -> Iterable[MemberDef]:
+        for i in self._ordered_idx:
+            yield self._defs[i]
+
+    @property
+    def members(self) -> list[Member]:
+        return [Member(self, i) for i in self._ordered_idx]
+
+    @property
+    def leaf_members(self) -> list[Member]:
+        return [Member(self, d.idx) for d in self._iter_defs() if not d.children]
+
+    @property
+    def aggregated_members(self) -> list[Member]:
+        return [Member(self, d.idx) for d in self._iter_defs() if d.children]
+
+    @property
+    def roots(self) -> list[Member]:
+        return [Member(self, d.idx) for d in self._iter_defs() if not d.parents]
+
+    @property
+    def default_member(self) -> Member:
+        return Member(self, self._ordered_idx[0])
+
+    def members_by_level(self, level: int) -> list[Member]:
+        return [Member(self, d.idx) for d in self._iter_defs() if d.level == level]
+
+    # ---------------------------------------------------------- attributes
+    def add_attribute(self, name: str, value_type: type = object) -> AttributeField:
+        key = name.lower()
+        if key in self.attributes:
+            raise DimensionEditError(f"attribute '{name}' already exists")
+        f = AttributeField(self, key, value_type)
+        self.attributes[key] = f
+        return f
+
+    def attribute_field(self, name: str) -> AttributeField:
+        try:
+            return self.attributes[name.lower()]
+        except KeyError:
+            raise InvalidAddressError(
+                f"unknown attribute '{name}' in dimension '{self.name}'"
+            ) from None
+
+    def set_attribute(self, attribute: str, member: str, value: Any) -> None:
+        self.attribute_field(attribute).set(member, value)
+
+    def get_attribute(self, attribute: str, member: str) -> Any:
+        return self.attribute_field(attribute).get(member)
+
+    # ------------------------------------------------------------- subsets
+    def add_static_subset(self, name: str, members: Sequence[str]) -> Subset:
+        s = Subset(self, name, members=members)
+        self.subsets[name.lower()] = s
+        return s
+
+    def add_attribute_subset(self, name: str, **attribute_query: Any) -> Subset:
+        s = Subset(self, name, attribute_query=attribute_query)
+        self.subsets[name.lower()] = s
+        return s
+
+    def add_custom_subset(
+        self, name: str, fn: Callable[["Dimension", str], Sequence[str]]
+    ) -> Subset:
+        s = Subset(self, name, callable_fn=fn)
+        self.subsets[name.lower()] = s
+        return s
+
+    def subset(self, name: str) -> Subset:
+        try:
+            return self.subsets[name.lower()]
+        except KeyError:
+            raise InvalidAddressError(
+                f"unknown subset '{name}' in dimension '{self.name}'"
+            ) from None
+
+    # ------------------------------------------------------ closure export
+    @property
+    def closure_rows(self) -> list[tuple[int, int, float]]:
+        """(member_idx, ancestor_idx, weight) incl. identity rows."""
+        if not self._closure:
+            self._compute_closure()
+        return self._closure
+
+    def member_rows(self) -> list[dict]:
+        """Rows for the members DataFrame (FIXTURES.md schema)."""
+        return [
+            {
+                "member_id": d.idx,
+                "name": d.name,
+                "level": d.level,
+                "ordinal": d.ordinal,
+                "format": d.format,
+                **{f"attr_{k}": d.attributes.get(k) for k in self.attributes},
+            }
+            for d in self._iter_defs()
+        ]
+
+    # ---------------------------------------------------------------- misc
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "description": self.description,
+            "members": [
+                {
+                    "id": d.idx,
+                    "name": d.name,
+                    "ordinal": d.ordinal,
+                    "parents": {str(p): w for p, w in d.parents.items()},
+                    "children": d.children,
+                    "attributes": d.attributes,
+                    "format": d.format,
+                    "aliases": d.aliases,
+                }
+                for d in self._iter_defs()
+            ],
+            "attributes": {
+                k: v.value_type.__name__ for k, v in self.attributes.items()
+            },
+            "subsets": {
+                k: {
+                    "static": s._static,
+                    "query": s._query,
+                }
+                for k, s in self.subsets.items()
+                if s._fn is None
+            },
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Dimension":
+        dim = cls(data["name"], data.get("description", ""))
+        _types = {"str": str, "int": int, "float": float, "bool": bool, "object": object}
+        for mdata in data["members"]:
+            idx = mdata["id"]
+            dim._defs[idx] = MemberDef(
+                idx=idx,
+                name=mdata["name"],
+                ordinal=mdata["ordinal"],
+                parents={int(p): w for p, w in mdata["parents"].items()},
+                children=list(mdata["children"]),
+                attributes=dict(mdata.get("attributes", {})),
+                format=mdata.get("format"),
+                aliases=list(mdata.get("aliases", [])),
+            )
+            dim._lookup[dim._key(mdata["name"])] = idx
+            for alias in mdata.get("aliases", []):
+                dim._lookup[dim._key(alias)] = idx
+            dim._ordered_idx.append(idx)
+            dim._next_idx = max(dim._next_idx, idx + 1)
+        dim._ordered_idx.sort(key=lambda i: dim._defs[i].ordinal)
+        for aname, tname in data.get("attributes", {}).items():
+            dim.attributes[aname] = AttributeField(dim, aname, _types.get(tname, object))
+        for sname, sdata in data.get("subsets", {}).items():
+            if sdata.get("static") is not None:
+                dim.subsets[sname] = Subset(dim, sname, members=sdata["static"])
+            elif sdata.get("query") is not None:
+                dim.subsets[sname] = Subset(dim, sname, attribute_query=sdata["query"])
+        dim._recompute_levels()
+        dim._compute_closure()
+        dim.version = 1
+        return dim
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Dimension({self.name}, {len(self)} members)"
