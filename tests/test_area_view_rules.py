@@ -1,0 +1,275 @@
+"""Area mass-ops, View grids, and rule semantics (FIXTURES.md A1/A3)."""
+
+import pytest
+
+from tinyolap_spark import CONTINUE, Database, RuleScope, View, rule
+
+
+@pytest.fixture(scope="module")
+def fresh(spark):
+    """A small dedicated cube so Area writes don't disturb other tests."""
+    from conftest import build_tiny
+
+    return build_tiny(spark, seed=7)
+
+
+def test_area_sum_and_len(fresh):
+    db, cube, rows = fresh
+    area = cube.area("2021")
+    expected = sum(v for (y, m, r, p, ms, v) in rows if y == "2021")
+    assert area.sum() == pytest.approx(expected)
+    assert len(area) == 12 * 4 * 6 * 2
+    # uniform fill golden (reference tests/test_area.py:60-70 idiom)
+    area.set_value(1.0)
+    assert area.sum() == pytest.approx(12 * 4 * 6 * 2)
+    assert cube["2021", "Year", "Total", "Total", "Sales"] == pytest.approx(
+        12 * 4 * 6
+    )
+
+
+def test_area_multi_dim_and_lists(fresh):
+    db, cube, rows = fresh
+    area = cube.area("2022", ("Jan", "Feb"), "measures:Sales")
+    expected = sum(
+        v
+        for (y, m, r, p, ms, v) in rows
+        if y == "2022" and m in ("Jan", "Feb") and ms == "Sales"
+    )
+    assert area.sum() == pytest.approx(expected)
+    assert area.count() == 2 * 4 * 6
+    assert area.min() <= area.avg() <= area.max()
+
+
+def test_area_with_aggregated_member(fresh):
+    """Area pinned to an ancestor selects all leaf rows below it, without
+    weights (reference area aggregates sum stored values)."""
+    db, cube, rows = fresh
+    area = cube.area("2022", "months:Q1")
+    expected = sum(
+        v
+        for (y, m, r, p, ms, v) in rows
+        if y == "2022" and m in ("Jan", "Feb", "Mar")
+    )
+    assert area.sum() == pytest.approx(expected)
+
+
+def test_area_clear(fresh):
+    db, cube, rows = fresh
+    cube.area("2023", "months:Dec", "North", "van", "Cost").clear()
+    assert cube["2023", "Dec", "North", "van", "Cost"] is None
+    # neighbors untouched
+    assert cube["2023", "Dec", "South", "van", "Cost"] is not None
+
+
+def test_area_multiply_and_transform(fresh):
+    db, cube, rows = fresh
+    addr = ("2023", "Nov", "East", "sedan", "Sales")
+    before = cube[addr]
+    cube.area("2023", "Nov", "measures:Sales").multiply(2.0)
+    assert cube[addr] == pytest.approx(before * 2.0)
+    cube.area("2023", "Nov", "measures:Sales").multiply(0.5)
+    assert cube[addr] == pytest.approx(before)
+
+
+def test_area_copy_assignment(fresh):
+    """cube.area('2023') = cube.area('2022') * 1.5 (reference area.py:72-78)."""
+    db, cube, rows = fresh
+    src_sum = cube.area("2022").sum()
+    cube.area("2023").assign_from(cube.area("2022") * 1.5)
+    assert cube.area("2023").sum() == pytest.approx(src_sum * 1.5)
+    a22 = cube["2022", "Jan", "North", "coupe", "Sales"]
+    a23 = cube["2023", "Jan", "North", "coupe", "Sales"]
+    assert a23 == pytest.approx(a22 * 1.5)
+
+
+def test_view_grid_matches_point_reads(fresh):
+    db, cube, rows = fresh
+    v = View(
+        cube,
+        filters=[("years", "2021"), ("months", "Year")],
+        rows=[("regions", "*")],
+        columns=[("measures", ["Sales", "Cost", "Profit"])],
+    ).refresh()
+    for region in ["Total", "North", "South", "West", "East"]:
+        for measure in ["Sales", "Cost", "Profit"]:
+            grid_v = v.cell_by_names([region], [measure])
+            point_v = cube["2021", "Year", region, "Total", measure]
+            assert grid_v == pytest.approx(point_v), (region, measure)
+    assert v.stats["cells"] == 5 * 3
+    assert v.stats["executed_as"] == "single_spark_job"
+
+
+def test_view_nested_axes_and_renderers(fresh):
+    db, cube, rows = fresh
+    v = View(
+        cube,
+        filters=[("years", "2022")],
+        rows=[("regions", ["North", "South"]), ("products", ["cars", "trucks"])],
+        columns=[("months", ["Q1", "Q2"]), ("measures", ["Sales"])],
+    ).refresh()
+    assert v.stats["cells"] == 4 * 2
+    got = v.cell_by_names(["North", "cars"], ["Q1", "Sales"])
+    want = cube["2022", "Q1", "North", "cars", "Sales"]
+    assert got == pytest.approx(want)
+    text = v.to_console()
+    assert "North / cars" in text
+    html = v.to_html()
+    assert html.startswith("<table")
+    d = v.to_dict()
+    assert len(d["rows"]) == 4 and len(d["columns"]) == 2
+
+
+def test_view_zero_suppression(fresh):
+    db, cube, rows = fresh
+    cube.area("2021", "months:Oct").clear()
+    v = View(
+        cube,
+        filters=[("years", "2021"), ("products", "Total"), ("regions", "Total")],
+        rows=[("months", ["Oct", "Nov"])],
+        columns=[("measures", ["Sales", "Cost"])],
+        zero_suppression=True,
+    ).refresh()
+    d = v.to_dict()
+    assert [r["row"] for r in d["rows"]] == [("Nov",)]
+
+
+def test_view_to_df(fresh):
+    db, cube, rows = fresh
+    v = View(
+        cube,
+        filters=[("years", "2022"), ("months", "Year")],
+        rows=[("regions", "*")],
+        columns=[("measures", ["Sales"])],
+    )
+    df = v.to_df()
+    collected = {r["regions_name"]: r["value"] for r in df.collect()}
+    assert collected["North"] == pytest.approx(
+        cube["2022", "Year", "North", "Total", "Sales"]
+    )
+
+
+# ---------------------------------------------------------------- rules
+
+
+@pytest.fixture(scope="module")
+def ruled(spark):
+    from conftest import build_tiny
+
+    db, cube, rows = build_tiny(spark, seed=11)
+
+    @rule("sales", trigger=["Profit in %"])
+    def profit_pct(c):
+        profit = c["Profit"]
+        sales = c["Sales"]
+        return profit / sales
+
+    measures = db.dimension("measures")
+    measures.edit()
+    measures.add_many("Profit in %")
+    measures.add_many("Err member")
+    measures.add_many("Ref member")
+    measures.commit()
+    measures.set_format("Profit in %", "{:.2%}")
+    cube.register_rule(profit_pct)
+
+    @rule("sales", trigger=["Err member"])
+    def err_rule(c):
+        return None + 1  # TypeError -> #ERR!
+
+    @rule("sales", trigger=["Ref member"])
+    def ref_rule(c):
+        return c["No Such Member"]  # KeyError -> #REF!
+
+    cube.register_rule(err_rule)
+    cube.register_rule(ref_rule)
+    return db, cube, rows
+
+
+def test_rule_ratio(ruled):
+    db, cube, rows = ruled
+    got = cube["2021", "Q1", "Total", "Total", "Profit in %"]
+    profit = cube["2021", "Q1", "Total", "Total", "Profit"]
+    sales = cube["2021", "Q1", "Total", "Total", "Sales"]
+    assert got == pytest.approx(profit / sales)
+
+
+def test_rule_error_sentinels(ruled):
+    """Reference tests/test_cube.py:83-88."""
+    db, cube, rows = ruled
+    assert cube["2021", "Jan", "North", "coupe", "Err member"] == "#ERR!"
+    assert cube["2021", "Jan", "North", "coupe", "Ref member"] == "#REF!"
+
+
+def test_rule_div0(ruled):
+    db, cube, rows = ruled
+    # clear Sales for one address -> Profit/Sales divides by empty cell sum
+    cube.area("2023", "months:Sep", "West").clear()
+    v = cube["2023", "Sep", "West", "Total", "Profit in %"]
+    assert v == "#ERR!" or v == "#DIV/0!"  # None/None -> TypeError or div-by-0
+
+
+def test_rule_continue_fallthrough(spark):
+    from conftest import build_tiny
+
+    db, cube, rows = build_tiny(spark, seed=3)
+
+    @rule("sales", trigger=["Sales"])
+    def passthrough(c):
+        return CONTINUE
+
+    cube.register_rule(passthrough)
+    expected = next(
+        v for (y, m, r, p, ms, v) in rows
+        if (y, m, r, p, ms) == ("2021", "Jan", "North", "coupe", "Sales")
+    )
+    assert cube["2021", "Jan", "North", "coupe", "Sales"] == expected
+    # aggregated cell still computes normally after CONTINUE
+    agg = cube["2021", "Q1", "North", "coupe", "Sales"]
+    want = sum(
+        v for (y, m, r, p, ms, v) in rows
+        if y == "2021" and m in ("Jan", "Feb", "Mar")
+        and r == "North" and p == "coupe" and ms == "Sales"
+    )
+    assert agg == pytest.approx(want)
+
+
+def test_rule_in_view_grid(ruled):
+    db, cube, rows = ruled
+    v = View(
+        cube,
+        filters=[("years", "2021"), ("months", "Q2")],
+        rows=[("regions", ["North", "Total"])],
+        columns=[("measures", ["Sales", "Profit", "Profit in %"])],
+    ).refresh()
+    got = v.cell_by_names(["North"], ["Profit in %"])
+    profit = cube["2021", "Q2", "North", "Total", "Profit"]
+    sales = cube["2021", "Q2", "North", "Total", "Sales"]
+    assert got == pytest.approx(profit / sales)
+    assert v.stats["rule_cells"] == 2
+
+
+def test_base_level_rule_with_feeder(spark):
+    """FIXTURES A3 / reference cube.py:416-432: Sales = 2x Quantity, driven
+    by Quantity's rows; aggregates sum the rule-evaluated base cells."""
+    db = Database("feeder", spark=spark)
+    months = db.add_dimension("months").edit()
+    months.add_many("Q1", ["Jan", "Feb", "Mar"])
+    months.commit()
+    measures = db.add_dimension("measures").edit()
+    measures.add_many("Quantity")
+    measures.add_many("Sales")
+    measures.commit()
+    cube = db.add_cube("c", [months, measures])
+    cube.write_rows([
+        ("Jan", "Quantity", 10.0),
+        ("Feb", "Quantity", 20.0),
+    ])
+
+    @rule("c", trigger=["Sales"], scope=RuleScope.BASE_LEVEL, feeder=["Quantity"])
+    def sales_rule(c):
+        return c["Quantity"] * 2.0
+
+    cube.register_rule(sales_rule)
+    assert cube["Jan", "Sales"] == pytest.approx(20.0)
+    assert cube["Q1", "Sales"] == pytest.approx(60.0)
+    assert cube["Q1", "Quantity"] == pytest.approx(30.0)

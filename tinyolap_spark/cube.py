@@ -498,7 +498,7 @@ class Cube:
         if super_level == 0:
             if not bypass_rules:
                 rdef = self.rules.match(idx_address, (RuleScope.BASE_LEVEL,))
-                if rdef is not None and rdef.feeder is None:
+                if rdef is not None:
                     v = self._run_rule(rdef, idx_address)
                     if v is not CONTINUE:
                         return v
