@@ -1,38 +1,745 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the SURVEY.md §2 operator inventory through the
+tinyolap_spark engine (cube rollups, weighted/multi-parent hierarchies,
+areas, batched cell reads, the mini SQL dialect, view grids), the Spark SQL
+passthrough surface, and the LLM-data-pipeline operators (dedup, text
+analysis, similarity search).  ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL per query.
+
+Numeric-parity convention: money measures are aggregated as integral CENTS
+(``round(x*100)``) so sums are exact integer arithmetic in both engines —
+bit-identical results independent of partition/aggregation order.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_star_cache: dict[str, object] = {}
+
+
+def _star(spark: SparkSession, sf_dir: str):
+    from tinyolap_spark.sources.starschema import StarCube
+
+    key = sf_dir.rstrip("/")
+    sc = _star_cache.get(key)
+    if sc is None or sc.spark is not spark:
+        sc = StarCube(spark, key)
+        _star_cache[key] = sc
+    return sc
+
+
+def _raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark needs the legacy
+        # flag and then surfaces ts as BIGINT nanoseconds
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Region x year revenue grid through the cube engine."""
+    return _q_cube_region_year_revenue(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# cube-engine queries
+# ---------------------------------------------------------------------------
+
+
+def _grid_df(sc, axes_names, group_dims, out_names):
+    """aggregate_grid + member-name joins, fully distributed."""
+    from tinyolap_spark import engine
+
+    cube = sc.cube
+    axes = {}
+    for dim_name, members in axes_names.items():
+        pos = cube._dim_position(dim_name)
+        dim = cube.dimensions[pos]
+        axes[cube._cols[pos]] = [dim.member(m).index for m in members]
+    group_cols = [cube._cols[cube._dim_position(d)] for d in group_dims]
+    grid = engine.aggregate_grid(
+        cube.fact, cube.spark, cube._dims_spec(), axes, group_cols
+    )
+    for d, out in zip(group_dims, out_names):
+        pos = cube._dim_position(d)
+        col = cube._cols[pos]
+        mdf = engine.members_df(cube.spark, cube.dimensions[pos]).select(
+            F.col("member_id").alias(f"__id_{col}"),
+            F.col("name").alias(out),
+        )
+        grid = grid.join(F.broadcast(mdf), grid[col] == F.col(f"__id_{col}")).drop(
+            col, f"__id_{col}"
+        )
+    return grid
+
+
+def _q_cube_total_revenue(spark, sf_dir):
+    sc = _star(spark, sf_dir)
+    grid = _grid_df(
+        sc,
+        {
+            "geo": ["All Geographies"],
+            "calendar": ["All Time"],
+            "brand": ["All Brands"],
+            "measures": ["revenue"],
+        },
+        [],
+        [],
+    )
+    return grid.select((F.col("value") / 100).alias("total_revenue"))
+
+
+def _q_cube_region_year_revenue(spark, sf_dir):
+    sc = _star(spark, sf_dir)
+    regions = [m.name for m in sc.geo.members_by_level(1)]
+    years = [str(y) for y in sc.years]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": regions,
+            "calendar": years,
+            "brand": ["All Brands"],
+            "measures": ["revenue"],
+        },
+        ["geo", "calendar"],
+        ["region", "year_str"],
+    )
+    return grid.select(
+        "region",
+        F.col("year_str").cast("int").alias("year"),
+        (F.col("value") / 100).alias("revenue"),
+    )
+
+
+def _q_cube_nation_revenue_1995(spark, sf_dir):
+    sc = _star(spark, sf_dir)
+    nations = [m.name for m in sc.geo.leaf_members]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": nations,
+            "calendar": ["1995"],
+            "brand": ["All Brands"],
+            "measures": ["revenue"],
+        },
+        ["geo"],
+        ["nation"],
+    )
+    return grid.select("nation", (F.col("value") / 100).alias("revenue"))
+
+
+def _q_cube_weighted_net_price(spark, sf_dir):
+    """net_price = extendedprice - discount_amt via ±1 rollup weights."""
+    sc = _star(spark, sf_dir)
+    regions = [m.name for m in sc.geo.members_by_level(1)]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": regions,
+            "calendar": ["All Time"],
+            "brand": ["All Brands"],
+            "measures": ["net_price"],
+        },
+        ["geo"],
+        ["region"],
+    )
+    return grid.select("region", (F.col("value") / 100).alias("net_price"))
+
+
+def _q_cube_multiparent_overlap(spark, sf_dir):
+    """AMERICA+ASIA: multi-parent member; leaves dedup with set semantics."""
+    sc = _star(spark, sf_dir)
+    years = [str(y) for y in sc.years]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": ["AMERICA+ASIA"],
+            "calendar": years,
+            "brand": ["All Brands"],
+            "measures": ["quantity"],
+        },
+        ["calendar"],
+        ["year_str"],
+    )
+    return grid.select(
+        F.col("year_str").cast("int").alias("year"),
+        F.col("value").alias("sum_qty"),
+    )
+
+
+def _q_cube_quarter_quantity(spark, sf_dir):
+    sc = _star(spark, sf_dir)
+    quarters = [f"1995-Q{q}" for q in (1, 2, 3, 4)]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": ["All Geographies"],
+            "calendar": quarters,
+            "brand": ["All Brands"],
+            "measures": ["quantity"],
+        },
+        ["calendar"],
+        ["quarter"],
+    )
+    return grid.select("quarter", F.col("value").alias("sum_qty"))
+
+
+def _q_cube_area_sum(spark, sf_dir):
+    """Area aggregate: stored base cells under (ASIA, 1995, revenue)."""
+    sc = _star(spark, sf_dir)
+    area = sc.cube.area("geo:ASIA", "calendar:1995", "measures:revenue")
+    df = area.rows_df()
+    return df.agg(
+        (F.sum("value") / 100).alias("area_sum"),
+        F.count(F.lit(1)).alias("area_cells"),
+    )
+
+
+def _q_cube_cell_batch(spark, sf_dir):
+    """Batched point reads (base + aggregated) in one Spark job."""
+    sc = _star(spark, sf_dir)
+    cube = sc.cube
+    cells = [
+        ("asia_1996_rev", ("ASIA", "1996", "All Brands", "revenue")),
+        ("europe_96q2_qty", ("EUROPE", "1996-Q2", "All Brands", "quantity")),
+        ("nation3_9503_rev", ("NATION_3", "1995-03", "All Brands", "revenue")),
+        ("all_time_net", ("All Geographies", "All Time", "All Brands", "net_price")),
+    ]
+    vals = cube.get_many([addr for _, addr in cells])
+    rows = []
+    for (label, addr), v in zip(cells, vals):
+        scale = 100.0 if ("rev" in label or "net" in label) else 1.0
+        rows.append((label, None if v is None else float(v) / scale))
+    return spark.createDataFrame(rows, "cell string, value double")
+
+
+def _q_cube_sql_dialect(spark, sf_dir):
+    """The reference's mini-SQL: SELECT dims/value FROM cube WHERE slicers."""
+    from tinyolap_spark.sqlq import Query
+
+    sc = _star(spark, sf_dir)
+    q = Query(
+        sc.db,
+        "SELECT geo, calendar, value FROM sales "
+        "WHERE geo=(ASIA, EUROPE), calendar=(1995, 1996), "
+        "brand=All Brands, measures=revenue",
+    ).execute()
+    df = q.to_df(spark)
+    return df.select(
+        F.col("geo").alias("region"),
+        F.col("calendar").alias("year"),
+        (F.col("value") / 100).alias("revenue"),
+    )
+
+
+def _q_view_region_measure(spark, sf_dir):
+    """View grid as a DataFrame: regions x {quantity, revenue-in-cents}."""
+    sc = _star(spark, sf_dir)
+    regions = [m.name for m in sc.geo.members_by_level(1)]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": regions,
+            "calendar": ["All Time"],
+            "brand": ["All Brands"],
+            "measures": ["quantity", "revenue"],
+        },
+        ["geo", "measures"],
+        ["region", "measure"],
+    )
+    return grid.select("region", "measure", F.col("value").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL passthrough (the relational superset surface)
+# ---------------------------------------------------------------------------
+
+
+def _q_sql_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    li = _raw(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 100).alias(
+                "sum_base_price"
+            ),
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                        * 100,
+                        0,
+                    )
+                )
+                / 100
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_sql_top_nations(spark, sf_dir):
+    li = _raw(spark, sf_dir, "lineitem")
+    orders = _raw(spark, sf_dir, "orders")
+    customer = _raw(spark, sf_dir, "customer")
+    nation = _raw(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                        * 100,
+                        0,
+                    )
+                )
+                / 100
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(10)
+    )
+
+
+def _q_sql_orders_by_priority(spark, sf_dir):
+    orders = _raw(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            (F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_sql_customer_top_order(spark, sf_dir):
+    """Window function: each small-key customer's #1 order by price."""
+    from pyspark.sql import Window
+
+    orders = _raw(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        orders.where(F.col("o_custkey") < 200)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.round(F.col("o_totalprice") * 100, 0) / 100).alias("top_price"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def _q_sql_part_type_stats(spark, sf_dir):
+    part = _raw(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            (F.sum(F.round(F.col("p_retailprice") * 100, 0)) / 100).alias(
+                "sum_retail"
+            ),
+        )
+        .orderBy("p_type")
+    )
+
+
+def _q_sql_ship_delay_histogram(spark, sf_dir):
+    li = _raw(spark, sf_dir, "lineitem")
+    orders = _raw(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("delay_days")
+        )
+        .groupBy("delay_days")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("delay_days")
+    )
+
+
+def _q_sql_mktsegment_acctbal(spark, sf_dir):
+    customer = _raw(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(F.round(F.col("c_acctbal") * 100, 0)) / 100).alias(
+                "sum_acctbal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def _q_docs_exact_dedup(spark, sf_dir):
+    """Exact dedup: content-hash groups with >1 copy."""
+    docs = _raw(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("copies"))
+        .where(F.col("copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def _q_docs_text_stats(spark, sf_dir):
+    """Text-quality stats per language: chars, tokens, docs."""
+    docs = _raw(spark, sf_dir, "documents")
+    toks = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(toks).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_docs_dedup_survivors(spark, sf_dir):
+    """Exact dedup keep-first: survivor count per source."""
+    from pyspark.sql import Window
+
+    docs = _raw(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unique_docs"))
+        .orderBy("source")
+    )
+
+
+def _q_emb_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (exact ANN baseline).
+
+    Dot/norm computed element-ordered in DOUBLE on both engines -> identical
+    floats -> stable ranking.
+    """
+    emb = _raw(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    dot = F.expr(
+        "aggregate(zip_with(embedding, {q}, (x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)".format(q=_array_sql(qvec))
+    )
+    norm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> cast(x as double) * x), "
+        "cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    qnorm = sum(x * x for x in qvec) ** 0.5
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            (dot / (norm * F.lit(qnorm))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select("vec_id", "label")
+    )
+
+
+def _array_sql(vals):
+    return "array({})".format(
+        ", ".join(f"cast({v!r} as double)" for v in vals)
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via window lag — the batch shape of
+    the streaming operator; sessions per event_type."""
+    from pyspark.sql import Window
+
+    ev = _raw(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ts_sec = F.expr("ts div 1000000000")  # exact integer seconds from ns
+    else:
+        ts_sec = F.col("ts").cast("long")
+    ev = ev.withColumn("ts_sec", ts_sec)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_sec") - F.lag(F.col("ts_sec")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("event_type")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cube_total_revenue": _q_cube_total_revenue,
+        "cube_region_year_revenue": _q_cube_region_year_revenue,
+        "cube_nation_revenue_1995": _q_cube_nation_revenue_1995,
+        "cube_weighted_net_price": _q_cube_weighted_net_price,
+        "cube_multiparent_overlap": _q_cube_multiparent_overlap,
+        "cube_quarter_quantity": _q_cube_quarter_quantity,
+        "cube_area_sum": _q_cube_area_sum,
+        "cube_cell_batch": _q_cube_cell_batch,
+        "cube_sql_dialect": _q_cube_sql_dialect,
+        "view_region_measure": _q_view_region_measure,
+        "sql_pricing_summary": _q_sql_pricing_summary,
+        "sql_top_nations": _q_sql_top_nations,
+        "sql_orders_by_priority": _q_sql_orders_by_priority,
+        "sql_customer_top_order": _q_sql_customer_top_order,
+        "sql_part_type_stats": _q_sql_part_type_stats,
+        "sql_ship_delay_histogram": _q_sql_ship_delay_histogram,
+        "sql_mktsegment_acctbal": _q_sql_mktsegment_acctbal,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_text_stats": _q_docs_text_stats,
+        "docs_dedup_survivors": _q_docs_dedup_survivors,
+        "emb_topk_cosine": _q_emb_topk_cosine,
+        "events_sessionize": _q_events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_REV_CENTS = "ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
+_EP_CENTS = "ROUND(l_extendedprice * 100, 0)"
+_DISC_CENTS = "ROUND(l_extendedprice * l_discount * 100, 0)"
+
+_GEO_JOIN = (
+    "lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cube_total_revenue": (
+            f"SELECT SUM({_REV_CENTS}) / 100 AS total_revenue FROM lineitem"
+        ),
+        "cube_region_year_revenue": (
+            f"SELECT r_name AS region, "
+            f"CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year, "
+            f"SUM({_REV_CENTS}) / 100 AS revenue "
+            f"FROM {_GEO_JOIN} GROUP BY 1, 2"
+        ),
+        "cube_nation_revenue_1995": (
+            f"SELECT n_name AS nation, SUM({_REV_CENTS}) / 100 AS revenue "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"JOIN nation ON c_nationkey = n_nationkey "
+            f"WHERE EXTRACT(year FROM o_orderdate) = 1995 "
+            f"GROUP BY 1"
+        ),
+        "cube_weighted_net_price": (
+            f"SELECT r_name AS region, "
+            f"(SUM({_EP_CENTS}) - SUM({_DISC_CENTS})) / 100 AS net_price "
+            f"FROM {_GEO_JOIN} GROUP BY 1"
+        ),
+        "cube_multiparent_overlap": (
+            f"SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year, "
+            f"SUM(l_quantity) AS sum_qty "
+            f"FROM {_GEO_JOIN} WHERE r_name IN ('AMERICA', 'ASIA') "
+            f"GROUP BY 1"
+        ),
+        "cube_quarter_quantity": (
+            "SELECT '1995-Q' || CAST(EXTRACT(quarter FROM o_orderdate) AS INT)"
+            " AS quarter, SUM(l_quantity) AS sum_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE EXTRACT(year FROM o_orderdate) = 1995 GROUP BY 1"
+        ),
+        "cube_area_sum": (
+            f"SELECT SUM(sub.rev) / 100 AS area_sum, COUNT(*) AS area_cells "
+            f"FROM (SELECT n_name, p_brand, "
+            f"STRFTIME(o_orderdate, '%Y-%m') AS month, SUM({_REV_CENTS}) AS rev "
+            f"FROM {_GEO_JOIN} JOIN part ON l_partkey = p_partkey "
+            f"WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1995 "
+            f"GROUP BY 1, 2, 3) sub"
+        ),
+        "cube_cell_batch": (
+            f"""
+            SELECT 'asia_1996_rev' AS cell, SUM({_REV_CENTS}) / 100 AS value
+              FROM {_GEO_JOIN}
+             WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1996
+            UNION ALL
+            SELECT 'europe_96q2_qty', SUM(l_quantity)
+              FROM {_GEO_JOIN}
+             WHERE r_name = 'EUROPE' AND EXTRACT(year FROM o_orderdate) = 1996
+               AND EXTRACT(quarter FROM o_orderdate) = 2
+            UNION ALL
+            SELECT 'nation3_9503_rev', SUM({_REV_CENTS}) / 100
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3'
+               AND STRFTIME(o_orderdate, '%Y-%m') = '1995-03'
+            UNION ALL
+            SELECT 'all_time_net',
+                   (SUM({_EP_CENTS}) - SUM({_DISC_CENTS})) / 100
+              FROM lineitem
+            """
+        ),
+        "cube_sql_dialect": (
+            f"SELECT r_name AS region, "
+            f"CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT) AS VARCHAR) AS year, "
+            f"SUM({_REV_CENTS}) / 100 AS revenue "
+            f"FROM {_GEO_JOIN} "
+            f"WHERE r_name IN ('ASIA', 'EUROPE') "
+            f"AND EXTRACT(year FROM o_orderdate) IN (1995, 1996) "
+            f"GROUP BY 1, 2"
+        ),
+        "view_region_measure": (
+            f"""
+            SELECT r_name AS region, 'quantity' AS measure,
+                   SUM(l_quantity) AS value
+              FROM {_GEO_JOIN} GROUP BY 1
+            UNION ALL
+            SELECT r_name, 'revenue', SUM({_REV_CENTS})
+              FROM {_GEO_JOIN} GROUP BY 1
+            """
+        ),
+        "sql_pricing_summary": (
+            f"SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+            f"SUM({_EP_CENTS}) / 100 AS sum_base_price, "
+            f"SUM({_REV_CENTS}) / 100 AS sum_disc_price, "
+            f"COUNT(*) AS count_order "
+            f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            f"GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "sql_top_nations": (
+            f"SELECT n_name, SUM({_REV_CENTS}) / 100 AS revenue "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"JOIN nation ON c_nationkey = n_nationkey "
+            f"GROUP BY 1 ORDER BY revenue DESC, n_name LIMIT 10"
+        ),
+        "sql_orders_by_priority": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count, "
+            "SUM(ROUND(o_totalprice * 100, 0)) / 100 AS total_price "
+            "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "sql_customer_top_order": (
+            "SELECT o_custkey, o_orderkey, "
+            "ROUND(o_totalprice * 100, 0) / 100 AS top_price FROM ("
+            "  SELECT *, ROW_NUMBER() OVER ("
+            "    PARTITION BY o_custkey "
+            "    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn "
+            "  FROM orders WHERE o_custkey < 200) t "
+            "WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        "sql_part_type_stats": (
+            "SELECT p_type, COUNT(*) AS n_parts, MIN(p_size) AS min_size, "
+            "MAX(p_size) AS max_size, "
+            "SUM(ROUND(p_retailprice * 100, 0)) / 100 AS sum_retail "
+            "FROM part GROUP BY 1 ORDER BY 1"
+        ),
+        "sql_ship_delay_histogram": (
+            "SELECT DATE_DIFF('day', CAST(o_orderdate AS DATE), "
+            "CAST(l_shipdate AS DATE)) AS delay_days, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "sql_mktsegment_acctbal": (
+            "SELECT c_mktsegment, COUNT(*) AS n_customers, "
+            "SUM(ROUND(c_acctbal * 100, 0)) / 100 AS sum_acctbal "
+            "FROM customer GROUP BY 1 ORDER BY 1"
+        ),
+        "docs_exact_dedup": (
+            "SELECT MD5(text) AS content_hash, COUNT(*) AS copies "
+            "FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"
+        ),
+        "docs_text_stats": (
+            r"SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars, "
+            r"SUM(LENGTH(REGEXP_EXTRACT_ALL(text, '\S+'))) AS total_tokens "
+            r"FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "docs_dedup_survivors": (
+            "SELECT source, COUNT(*) AS n_unique_docs FROM ("
+            "  SELECT *, ROW_NUMBER() OVER ("
+            "    PARTITION BY MD5(text) ORDER BY doc_id) AS rn "
+            "  FROM documents) t WHERE rn = 1 GROUP BY 1 ORDER BY 1"
+        ),
+        "emb_topk_cosine": (
+            """
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     list_dot_product(
+                        list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(q.qv, x -> CAST(x AS DOUBLE)))
+                     / (sqrt(list_dot_product(
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                        * sqrt(list_dot_product(
+                          list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+                          list_transform(q.qv, x -> CAST(x AS DOUBLE)))))
+                     AS cosine
+                FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, label FROM scored
+            ORDER BY cosine DESC, vec_id LIMIT 10
+            """
+        ),
+        "events_sessionize": (
+            "SELECT event_type, SUM(new_sess) AS n_sessions, "
+            "COUNT(*) AS n_events FROM ("
+            "  SELECT event_type, CASE WHEN prev_sec IS NULL OR "
+            "    ts_sec - prev_sec > 1800 "
+            "    THEN 1 ELSE 0 END AS new_sess FROM ("
+            "    SELECT event_type, epoch_ns(ts) // 1000000000 AS ts_sec, "
+            "      LAG(epoch_ns(ts) // 1000000000) OVER ("
+            "        PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec "
+            "    FROM events) a) b "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+    }

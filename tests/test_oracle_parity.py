@@ -1,0 +1,92 @@
+"""Local replica of the driver's t2 gate: run every ``queries()`` entry on
+Spark AND its ``oracle_sql()`` on DuckDB over the same parquet, compare
+row-count + column names + values (exact for ints/strings, bit-exact
+expected for doubles by construction — we allow 1e-9 rel as safety)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then rows; round floats defensively."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            if hasattr(v, "quantize"):  # Decimal
+                v = round(float(v), 6)
+            if isinstance(v, int):
+                v = float(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr), [colnames[i] for i in order]
+
+
+QUERIES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    oracles = entry_mod.oracle_sql()
+    sdf = q(spark, SF_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+    if name not in oracles:
+        assert len(spark_rows) >= 0  # rows-only check (driver's weak mode)
+        return
+    res = ddb.execute(oracles[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    s_rows, s_cols = normalize(spark_rows, spark_cols)
+    d_rows, d_cols = normalize(duck_rows, duck_cols)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    for a, b in zip(s_rows, d_rows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert x == pytest.approx(y, rel=1e-9, abs=1e-9), (
+                    f"{name}: {a} vs {b}"
+                )
+            else:
+                assert x == y, f"{name}: {a} vs {b}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert len(df.columns) >= 1

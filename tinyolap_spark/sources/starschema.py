@@ -1,0 +1,230 @@
+"""Map the TESTDATA TPC-H-ish star schema into a cube (FIXTURES.md §B).
+
+Dimensions (driver-side metadata, built by collecting only the TINY tables —
+``region`` (5 rows) and ``nation`` (25); everything fact-sized stays
+executor-side):
+
+- ``geo``      : All Geographies -> region -> nation (leaves = nations),
+                 plus the multi-parent test member ``AMERICA+ASIA``;
+- ``calendar`` : All Time -> year -> quarter -> month (leaves = months,
+                 derived from the fixed TPC-H date envelope 1992-1998);
+- ``brand``    : All Brands -> brand (leaves = 25 p_brand values);
+- ``measures`` : quantity, extendedprice, discount_amt, revenue as leaves;
+                 ``net_price`` = extendedprice - discount_amt (weighted
+                 rollup, weights +1/-1 — exercises A2/A7 of SURVEY §2).
+
+Fact build is a pure DataFrame pipeline (scales to 100 TB):
+
+    lineitem ⋈ orders (o_orderdate)  — shuffle join on orderkey
+             ⋈ broadcast(customer-slim ⋈ nation)  — customer is the big dim
+             ⋈ broadcast(part-slim)
+             |> unpivot measures (stack)
+             |> map names -> member ids via broadcast dicts
+
+At sf0.1 customer/part easily broadcast; at 100 TB they become shuffle
+joins automatically when they exceed the broadcast threshold — the plan is
+declarative, AQE decides.  Measure unpivot multiplies rows x4; at scale
+prefer keeping measures as COLUMNS (the engine supports per-column
+aggregation too) — the unpivoted layout is the cube-model parity shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..database import Database
+from ..metadata import Dimension
+
+def date_years(orders: DataFrame) -> list[int]:
+    """Min/max order year from the data — one column-pruned aggregate."""
+    row = orders.select(
+        F.min(F.year("o_orderdate")).alias("lo"),
+        F.max(F.year("o_orderdate")).alias("hi"),
+    ).collect()[0]
+    return list(range(int(row["lo"]), int(row["hi"]) + 1))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for n in names:
+        try:
+            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        except Exception:
+            pass
+    return out
+
+
+def build_geo_dimension(db: Database, region: DataFrame, nation: DataFrame) -> Dimension:
+    rn = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select("r_name", "n_name")
+        .collect()
+    )
+    geo = db.add_dimension("geo").edit()
+    by_region: dict[str, list[str]] = {}
+    for row in rn:
+        by_region.setdefault(row["r_name"], []).append(row["n_name"])
+    regions = sorted(by_region)
+    geo.add_many("All Geographies", regions)
+    for r in regions:
+        geo.add_many(r, sorted(by_region[r]))
+    # multi-parent member for overlap semantics tests
+    geo.add_many("AMERICA+ASIA", ["AMERICA", "ASIA"])
+    geo.commit()
+    return geo
+
+
+def build_calendar_dimension(db: Database, years) -> Dimension:
+    cal = db.add_dimension("calendar").edit()
+    cal.add_many("All Time", [str(y) for y in years])
+    for y in years:
+        cal.add_many(str(y), [f"{y}-Q{q}" for q in (1, 2, 3, 4)])
+        for q in (1, 2, 3, 4):
+            months = [f"{y}-{m:02d}" for m in range(3 * q - 2, 3 * q + 1)]
+            cal.add_many(f"{y}-Q{q}", months)
+    cal.commit()
+    return cal
+
+
+def build_brand_dimension(db: Database, part: DataFrame) -> Dimension:
+    brands = sorted(
+        r["p_brand"] for r in part.select("p_brand").distinct().collect()
+    )
+    brand = db.add_dimension("brand").edit()
+    brand.add_many("All Brands", brands)
+    brand.commit()
+    return brand
+
+
+def build_measures_dimension(db: Database) -> Dimension:
+    m = db.add_dimension("measures").edit()
+    m.add_many("quantity")
+    m.add_many("extendedprice")
+    m.add_many("discount_amt")
+    m.add_many("revenue")
+    m.add_many("net_price", ["extendedprice", "discount_amt"], [1.0, -1.0])
+    m.commit()
+    return m
+
+
+def fact_frame(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    geo: Dimension,
+    cal: Dimension,
+    brand: Dimension,
+    measures: Dimension,
+) -> DataFrame:
+    """lineitem -> (geo INT, calendar INT, brand INT, measures INT, value).
+
+    Decimal-exact measure arithmetic so results are bit-reproducible across
+    engines (used by the DuckDB differential oracle).
+    """
+    li, orders = tables["lineitem"], tables["orders"]
+    customer, nation, part = tables["customer"], tables["nation"], tables["part"]
+
+    cust_nation = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer["c_nationkey"] == nation["n_nationkey"],
+    ).select("c_custkey", "n_name")
+
+    # Money measures load as integral "cents" doubles: every aggregation is
+    # then exact integer arithmetic (< 2^53), so results are bit-identical
+    # across engines and partition orders — the property the DuckDB
+    # differential oracle hash-match depends on.
+    df = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_quantity").alias("m_quantity"),
+            F.round(F.col("l_extendedprice") * 100, 0).alias("m_extendedprice"),
+            F.round(
+                F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+            ).alias("m_discount_amt"),
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100,
+                0,
+            ).alias("m_revenue"),
+        )
+        .join(
+            orders.select(
+                "o_orderkey",
+                "o_custkey",
+                F.date_format("o_orderdate", "yyyy-MM").alias("month_name"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+
+    # name -> member id maps, broadcast via small literal DataFrames
+    def id_map_df(dim: Dimension, colname: str) -> DataFrame:
+        rows = [(m.name, m.index) for m in dim.leaf_members]
+        return spark.createDataFrame(rows, schema=f"{colname} string, {colname}_id int")
+
+    geo_map = id_map_df(geo, "n_name")
+    cal_map = id_map_df(cal, "month_name")
+    brand_map = id_map_df(brand, "p_brand")
+
+    df = (
+        df.join(F.broadcast(geo_map), on="n_name")
+        .join(F.broadcast(cal_map), on="month_name")
+        .join(F.broadcast(brand_map), on="p_brand")
+    )
+
+    mnames = ["quantity", "extendedprice", "discount_amt", "revenue"]
+    stack_expr = "stack({}, {}) as (measures, value)".format(
+        len(mnames),
+        ", ".join(
+            f"{measures.member(m).index}, cast(m_{m} as double)" for m in mnames
+        ),
+    )
+    fact = df.select(
+        F.col("n_name_id").alias("geo"),
+        F.col("month_name_id").alias("calendar"),
+        F.col("p_brand_id").alias("brand"),
+        F.expr(stack_expr),
+    ).withColumn("value_str", F.lit(None).cast("string"))
+    return fact
+
+
+class StarCube:
+    """A cube over the TESTDATA star schema + handles to the raw tables."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, measures_subset=None):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.tables = load_tables(spark, sf_dir)
+        self.db = Database("star", spark=spark)
+        self.geo = build_geo_dimension(self.db, self.tables["region"], self.tables["nation"])
+        self.years = date_years(self.tables["orders"])
+        self.cal = build_calendar_dimension(self.db, self.years)
+        self.brand = build_brand_dimension(self.db, self.tables["part"])
+        self.measures = build_measures_dimension(self.db)
+        self.cube = self.db.add_cube(
+            "sales", [self.geo, self.cal, self.brand, self.measures]
+        )
+        fact = fact_frame(
+            spark, self.tables, self.geo, self.cal, self.brand, self.measures
+        )
+        if measures_subset:
+            ids = [self.measures.member(m).index for m in measures_subset]
+            fact = fact.where(F.col("measures").isin(ids))
+        # additive load: multiple lineitems can share (nation, month, brand)
+        self.cube.load_dataframe(fact, additive=True)
+
+    def member_names_df(self, dim: Dimension, alias: str) -> DataFrame:
+        from .. import engine
+
+        return engine.members_df(self.spark, dim).select(
+            F.col("member_id").alias(f"{alias}_id"), F.col("name").alias(alias)
+        )
