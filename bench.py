@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""BENCH harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Mirrors the reference's `huge` benchmark shape (samples/huge.py:134-212:
+bulk load, random base reads, aggregated reads, top-cell reads, one view
+refresh) re-expressed batch-first, plus the pipeline operators.  Prints ONE
+JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tinyolap-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 4)
+        return out
+
+    # ---- cube build + bulk load (fact materialization forced by count) ----
+    def build():
+        sc = entry_mod._star(spark, sf_dir)
+        return sc, sc.cube.fact.count()
+
+    sc, n_cells = timed("cube_bulk_load", build)
+    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    extra["lineitem_rows"] = li_rows
+    extra["fact_cells"] = n_cells
+    extra["load_records_per_sec"] = round(li_rows / timings["cube_bulk_load"], 1)
+
+    cube = sc.cube
+
+    # ---- random base-cell reads, batched (one Spark job) ------------------
+    rng = random.Random(42)
+    nations = [m.name for m in sc.geo.leaf_members]
+    months = [m.name for m in sc.cal.members_by_level(0)]
+    brands = [m.name for m in sc.brand.leaf_members]
+    measures = ["quantity", "extendedprice", "discount_amt", "revenue"]
+    base_addrs = [
+        (
+            rng.choice(nations),
+            rng.choice(months),
+            rng.choice(brands),
+            rng.choice(measures),
+        )
+        for _ in range(1000)
+    ]
+
+    def base_reads():
+        cube._cache.clear()
+        return cube.get_many(base_addrs)
+
+    vals = timed("point_reads_1000_batched", base_reads)
+    extra["point_reads_per_sec"] = round(
+        1000 / timings["point_reads_1000_batched"], 1
+    )
+    extra["point_reads_nonempty"] = sum(1 for v in vals if v is not None)
+
+    # ---- aggregated reads: every (region x year x measure) top cell -------
+    regions = [m.name for m in sc.geo.members_by_level(1)] + ["All Geographies"]
+    years = [str(y) for y in sc.years] + ["All Time"]
+    agg_addrs = [
+        (r, y, "All Brands", m)
+        for r in regions
+        for y in years
+        for m in measures + ["net_price"]
+    ]
+
+    def agg_reads():
+        cube._cache.clear()
+        return cube.get_many(agg_addrs)
+
+    timed(f"agg_reads_{len(agg_addrs)}_batched", agg_reads)
+    extra["agg_reads_per_sec"] = round(
+        len(agg_addrs) / timings[f"agg_reads_{len(agg_addrs)}_batched"], 1
+    )
+
+    # ---- one full view-grid refresh ---------------------------------------
+    from tinyolap_spark import View
+
+    def view_refresh():
+        v = View(
+            cube,
+            filters=[("brand", "All Brands")],
+            rows=[("geo", [m.name for m in sc.geo.members])],
+            columns=[("calendar", years), ("measures", ["quantity", "revenue"])],
+        )
+        return v.refresh()
+
+    v = timed("view_refresh", view_refresh)
+    extra["view_cells"] = v.stats["cells"]
+
+    # ---- driver-contract queries over raw tables --------------------------
+    q = entry_mod.queries()
+    for name in [
+        "sql_pricing_summary",
+        "sql_top_nations",
+        "docs_exact_dedup",
+        "docs_text_stats",
+        "emb_topk_cosine",
+        "events_sessionize",
+    ]:
+        timed(name, lambda n=name: q[n](spark, sf_dir).collect())
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
