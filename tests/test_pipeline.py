@@ -1,0 +1,266 @@
+"""Pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Corpus with synthesized exact duplicates (the fixture parquet has
+    none): 20 docs re-appear under doc_id + 100000."""
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    dups = (
+        base.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return base.unionByName(dups).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates_and_dedup(docs):
+    from tinyolap_spark.pipeline import dedup
+
+    groups = dedup.exact_duplicates(docs).collect()
+    n_docs = docs.count()
+    n_unique = docs.select("text").distinct().count()
+    assert sum(g["copies"] - 1 for g in groups) == n_docs - n_unique
+    survivors = dedup.exact_dedup(docs)
+    assert survivors.count() == n_unique
+    # survivor is the min doc_id of each group
+    for g in groups[:5]:
+        kept = survivors.join(
+            docs.where(F.md5("text") == g["content_hash"]).select("doc_id"),
+            on="doc_id",
+        ).collect()
+        assert len(kept) == 1 and kept[0]["doc_id"] == min(g["doc_ids"])
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    """Exact duplicates have identical signatures -> must appear as
+    candidate pairs with all bands shared."""
+    from tinyolap_spark.pipeline import dedup
+
+    pairs = dedup.minhash_lsh_candidates(docs, bands=8, num_hashes=32)
+    dup_groups = dedup.exact_duplicates(docs).collect()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in pairs.collect()
+    }
+    checked = 0
+    for g in dup_groups:
+        ids = sorted(g["doc_ids"])
+        for i in range(len(ids) - 1):
+            a, b = ids[i], ids[i + 1]
+            assert (a, b) in got, f"exact dup pair {a},{b} missed by LSH"
+            assert got[(a, b)] == 8
+            checked += 1
+    assert checked > 0, "fixture has no exact dups to verify against"
+
+
+def test_ngram_jaccard_verification(docs):
+    from tinyolap_spark.pipeline import dedup
+
+    nd = dedup.near_duplicates(
+        docs, threshold=0.99, bands=8, num_hashes=32
+    ).collect()
+    # every >=0.99-jaccard pair of 5-gram sets with identical text must be 1.0
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in nd:
+        if texts[r["doc_a"]] == texts[r["doc_b"]]:
+            assert r["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_near_pairs(docs):
+    from tinyolap_spark.pipeline import dedup
+
+    sim = dedup.simhash(docs)
+    assert sim.count() == docs.count()
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=0).collect()
+    # identical text => identical simhash => hamming 0 pairs exist
+    dup_groups = dedup.exact_duplicates(docs).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    found = 0
+    for g in dup_groups:
+        ids = sorted(g["doc_ids"])
+        if (ids[0], ids[1]) in got:
+            found += 1
+    assert found > 0
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+
+    rows = emb.collect()
+    X = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    q = X[0]
+    sims = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in X.items()
+        if vid != 0
+    }
+    want = [
+        vid for vid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    ]
+    got = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(
+            emb.where(F.col("vec_id") != 0), list(q), k=5
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_pandas_topk_agrees_with_sql_topk(emb):
+    from tinyolap_spark.pipeline import similarity
+
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    sub = emb.where(F.col("vec_id") != 0)
+    a = [r["vec_id"] for r in similarity.brute_force_topk(sub, q, k=10).collect()]
+    b = [r["vec_id"] for r in similarity.cosine_topk_pandas(sub, q, k=10).collect()]
+    assert a == b
+
+
+def test_ivf_recall(emb):
+    from tinyolap_spark.pipeline import similarity
+
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    sub = emb.where(F.col("vec_id") != 0)
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(sub, q, k=10).collect()
+    }
+    idx = similarity.IVFIndex(sub, ncells=8, sample=512, iters=3)
+    approx = {r["vec_id"] for r in idx.search(q, k=10, nprobe=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    idx.assigned.unpersist()
+
+
+def test_lsh_bucket_topk_runs(emb):
+    from tinyolap_spark.pipeline import similarity
+
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    got = similarity.lsh_bucket_topk(
+        emb.where(F.col("vec_id") != 0), q, k=5, nplanes=8, max_flip=1
+    ).collect()
+    assert 0 < len(got) <= 5
+
+
+# -------------------------------------------------------------------- text
+
+
+def test_text_profile(docs):
+    from tinyolap_spark.pipeline import text
+
+    prof = text.profile(docs.limit(50))
+    rows = prof.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_chars"] == len(r["text"])
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["detected_lang"] in {"en", "de", "fr", "es", "it", "unknown"}
+        toks = len(r["text"].split())
+        assert r["n_tokens"] == toks
+
+
+def test_token_counts(spark):
+    from tinyolap_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [("hello world  twice ",), ("",), ("one,two 3.14!",)], ["text"]
+    )
+    got = df.select(
+        text.token_count("text").alias("ws"),
+        text.bpe_ish_token_count("text").alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in got] == [3, 0, 2]
+    # 'one' ',' 'two' '3' '.' '14' '!' = 7
+    assert got[2]["bpe"] == 7
+
+
+def test_fingerprint_stability(spark):
+    from tinyolap_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different document body here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = df.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    fps = {r["doc_id"]: r["fp"] for r in rows}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_detect_language_markers(spark):
+    from tinyolap_spark.pipeline import text
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog walked to the park",),
+            ("der Hund und die Katze sind nicht da",),
+            ("le chat est dans la maison et le jardin",),
+            ("zzzz qqqq xxxx",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(text.detect_language("text")).collect()]
+    assert got == ["en", "de", "fr", "unknown"]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features(spark):
+    from tinyolap_spark.pipeline import multimodal
+
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 32
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+        assert r["n_bytes"] > 0
+    # determinism
+    again = multimodal.extract_features(media).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+
+def test_multimodal_strict_decoder_raises(spark):
+    from tinyolap_spark.pipeline import multimodal
+
+    media = multimodal.synthetic_media(spark, n=4)
+    strict = multimodal.DecoderStub(strict=True)
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decoder=strict).collect()
+
+
+def test_multimodal_resize_and_frames(spark):
+    from tinyolap_spark.pipeline import multimodal
+
+    media = multimodal.synthetic_media(spark, n=8, kind="video")
+    resized = multimodal.resize_stub(media, 32, 24).collect()
+    assert all(r["width"] == 32 and r["height"] == 24 for r in resized)
+    frames = multimodal.sample_frames(media, every_ms=250)
+    rows = frames.collect()
+    assert len(rows) == sum((1000 + i + 249) // 250 for i in range(8))
+    assert set(frames.columns) == {"media_id", "frame_ms", "frame"}

@@ -1,0 +1,9 @@
+"""Large-scale training-data pipeline operators (beyond reference parity).
+
+Every operator here is designed for the 100 TB case: shuffle-minimal
+DataFrame compositions of built-in functions where possible, Arrow-batched
+pandas UDFs where Python is unavoidable, and documented partitioning
+strategies.  See each module's docstring for the scale analysis.
+"""
+
+from . import dedup, similarity, text, multimodal  # noqa: F401

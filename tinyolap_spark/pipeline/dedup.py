@@ -1,0 +1,301 @@
+"""Deduplication operators over a document corpus.
+
+Scale design (100 TB of documents):
+
+- **exact**: one hash-shuffle on a 16-byte digest — the minimal possible
+  shuffle; survivors picked per group with ``row_number`` (or ``min``),
+  which is map-side combinable.
+- **MinHash + LSH**: per-doc signature computation is embarrassingly
+  parallel (no shuffle); candidate generation shuffles only (band_key,
+  doc_id) pairs — band keys are ~32 bytes/doc/band, i.e. a tiny fraction of
+  corpus bytes.  The quadratic step is confined to LSH buckets; skewed
+  buckets (boilerplate docs) are capped with a per-bucket limit.
+- **SimHash**: 64-bit fingerprint per doc, near-dup = Hamming distance <= k;
+  banding over 4x16-bit chunks gives the same bucket-join shape.
+- **n-gram Jaccard**: exact verification joined AFTER LSH candidate
+  pruning, never all-pairs.
+
+All hashing uses Spark's built-in ``xxhash64``/``hash`` (JVM-side,
+whole-stage-codegen) — no Python in the per-token hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, copies, doc_ids)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("copies") > 1)
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document of each identical-content group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _normalized(text_col: str) -> Column:
+    return F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+
+
+def shingles(text_col: str = "text", n: int = 5) -> Column:
+    """Word n-gram shingle array (distinct), built from JVM functions only."""
+    toks = F.split(F.trim(_normalized(text_col)), " ")
+    # sliding word n-grams via transform over index range
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def _seeded_hash(seed: int):
+    # NB: must be a closure factory — a `lambda s, i=i:` default arg would
+    # make Spark treat the lambda as 2-ary and bind the ARRAY INDEX to i.
+    return lambda s: F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 64
+) -> Column:
+    """MinHash signature: per seed h, min(xxhash64(shingle, seed)).
+
+    array<bigint> of length ``num_hashes``; all JVM-side.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _seeded_hash(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Returns (doc_a, doc_b, n_shared_bands).  ``max_bucket`` caps quadratic
+    blowup in degenerate buckets (boilerplate); capped buckets are dropped —
+    log the drop count at call site if completeness matters.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
+    with_sig = docs.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    # band key = hash of the band's signature slice
+    banded = with_sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "sig", b * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # cap skewed buckets
+    bucket_sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    banded = banded.join(
+        bucket_sizes.where(F.col("sz") <= max_bucket).select("band", "bucket"),
+        on=["band", "bucket"],
+        how="leftsemi",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs.
+
+    Joins shingle sets onto (doc_a, doc_b) and computes
+    |A ∩ B| / |A ∪ B| with array intrinsics — only over the pruned
+    candidate set, never all pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(
+            sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+            on="doc_a",
+        )
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+            on="doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """MinHash-LSH candidates -> exact Jaccard verification."""
+    cands = minhash_lsh_candidates(docs, text_col, id_col, **lsh_kwargs)
+    return ngram_jaccard_pairs(
+        docs, cands, text_col, id_col,
+        shingle_n=lsh_kwargs.get("shingle_n", 5), threshold=threshold,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document from word-token hashes.
+
+    For each bit b: sign of sum over tokens of (bit b of xxhash64(token)
+    ? +1 : -1).  Pure JVM expression pipeline (transform + aggregate),
+    no shuffle, no Python.
+    """
+    toks = F.split(F.trim(_normalized(text_col)), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_merge(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for b in range(bits):
+        # sum of +-1 per token for this bit
+        s = F.aggregate(th, F.lit(0), bit_merge(b))
+        bit_cols.append(
+            F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.shiftleft(F.lit(1).cast("long"), b)
+        )
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp + c
+    return docs.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 4x16-bit SimHash bands.
+
+    Docs within distance k <= 3 share at least one of 4 exact 16-bit chunks
+    (pigeonhole), so candidate generation is 4 equality bucket-joins.
+    """
+    chunks = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(
+            f"c{i}"
+        )
+        for i in range(4)
+    ]
+    with_chunks = sim.select(F.col(id_col).alias("doc"), F.col("simhash"), *chunks)
+    pieces = []
+    for i in range(4):
+        a = with_chunks.alias("a")
+        b = with_chunks.alias("b")
+        pieces.append(
+            a.join(
+                b,
+                (F.col(f"a.c{i}") == F.col(f"b.c{i}"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            ).select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.col("a.simhash").alias("h_a"),
+                F.col("b.simhash").alias("h_b"),
+            )
+        )
+    cands = pieces[0]
+    for p in pieces[1:]:
+        cands = cands.unionByName(p)
+    cands = cands.dropDuplicates(["doc_a", "doc_b"])
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

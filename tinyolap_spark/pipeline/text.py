@@ -1,0 +1,129 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All hot paths are built-in ``pyspark.sql.functions`` (JVM, codegen) —
+regexes compile once per task, no Python per row.  Each operator returns a
+column or a DataFrame transformation suitable for a 100 TB corpus scan
+(narrow, no shuffle unless aggregating).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (heuristic language ID)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "como"],
+    "it": ["il", "la", "che", "di", "non", "una", "per", "sono"],
+}
+
+
+def _marker_hits(text_col: str, words: list[str]) -> Column:
+    """Count of marker-word occurrences (word-bounded, case-insensitive)."""
+    pattern = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0))
+
+
+def language_scores(text_col: str = "text") -> list[Column]:
+    return [
+        _marker_hits(text_col, ws).alias(f"score_{lang}")
+        for lang, ws in _LANG_MARKERS.items()
+    ]
+
+
+def detect_language(text_col: str = "text") -> Column:
+    """argmax over marker-hit scores; ties and zero-hit -> 'unknown'.
+
+    Deterministic: languages compared in fixed dict order, strict-greater
+    wins, so the first language of a tie is selected.
+    """
+    scores = [
+        (lang, _marker_hits(text_col, ws)) for lang, ws in _LANG_MARKERS.items()
+    ]
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang, s in scores:
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (non-space runs)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """BPE-ish token estimate: words + punctuation + number runs, the shape
+    of a GPT-2-style pre-tokenizer."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+        )
+    )
+
+
+def quality_features(text_col: str = "text") -> dict[str, Column]:
+    """Length / punctuation / stopword / digit ratios — the standard
+    quality-filter feature set."""
+    n_chars = F.length(text_col)
+    toks = token_count(text_col)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_toks = F.greatest(toks, F.lit(1))
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[.,;:!?'\"()-]"), 0)
+    )
+    n_digit = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[0-9]"), 0))
+    n_upper = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Z]"), 0))
+    n_stop = _marker_hits(text_col, _LANG_MARKERS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "avg_token_len": (n_chars - toks + 1) / safe_toks,
+        "punct_ratio": n_punct / safe_chars,
+        "digit_ratio": n_digit / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "stopword_ratio": n_stop / safe_toks,
+    }
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """[0, 1] heuristic quality score: long-enough, punctuated, lowercase-ish,
+    stopword-bearing text scores high."""
+    f = quality_features(text_col)
+    length_ok = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
+    punct_ok = F.when(f["punct_ratio"].between(0.005, 0.2), 1.0).otherwise(0.3)
+    digit_ok = F.when(f["digit_ratio"] < 0.3, 1.0).otherwise(0.2)
+    return (length_ok * 0.4 + stop_ok * 0.3 + punct_ok * 0.2 + digit_ok * 0.1)
+
+
+def fingerprint(text_col: str = "text", ngram: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min of character-ngram hashes
+    (a 1-hash MinHash — stable under small edits away from the minimum)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(norm) - ngram + 1, F.lit(1))
+        ),
+        lambda i: norm.substr(i, F.lit(ngram)),
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach language, quality and token features to a corpus."""
+    cols = quality_features(text_col)
+    out = docs
+    for name, c in cols.items():
+        out = out.withColumn(name, c)
+    return (
+        out.withColumn("detected_lang", detect_language(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
