@@ -1,0 +1,121 @@
+"""Structured-Streaming extension tests (events fixture)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Re-emit the events fixture as a directory of parquet files with
+    microsecond timestamps (streaming source needs a standard schema)."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn(
+        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_rollup_stream(spark, event_files, tmp_path):
+    from tinyolap_spark.streaming import ingest
+
+    stream = ingest.events_stream(spark, event_files, max_files_per_trigger=10)
+    assert stream.isStreaming
+    agg = ingest.windowed_rollup_stream(stream, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_rollup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, sum(n_events) AS n FROM win_rollup GROUP BY 1"
+    ).collect()
+    want = (
+        spark.read.parquet(event_files)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert {(r["event_type"], r["n"]) for r in got} == {
+        (r["event_type"], r["n"]) for r in want
+    }
+
+
+def test_stream_fact_ingestion_into_cube(spark, event_files, tmp_path):
+    """Events stream continuously into a cube; final rollup equals batch."""
+    from tinyolap_spark import Database
+    from tinyolap_spark.streaming import ingest
+
+    db = Database("stream_db", spark=spark)
+    etypes = [
+        r["event_type"]
+        for r in spark.read.parquet(event_files)
+        .select("event_type").distinct().orderBy("event_type").collect()
+    ]
+    d_type = db.add_dimension("etype").edit()
+    d_type.add_many("All Types", etypes)
+    d_type.commit()
+    d_bucket = db.add_dimension("bucket").edit()
+    d_bucket.add_many("All Users", [f"u{b}" for b in range(4)])
+    d_bucket.commit()
+    cube = db.add_cube("events_cube", [d_type, d_bucket])
+
+    type_ids = {m.name: m.index for m in d_type.leaf_members}
+    bucket_ids = {m.name: m.index for m in d_bucket.leaf_members}
+
+    def mapper(batch_df):
+        tmap = F.create_map(
+            *[x for k, v in type_ids.items() for x in (F.lit(k), F.lit(v))]
+        )
+        bmap = F.create_map(
+            *[x for k, v in bucket_ids.items() for x in (F.lit(k), F.lit(v))]
+        )
+        return batch_df.select(
+            tmap[F.col("event_type")].alias("etype"),
+            bmap[F.concat(F.lit("u"), F.col("user_id") % 4)].alias("bucket"),
+            F.col("value").alias("value"),
+        )
+
+    stream = ingest.events_stream(spark, event_files, max_files_per_trigger=1)
+    q = ingest.stream_fact_writes(stream, cube, mapper, str(tmp_path / "ck2"))
+    q.awaitTermination(180)
+
+    got = cube["All Types", "All Users"]
+    want = spark.read.parquet(event_files).agg(F.sum("value")).collect()[0][0]
+    assert got == pytest.approx(want)
+    # per-type cell matches too
+    t0 = etypes[0]
+    want0 = (
+        spark.read.parquet(event_files)
+        .where(F.col("event_type") == t0)
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert cube[t0, "All Users"] == pytest.approx(want0)
+
+
+def test_sessionize_stream(spark, event_files, tmp_path):
+    from tinyolap_spark.streaming import ingest
+
+    stream = ingest.events_stream(spark, event_files, max_files_per_trigger=20)
+    sess = ingest.sessionize_stream(stream, gap="30 minutes")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT count(*) AS n, sum(n_events) AS e FROM sessions").collect()
+    assert rows[0]["n"] > 0
+    assert rows[0]["e"] == spark.read.parquet(event_files).count()

@@ -435,6 +435,19 @@ class Cube:
         base = self._fact
         if base.isEmpty():
             self._replace_fact(df)
+        elif additive:
+            # additive merge ACCUMULATES into existing cells (streaming
+            # micro-batch ingestion); value_str survives via max (additive
+            # loads never carry strings)
+            merged = (
+                base.unionByName(df)
+                .groupBy(*self._cols)
+                .agg(
+                    F.sum("value").alias("value"),
+                    F.max("value_str").alias("value_str"),
+                )
+            )
+            self._replace_fact(merged)
         else:
             keep = base.join(df.select(*self._cols), on=self._cols, how="left_anti")
             self._replace_fact(keep.unionByName(df))

@@ -1,0 +1,127 @@
+"""Structured-Streaming extensions (beyond reference parity — the reference
+is strictly batch, SURVEY.md §2.9).
+
+Three building blocks, all testable with the ``events`` fixture:
+
+- :func:`stream_fact_writes` — continuous fact ingestion into a cube:
+  ``readStream`` -> map event rows to cube addresses -> ``foreachBatch``
+  merge into the fact DataFrame + cell-cache invalidation per batch (the
+  streaming analogue of the reference's write-path, ``cube.py:508-540``).
+- :func:`windowed_rollup_stream` — watermarked tumbling-window aggregation
+  (late data handled by the watermark, not by reprocessing).
+- :func:`sessionize_stream` — session windows via ``session_window`` (gap
+  close), the streaming twin of the batch sessionize query.
+
+Scale notes: state store size is bounded by (watermark horizon x key
+cardinality); keys here are (user_id) or (event_type) — low cardinality —
+so a 100 TB/day stream shards cleanly by key across executors.  Use
+``foreachBatch`` + idempotent MERGE for exactly-once sinks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cube import Cube
+
+
+def events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: Optional[str] = None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over parquet event files (the test harness path;
+    production would be Kafka — same downstream code)."""
+    schema = schema or (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def stream_fact_writes(
+    stream: DataFrame,
+    cube: Cube,
+    address_mapper: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+    query_name: str = "cube_ingest",
+):
+    """Continuous cube ingestion.
+
+    ``address_mapper`` turns a micro-batch of events into fact rows
+    (cube dim-id columns + ``value``).  Each batch merges additively into
+    the cube fact and invalidates the cell cache — streaming writes behave
+    exactly like reference cell writes (aggregate caches flushed on write,
+    ``cube.py:510-511``).
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fact_rows = address_mapper(batch_df)
+        if fact_rows.isEmpty():
+            return
+        cube.load_dataframe(fact_rows, additive=True)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_rollup_stream(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window sum per event_type."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col("event_type"))
+        .agg(
+            F.sum("value").alias("value_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "value_sum",
+            "n_events",
+        )
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows per user (gap-close semantics) — streaming twin of
+    the batch lag-based sessionization."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )
