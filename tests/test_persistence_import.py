@@ -1,0 +1,131 @@
+"""Persistence round-trip (Parquet + JSON metadata), CSV/tutor import,
+dimension edit lifecycle with fact cleanup."""
+
+import os
+
+import pytest
+
+from tinyolap_spark import Database
+
+
+def test_database_save_open_roundtrip(spark, tmp_path):
+    from conftest import build_tiny
+
+    db, cube, rows = build_tiny(spark, seed=21)
+    path = str(tmp_path / "tinydb")
+    want_cell = cube["2021", "Q1", "Total", "Total", "Profit"]
+    want_count = cube.cells_count
+    db.save(path)
+
+    db2 = Database.open(path, spark=spark)
+    cube2 = db2.cube("sales")
+    assert cube2.cells_count == want_count
+    assert cube2["2021", "Q1", "Total", "Total", "Profit"] == pytest.approx(
+        want_cell
+    )
+    # hierarchy survived: weighted member + multi-parent + subset + attribute
+    measures = db2.dimension("measures")
+    assert measures.member("Profit").level == 1
+    assert db2.dimension("products").member("sports").parents[0].name in (
+        "cars", "best sellers",
+    )
+    assert [m.name for m in db2.dimension("months").subset("summer").members] == [
+        "Jun", "Jul", "Aug", "Sep",
+    ]
+    assert db2.dimension("regions").get_attribute("manager", "North") == "Peter Parker"
+    # formats survived
+    assert measures.member("Profit").format == "{:+,.0f}"
+
+
+def test_export_clone(spark, tmp_path):
+    from conftest import build_tiny
+
+    db, cube, rows = build_tiny(spark, seed=22)
+    p1 = str(tmp_path / "exported")
+    db.export(p1)
+    db3 = Database.open(p1, spark=spark)
+    assert db3.cube("sales").cells_count == cube.cells_count
+
+
+def test_tutor_level_file_import(spark, tmp_path):
+    """FIXTURES A5: unbalanced hierarchy from C/N marker rows incl.
+    non-ASCII member names."""
+    from tinyolap_spark.sources.csvimport import (
+        dimension_from_level_file,
+        facts_from_csv,
+    )
+
+    lines = [
+        ("C", "Deutschland"),
+        ("N", "Bayern"),
+        ("N", "Baden-Württemberg"),
+        ("C", "Österreich"),
+        ("N", "Wien"),
+        ("N", "Kärnten"),
+    ]
+    regionen = dimension_from_level_file("regionen", lines)
+    assert regionen.member("Deutschland").level == 1
+    assert [m.name for m in regionen.member("Österreich").children] == [
+        "Wien", "Kärnten",
+    ]
+
+    jahre = regionen.__class__("jahre")
+    jahre.edit()
+    jahre.add_many("Alle Jahre", ["2022", "2023"])
+    jahre.commit()
+
+    db = Database("tutor", spark=spark)
+    db.dimensions["regionen"] = regionen
+    db.dimensions["jahre"] = jahre
+    cube = db.add_cube("umsatz", [regionen, jahre])
+
+    csv_path = str(tmp_path / "facts.csv")
+    with open(csv_path, "w", encoding="utf-8") as f:
+        f.write("region,jahr,betrag\n")
+        f.write("Bayern,2022,100.5\n")
+        f.write("Wien,2022,50.25\n")
+        f.write("Kärnten,2023,10.0\n")
+        f.write("Baden-Württemberg,2023,39.75\n")
+    facts_from_csv(
+        spark, cube, csv_path,
+        dim_columns={"region": "regionen", "jahr": "jahre"},
+        value_column="betrag",
+    )
+    assert cube["Deutschland", "Alle Jahre"] == pytest.approx(140.25)
+    assert cube["Österreich", "2022"] == pytest.approx(50.25)
+    assert cube["Österreich", "Alle Jahre"] == pytest.approx(60.25)
+
+
+def test_dimension_edit_purges_orphan_facts(spark):
+    """Reference database.py:634-645: committing a dimension edit that
+    removes members must purge orphaned fact rows."""
+    db = Database("edit_db", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("Total", ["A", "B", "C"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    cube.write_rows([("A", 1.0), ("B", 2.0), ("C", 4.0)])
+    assert cube["Total"] == pytest.approx(7.0)
+
+    removed_idx = d.member("C").index
+    d.edit()
+    d.remove_member("C")
+    d.commit()
+    db.purge_orphans(d)
+    assert cube["Total"] == pytest.approx(3.0)
+    assert cube.cells_count == 2
+    # removed member unknown now
+    with pytest.raises(Exception):
+        cube["C"]
+
+
+def test_dimension_rollback(spark):
+    db = Database("rb_db", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("Total", ["A", "B"])
+    d.commit()
+    d.edit()
+    d.add_many("Total", ["X"])
+    d.rollback()
+    assert "X" not in d
+    assert len(d) == 3

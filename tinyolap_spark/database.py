@@ -92,6 +92,21 @@ class Database:
         else:
             raise TinyOlapError("cell write needs ('cube', m1, ..., mN)")
 
+    def purge_orphans(self, dim: Dimension) -> None:
+        """After a dimension edit removed members, delete fact rows that
+        reference them (reference ``database.py:634-645`` →
+        ``cube.py:565-576``) and drop caches."""
+        from pyspark.sql import functions as F
+
+        valid = [m.index for m in dim.members]
+        for cube in self.cubes.values():
+            for col, d in cube._dims_spec():
+                if d is dim:
+                    cube._flush()
+                    cube._replace_fact(
+                        cube._fact.where(F.col(col).isin(valid))
+                    )
+
     # ------------------------------------------------------- persistence
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
