@@ -516,6 +516,139 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_cube_attr_filter(spark, sf_dir):
+    """Attribute-driven member selection: nations whose `region` attribute
+    is ASIA, then revenue per nation (SURVEY §2 P8/P10/J4)."""
+    sc = _star(spark, sf_dir)
+    members = sc.geo.attribute_field("region").filter("ASIA")
+    grid = _grid_df(
+        sc,
+        {
+            "geo": [m.name for m in members],
+            "calendar": ["All Time"],
+            "brand": ["All Brands"],
+            "measures": ["revenue"],
+        },
+        ["geo"],
+        ["nation"],
+    )
+    return grid.select("nation", (F.col("value") / 100).alias("revenue"))
+
+
+def _q_cube_two_level_rollup(spark, sf_dir):
+    """Mixed-level rollup in ONE job: regions AND nations in the same axis —
+    the closure fan-out emits each fact row at both levels (the
+    grouping-sets analogue, SURVEY §2.4)."""
+    sc = _star(spark, sf_dir)
+    members = [m.name for m in sc.geo.members_by_level(1)] + [
+        m.name for m in sc.geo.leaf_members
+    ]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": members,
+            "calendar": ["All Time"],
+            "brand": ["All Brands"],
+            "measures": ["quantity"],
+        },
+        ["geo"],
+        ["geo_name"],
+    )
+    return grid.select("geo_name", F.col("value").alias("sum_qty"))
+
+
+def _docs_with_dups(spark, sf_dir):
+    docs = _raw(spark, sf_dir, "documents")
+    dups = (
+        docs.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    return docs.unionByName(dups)
+
+
+def _q_docs_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidates -> exact Jaccard >= 0.999 survivors over a
+    corpus with synthesized exact duplicates.  Verified against the SQL
+    self-join on content hash (identical docs MUST all be found)."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    pairs = dedup.near_duplicates(
+        corpus, threshold=0.999, num_hashes=32, bands=8
+    )
+    return pairs.select("doc_a", "doc_b").orderBy("doc_a", "doc_b")
+
+
+def _q_docs_simhash_pairs(spark, sf_dir):
+    """SimHash hamming-0 pairs == identical token streams (oracle: identical
+    normalized text self-join)."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    sim = dedup.simhash(corpus)
+    return (
+        dedup.simhash_near_pairs(sim, max_hamming=0)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q_docs_language_id(spark, sf_dir):
+    from tinyolap_spark.pipeline import text as text_ops
+
+    docs = _raw(spark, sf_dir, "documents")
+    return (
+        docs.select(text_ops.detect_language("text").alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("detected_lang")
+    )
+
+
+def _q_docs_quality_histogram(spark, sf_dir):
+    from tinyolap_spark.pipeline import text as text_ops
+
+    docs = _raw(spark, sf_dir, "documents")
+    bucket = F.floor(text_ops.quality_score("text") * 10).cast("int")
+    return (
+        docs.select(bucket.alias("quality_bucket"))
+        .groupBy("quality_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("quality_bucket")
+    )
+
+
+def _q_emb_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN (rows-only check: approximate by design)."""
+    from tinyolap_spark.pipeline import similarity
+
+    emb = _raw(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    idx = similarity.IVFIndex(
+        emb.where(F.col("vec_id") != 0), ncells=8, sample=512, iters=3
+    )
+    out = idx.search(q, k=10, nprobe=4).select("vec_id", "score")
+    result = out.select("vec_id")  # drop float score for stability
+    idx.assigned.unpersist()
+    return result
+
+
+def _q_docs_fingerprints(spark, sf_dir):
+    """Rolling-hash fingerprint groups (xxhash64 — no DuckDB twin;
+    rows-only check).  Groups >1 mean near-identical normalized bodies."""
+    from tinyolap_spark.pipeline import text as text_ops
+
+    corpus = _docs_with_dups(spark, sf_dir)
+    return (
+        corpus.select(text_ops.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .orderBy("fp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -545,7 +678,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_survivors": _q_docs_dedup_survivors,
         "emb_topk_cosine": _q_emb_topk_cosine,
         "events_sessionize": _q_events_sessionize,
+        "cube_attr_filter": _q_cube_attr_filter,
+        "cube_two_level_rollup": _q_cube_two_level_rollup,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,  # rows-only (approx op)
+        "docs_language_id": _q_docs_language_id,
+        "docs_quality_histogram": _q_docs_quality_histogram,
+        "emb_ivf_topk": _q_emb_ivf_topk,  # rows-only (approximate ANN)
+        "docs_fingerprints": _q_docs_fingerprints,  # rows-only (xxhash64)
     }
+
+
+def _lang_markers_sql() -> dict[str, str]:
+    from tinyolap_spark.pipeline.text import _LANG_MARKERS
+
+    return {
+        lang: r"(?i)\b(" + "|".join(ws) + r")\b"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+
+
+def _langid_oracle() -> str:
+    pats = _lang_markers_sql()
+    score_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS s_{lang}"
+        for lang, p in pats.items()
+    )
+    langs = list(pats)
+    greatest = "GREATEST(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    whens = " ".join(f"WHEN s_{la} = g THEN '{la}'" for la in langs)
+    return (
+        f"SELECT detected_lang, COUNT(*) AS n_docs FROM ("
+        f"  SELECT CASE WHEN g = 0 THEN 'unknown' {whens} END AS detected_lang"
+        f"  FROM (SELECT *, {greatest} AS g"
+        f"        FROM (SELECT {score_cols} FROM documents) s0) s1) s2 "
+        f"GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _quality_oracle() -> str:
+    en = _lang_markers_sql()["en"]
+    return f"""
+    SELECT CAST(FLOOR(q * 10) AS INT) AS quality_bucket,
+           COUNT(*) AS n_docs
+    FROM (
+      SELECT LEAST(n_tokens / 100.0, 1.0) * 0.4
+           + LEAST((s_en / GREATEST(n_tokens, 1)) * 4.0, 1.0) * 0.3
+           + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2
+                   THEN 1.0 ELSE 0.3 END) * 0.2
+           + (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.2 END) * 0.1 AS q
+      FROM (
+        SELECT len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '{en}')) AS s_en,
+               len(regexp_extract_all(text, '[.,;:!?''"()-]'))
+                 / GREATEST(length(text), 1) AS punct_ratio,
+               len(regexp_extract_all(text, '[0-9]'))
+                 / GREATEST(length(text), 1) AS digit_ratio
+        FROM documents) f) b
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+_DUP_CORPUS = (
+    "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20)"
+)
 
 
 _REV_CENTS = "ROUND(l_extendedprice * (1 - l_discount) * 100, 0)"
@@ -730,6 +927,31 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 10
             """
         ),
+        "cube_attr_filter": (
+            f"SELECT n_name AS nation, SUM({_REV_CENTS}) / 100 AS revenue "
+            f"FROM {_GEO_JOIN} WHERE r_name = 'ASIA' GROUP BY 1"
+        ),
+        "cube_two_level_rollup": (
+            f"""
+            SELECT r_name AS geo_name, SUM(l_quantity) AS sum_qty
+              FROM {_GEO_JOIN} GROUP BY 1
+            UNION ALL
+            SELECT n_name, SUM(l_quantity)
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1
+            """
+        ),
+        "docs_minhash_pairs": (
+            f"{_DUP_CORPUS} "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM corpus a JOIN corpus b "
+            "ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id "
+            "ORDER BY 1, 2"
+        ),
+        "docs_language_id": _langid_oracle(),
+        "docs_quality_histogram": _quality_oracle(),
         "events_sessionize": (
             "SELECT event_type, SUM(new_sess) AS n_sessions, "
             "COUNT(*) AS n_events FROM ("

@@ -76,6 +76,10 @@ def build_geo_dimension(db: Database, region: DataFrame, nation: DataFrame) -> D
     # multi-parent member for overlap semantics tests
     geo.add_many("AMERICA+ASIA", ["AMERICA", "ASIA"])
     geo.commit()
+    # per-nation attribute: owning region (exercises P8/P10/J4 attribute ops)
+    attr = geo.add_attribute("region", str)
+    for row in rn:
+        attr.set(row["n_name"], row["r_name"])
     return geo
 
 
