@@ -1,0 +1,125 @@
+"""Randomized differential tests: random weighted multi-parent DAGs +
+random sparse facts, every cell compared against the dict oracle
+(SURVEY.md §5 / FIXTURES.md §C strategy)."""
+
+import random
+
+import pytest
+
+from tinyolap_spark import Database
+
+from conftest import DictOracle
+
+
+def random_dag_dimension(db, name, rng, n_leaves=8, n_mid=4, n_top=2,
+                         weighted=True):
+    """Random 3-layer DAG: leaves -> mid (random multi-parent, random
+    weights) -> top; guaranteed acyclic by layering."""
+    d = db.add_dimension(name).edit()
+    leaves = [f"{name}_l{i}" for i in range(n_leaves)]
+    mids = [f"{name}_m{i}" for i in range(n_mid)]
+    tops = [f"{name}_t{i}" for i in range(n_top)]
+    for m in mids:
+        k = rng.randint(1, n_leaves)
+        children = rng.sample(leaves, k)
+        weights = [
+            rng.choice([1.0, 1.0, 1.0, -1.0, 0.5, 1 / 3]) if weighted else 1.0
+            for _ in children
+        ]
+        d.add_many(m, children, weights)
+    for t in tops:
+        k = rng.randint(1, n_mid)
+        children = rng.sample(mids, k)
+        weights = [
+            rng.choice([1.0, 1.0, -1.0, 2.0]) if weighted else 1.0
+            for _ in children
+        ]
+        d.add_many(t, children, weights)
+    # orphan leaves may exist — ensure all leaves are members
+    for leaf in leaves:
+        if leaf not in d:
+            d.add_many(leaf)
+    d.commit()
+    return d, leaves
+
+
+@pytest.mark.parametrize("seed", [1, 7, 13, 99])
+def test_random_cube_matches_dict_oracle(spark, seed):
+    rng = random.Random(seed)
+    db = Database(f"prop{seed}", spark=spark)
+    d1, leaves1 = random_dag_dimension(db, "da", rng)
+    d2, leaves2 = random_dag_dimension(db, "db", rng, n_leaves=5, n_mid=3)
+    cube = db.add_cube("c", [d1, d2])
+
+    rows = []
+    seen = set()
+    for _ in range(40):
+        addr = (rng.choice(leaves1), rng.choice(leaves2))
+        if addr in seen:
+            continue
+        seen.add(addr)
+        rows.append((*addr, float(rng.randint(-50, 100))))
+    cube.write_rows(rows)
+
+    oracle = DictOracle(cube.dimensions, rows)
+    queries = [
+        (m1.name, m2.name)
+        for m1 in d1.members
+        for m2 in d2.members
+    ]
+    got = cube.get_many(queries)
+    mismatches = []
+    for q, g in zip(queries, got):
+        want = oracle.get(q)
+        if want is None:
+            ok = g is None
+        else:
+            ok = g is not None and abs(g - want) < 1e-9 * max(1, abs(want))
+        if not ok:
+            mismatches.append((q, g, want))
+    assert not mismatches, f"{len(mismatches)} cell mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_random_diamond_heavy(spark, seed):
+    """Dense diamonds: every mid shares leaves; weight-merge must match the
+    oracle's last-DFS-path-wins closure exactly."""
+    rng = random.Random(seed)
+    db = Database(f"dia{seed}", spark=spark)
+    d = db.add_dimension("d").edit()
+    leaves = [f"l{i}" for i in range(4)]
+    for i in range(3):
+        d.add_many(f"m{i}", leaves, [rng.choice([1.0, 2.0, -1.0]) for _ in leaves])
+    d.add_many("top", [f"m{i}" for i in range(3)], [1.0, 0.5, 2.0])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    rows = [(leaf, float(rng.randint(1, 9))) for leaf in leaves]
+    cube.write_rows(rows)
+    oracle = DictOracle(cube.dimensions, rows)
+    for m in d.members:
+        got = cube[m.name]
+        want = oracle.get((m.name,))
+        assert got == pytest.approx(want), m.name
+
+
+def test_big_cube_total_count(spark):
+    """FIXTURES A4 golden: d dims x 100 members, 100 random writes at 1.0;
+    ('Total',)*d == number of distinct addresses (duplicates overwrite)."""
+    rng = random.Random(42)
+    for ndims in (3, 5):
+        db = Database(f"big{ndims}", spark=spark)
+        dims = []
+        for i in range(ndims):
+            d = db.add_dimension(f"d{i}").edit()
+            d.add_many("Total", [f"member_{j}" for j in range(100)])
+            d.commit()
+            dims.append(d)
+        cube = db.add_cube("c", dims)
+        addrs = set()
+        rows = []
+        for _ in range(100):
+            a = tuple(f"member_{rng.randrange(100)}" for _ in range(ndims))
+            addrs.add(a)
+            rows.append((*a, 1.0))
+        cube.write_rows(rows)
+        assert cube[("Total",) * ndims] == pytest.approx(len(addrs))

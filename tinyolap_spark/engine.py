@@ -67,7 +67,7 @@ def closure_df(spark: SparkSession, dim: Dimension) -> DataFrame:
     Includes the identity row ``(m, m, 1.0)`` for every member, so a leaf
     address and an aggregated address run the same plan.
     """
-    key = (id(spark), id(dim), dim.version)
+    key = (id(spark), dim.uid, dim.version)
     df = _closure_cache.get(key)
     if df is None:
         rows = [(int(m), int(a), float(w)) for (m, a, w) in dim.closure_rows]
@@ -79,7 +79,7 @@ def closure_df(spark: SparkSession, dim: Dimension) -> DataFrame:
 def members_df(spark: SparkSession, dim: Dimension) -> DataFrame:
     """Members DataFrame per FIXTURES.md (member_id, name, level, ordinal,
     format, attr_*)."""
-    key = (id(spark), id(dim), dim.version)
+    key = (id(spark), dim.uid, dim.version)
     df = _members_cache.get(key)
     if df is None:
         rows = dim.member_rows()

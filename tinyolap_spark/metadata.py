@@ -314,7 +314,13 @@ class Dimension:
     DataFrames, grids) invalidate.
     """
 
+    _uid_counter = 0
+
     def __init__(self, name: str, description: str = ""):
+        # unique, never-reused identity for downstream caches (id() can be
+        # recycled by the allocator after GC — never key caches on it)
+        Dimension._uid_counter += 1
+        self.uid = Dimension._uid_counter
         self.name = name
         self.description = description
         self._defs: dict[int, MemberDef] = {}
