@@ -32,6 +32,9 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # orders-slim (3 cols) broadcasts comfortably at bench scale; at
+        # cluster scale AQE decides from runtime stats instead
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -30,6 +30,8 @@ aggregation too) — the unpivoted layout is the cube-model parity shape.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,13 +47,14 @@ def date_years(orders: DataFrame) -> list[int]:
     return list(range(int(row["lo"]), int(row["hi"]) + 1))
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    names = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
+CUBE_TABLES = ["region", "nation", "customer", "part", "orders", "lineitem"]
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Optional[list[str]] = None
+) -> dict[str, DataFrame]:
     out = {}
-    for n in names:
+    for n in names or CUBE_TABLES:
         try:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
         except Exception:
