@@ -26,6 +26,8 @@ from .cube import Cube, Cell, Area, MAX_DIMS_PER_CUBE
 from .database import Database
 from .rules import rule, RuleScope, RuleError, CONTINUE, NOT_PROCESSED
 from .view import View
+from .slice import Slice
+from .server import Server
 
 __version__ = "0.1.0"
 
@@ -39,6 +41,8 @@ __all__ = [
     "Cell",
     "Area",
     "View",
+    "Slice",
+    "Server",
     "rule",
     "RuleScope",
     "RuleError",

@@ -646,6 +646,11 @@ class Cube:
     def area(self, *defs) -> "Area":
         return Area(self, defs)
 
+    def cell(self, *address) -> "Cell":
+        """A Cell cursor at an address (reference ``cube.cell(...)``)."""
+        idx_address, _ = self._resolve_address(address)
+        return Cell(self, idx_address)
+
     # ---------------------------------------------------------------- info
     @property
     def cells_count(self) -> int:
@@ -660,7 +665,52 @@ class Cube:
             "description": self.description,
             "dimensions": [d.name for d in self.dimensions],
             "columns": self._cols,
+            "rules": self._rules_to_dicts(),
         }
+
+    def _rules_to_dicts(self) -> list[dict]:
+        """Rule source persistence (reference ``codemanager.py``:
+        store the decorated function source; re-``exec`` on load)."""
+        import inspect
+        import textwrap
+
+        out = []
+        for rdef in self.rules:
+            try:
+                src = textwrap.dedent(inspect.getsource(rdef.function))
+            except (OSError, TypeError):
+                continue  # dynamically-defined rule; not persistable
+            out.append(
+                {
+                    "name": rdef.name,
+                    "source": src,
+                    "trigger": rdef.trigger,
+                    "scope": rdef.scope.name,
+                    "feeder": rdef.feeder,
+                }
+            )
+        return out
+
+    def load_rules_from_dicts(self, rules: list[dict]) -> None:
+        """Re-instantiate persisted rules (same trust model as the
+        reference: rule code executes on load)."""
+        for rd in rules:
+            ns: dict = {}
+            exec(rd["source"], {"rule": __import__("tinyolap_spark").rule,
+                                "RuleScope": RuleScope,
+                                "CONTINUE": CONTINUE}, ns)
+            fn = ns.get(rd["name"])
+            if fn is None:
+                fns = [v for v in ns.values() if callable(v)]
+                fn = fns[0] if fns else None
+            if fn is None:
+                continue
+            self.register_rule(
+                fn,
+                trigger=rd["trigger"],
+                scope=RuleScope[rd["scope"]],
+                feeder=rd.get("feeder"),
+            )
 
 
 def _safe_col(name: str) -> str:
@@ -847,14 +897,49 @@ class Area:
         cube._replace_fact(outside.unionByName(changed))
 
     def set_value(self, value: Any) -> None:
-        """Set every *existing* cell in the area to ``value``; with a dense
-        enumerate this would be a cross-join write (reference
-        ``area.py:287-336``)."""
+        """Set every *existing* cell in the area to ``value``.
+
+        A callable is evaluated per cell with the address (tuple of member
+        names) as argument (reference ``area.py:321-336``: cell-value
+        callables, e.g. seeded random generators).  Executed as one
+        Arrow-batched pass — the callable runs executor-side.
+        """
         if callable(value):
-            raise NotImplementedError(
-                "callable cell generators: use set_random()/transform()"
-            )
+            self._set_callable(value)
+            return
         self.transform(lambda c: F.lit(float(value)))
+
+    def _set_callable(self, fn) -> None:
+        cube = self.cube
+        cube._flush()
+        inside = self.rows_df()
+        outside = cube._fact.exceptAll(inside)
+        # member id -> name maps per dim (small, shipped in the closure)
+        name_maps = [
+            {d.idx: d.name for d in dim._iter_defs()} for dim in cube.dimensions
+        ]
+        cols = cube._cols
+        schema = inside.schema
+
+        def run(batches):
+            for pdf in batches:
+                if len(pdf):
+                    pdf = pdf.copy()
+                    pdf["value"] = [
+                        float(
+                            fn(
+                                tuple(
+                                    name_maps[i][row[c]]
+                                    for i, c in enumerate(cols)
+                                )
+                            )
+                        )
+                        for row in pdf.to_dict("records")
+                    ]
+                yield pdf
+
+        changed = inside.mapInPandas(run, schema=schema)
+        cube._replace_fact(outside.unionByName(changed))
 
     def __mul__(self, factor: float) -> AreaTransform:
         return AreaTransform(self, lambda c: c * F.lit(float(factor)))

@@ -140,6 +140,8 @@ class Database:
             if os.path.exists(fpath):
                 df = db.spark.read.parquet(fpath)
                 cube._replace_fact(df.select(*cube._schema.fieldNames()))
+            if cdata.get("rules"):
+                cube.load_rules_from_dicts(cdata["rules"])
         return db
 
     def export(self, path: str) -> None:
