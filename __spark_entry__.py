@@ -649,6 +649,47 @@ def _q_docs_fingerprints(spark, sf_dir):
     )
 
 
+def _q_events_hourly_stream(spark, sf_dir):
+    """Hourly event rollup computed through STRUCTURED STREAMING
+    (readStream -> watermarked window agg -> availableNow -> memory sink),
+    then returned as a batch DataFrame.  The oracle is the equivalent batch
+    SQL — streaming and batch must agree on complete data."""
+    import tempfile
+
+    from tinyolap_spark.streaming import ingest
+
+    ev = _raw(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+    src = tempfile.mkdtemp(prefix="events_stream_src_")
+    ck = tempfile.mkdtemp(prefix="events_stream_ck_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = ingest.events_stream(spark, src, max_files_per_trigger=10)
+    agg = ingest.windowed_rollup_stream(stream, window="1 hour", watermark="2 hours")
+    name = "hourly_rollup_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_windows,
+               SUM(n_events) AS n_events,
+               SUM(CAST(ROUND(value_sum * 100, 0) AS BIGINT)) AS value_cents
+          FROM {name}
+         GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -686,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_histogram": _q_docs_quality_histogram,
         "emb_ivf_topk": _q_emb_ivf_topk,  # rows-only (approximate ANN)
         "docs_fingerprints": _q_docs_fingerprints,  # rows-only (xxhash64)
+        "events_hourly_stream": _q_events_hourly_stream,
     }
 
 
@@ -952,6 +994,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
+        "events_hourly_stream": (
+            "SELECT event_type, COUNT(*) AS n_windows, SUM(n) AS n_events, "
+            "SUM(CAST(ROUND(s * 100, 0) AS BIGINT)) AS value_cents FROM ("
+            "  SELECT event_type, date_trunc('hour', ts) AS h, "
+            "         COUNT(*) AS n, SUM(value) AS s "
+            "  FROM events GROUP BY 1, 2) t "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "events_sessionize": (
             "SELECT event_type, SUM(new_sess) AS n_sessions, "
             "COUNT(*) AS n_events FROM ("

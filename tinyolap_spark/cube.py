@@ -391,6 +391,7 @@ class Cube:
         value_col: str = "value",
         by_name: bool = False,
         additive: bool = False,
+        assume_unique: bool = False,
     ) -> None:
         """Bulk-load a fact DataFrame (the 100 TB path — no driver round-trip).
 
@@ -425,7 +426,9 @@ class Cube:
         sel.append(F.col(value_col).cast(DoubleType()).alias("value"))
         sel.append(F.lit(None).cast(StringType()).alias("value_str"))
         df = df.select(*sel)
-        if additive:
+        if assume_unique:
+            pass  # caller guarantees one row per address (pre-aggregated)
+        elif additive:
             df = df.groupBy(*self._cols).agg(
                 F.sum("value").alias("value")
             ).withColumn("value_str", F.lit(None).cast(StringType()))

@@ -108,7 +108,16 @@ class Database:
                     )
 
     # ------------------------------------------------------- persistence
-    def save(self, path: str) -> None:
+    def save(
+        self, path: str, partition_by: Optional[dict[str, str]] = None
+    ) -> None:
+        """Persist metadata + facts.
+
+        ``partition_by``: cube name -> fact column to hive-partition on.
+        At scale, partitioning the fact by a filter-heavy dimension column
+        turns dimension slicers into PARTITION PRUNING at the parquet scan
+        (the directory layout is the index).
+        """
         os.makedirs(path, exist_ok=True)
         meta = {
             "name": self.name,
@@ -118,7 +127,11 @@ class Database:
         with open(os.path.join(path, "database.json"), "w") as f:
             json.dump(meta, f, indent=1)
         for cube in self.cubes.values():
-            cube.fact.write.mode("overwrite").parquet(
+            writer = cube.fact.write.mode("overwrite")
+            pcol = (partition_by or {}).get(cube.name.lower())
+            if pcol:
+                writer = writer.partitionBy(pcol)
+            writer.parquet(
                 os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
             )
 

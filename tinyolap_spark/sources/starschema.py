@@ -189,17 +189,21 @@ def fact_frame(
     )
 
     mnames = ["quantity", "extendedprice", "discount_amt", "revenue"]
+    # aggregate to the cube grain BEFORE unpivoting: the shuffle carries one
+    # 4-measure row per (geo, month, brand) instead of 4x the lineitem count
+    grouped = df.groupBy(
+        F.col("n_name_id").alias("geo"),
+        F.col("month_name_id").alias("calendar"),
+        F.col("p_brand_id").alias("brand"),
+    ).agg(*[F.sum(f"m_{m}").alias(f"m_{m}") for m in mnames])
     stack_expr = "stack({}, {}) as (measures, value)".format(
         len(mnames),
         ", ".join(
             f"{measures.member(m).index}, cast(m_{m} as double)" for m in mnames
         ),
     )
-    fact = df.select(
-        F.col("n_name_id").alias("geo"),
-        F.col("month_name_id").alias("calendar"),
-        F.col("p_brand_id").alias("brand"),
-        F.expr(stack_expr),
+    fact = grouped.select(
+        "geo", "calendar", "brand", F.expr(stack_expr)
     ).withColumn("value_str", F.lit(None).cast("string"))
     return fact
 
@@ -226,8 +230,8 @@ class StarCube:
         if measures_subset:
             ids = [self.measures.member(m).index for m in measures_subset]
             fact = fact.where(F.col("measures").isin(ids))
-        # additive load: multiple lineitems can share (nation, month, brand)
-        self.cube.load_dataframe(fact, additive=True)
+        # fact_frame pre-aggregates to the cube grain — one row per address
+        self.cube.load_dataframe(fact, assume_unique=True)
 
     def member_names_df(self, dim: Dimension, alias: str) -> DataFrame:
         from .. import engine
