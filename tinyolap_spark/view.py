@@ -240,10 +240,17 @@ class View:
         )
         return self._grid.get((rpos, cpos))
 
-    def to_dict(self) -> dict:
+    def to_dict(self, window: Optional[tuple[int, int]] = None) -> dict:
+        """``window=(row_offset, row_count)`` paginates rows (reference
+        ``ViewWindow`` ``view.py:65-105`` — presentation-layer windowing;
+        the grid itself is already computed in one job)."""
         cols = [self._names(self.col_axis, c) for c in self.col_axis.positions]
         rows = []
-        for rpos in self._visible_rows():
+        visible = self._visible_rows()
+        if window is not None:
+            off, cnt = window
+            visible = visible[off : off + cnt]
+        for rpos in visible:
             rows.append(
                 {
                     "row": self._names(self.row_axis, rpos),
