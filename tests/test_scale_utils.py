@@ -1,0 +1,94 @@
+"""Skew utilities + stateful streaming operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_agg_matches_plain(spark):
+    from tinyolap_spark.pipeline.skew import salted_agg
+
+    df = spark.range(0, 20000).select(
+        (F.when(F.col("id") % 100 < 90, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        )).alias("k"),
+        (F.col("id") % 13).cast("double").alias("v"),
+    )
+    got = {
+        (r["k"]): (r["total"], r["cnt"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"total": ("sum", "v"), "cnt": ("count", "v"), "mx": ("max", "v")},
+            salt=8,
+        ).collect()
+    }
+    want = {
+        (r["k"]): (r["total"], r["cnt"], r["mx"])
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("cnt"),
+            F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0])
+        assert got[k][1:] == want[k][1:]
+
+
+def test_salted_broadcast_left(spark):
+    from tinyolap_spark.pipeline.skew import salted_broadcast_left
+
+    left = spark.range(0, 5000).select(
+        (F.col("id") % 10).alias("k"), F.col("id").alias("v")
+    )
+    right = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(10)], ["k", "name"]
+    )
+    out = salted_broadcast_left(left, right, on="k", salt=4)
+    assert out.count() == 5000
+    row = out.where(F.col("v") == 42).collect()[0]
+    assert row["name"] == f"name{42 % 10}"
+
+
+def test_running_totals_stream(spark, tmp_path):
+    from tinyolap_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    ev = ev.where(F.col("user_id") < 40)  # bound state-store keys for speed
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = ingest.events_stream(spark, src, max_files_per_trigger=10)
+    totals = ingest.running_totals_stream(stream, key_col="user_id")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # last emitted state per user == batch totals
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, value_sum FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM running_totals) WHERE rn = 1
+        """
+    ).collect()
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        wn, ws = want[r["user_id"]]
+        assert r["n_events"] == wn
+        assert r["value_sum"] == pytest.approx(ws)

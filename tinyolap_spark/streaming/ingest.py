@@ -102,6 +102,54 @@ def windowed_rollup_stream(
     )
 
 
+def running_totals_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running totals emitted on every micro-batch (the shape of a
+    streaming-cube write-through aggregate).
+
+    State per key is one (count, sum) pair — bounded by key cardinality;
+    state for idle keys expires via processing-time timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, n_events long, value_sum double"
+    )
+    state_schema = "n long, s double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "value_sum": [s]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap: str = "30 minutes",
