@@ -106,14 +106,16 @@ def running_totals_stream(
     stream: DataFrame,
     key_col: str = "user_id",
     value_col: str = "value",
-    timeout_minutes: int = 60,
+    timeout_minutes: "int | None" = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     running totals emitted on every micro-batch (the shape of a
     streaming-cube write-through aggregate).
 
-    State per key is one (count, sum) pair — bounded by key cardinality;
-    state for idle keys expires via processing-time timeout.
+    State per key is one (count, sum) pair — bounded by key cardinality.
+    ``timeout_minutes`` arms a processing-time timeout that expires idle
+    keys; NOTE an armed timeout keeps an ``availableNow`` run alive to
+    fire expirations, so leave it None for drain-and-stop batch tests.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -133,7 +135,8 @@ def running_totals_stream(
             n += len(pdf)
             s += float(pdf[value_col].sum())
         state.update((n, s))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {key_col: [key[0]], "n_events": [n], "value_sum": [s]}
         )
@@ -145,7 +148,11 @@ def running_totals_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
