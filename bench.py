@@ -135,6 +135,86 @@ def main() -> None:
     v = timed("view_refresh", view_refresh)
     extra["view_cells"] = v.stats["cells"]
 
+    # ---- `huge` workload mirror (BASELINE.md: 8 dims x 100 members + All,
+    # 1M random records; reference: ~100k rec/s load, ~25k cell-q/s cold) ---
+    from tinyolap_spark import Database, View as _View
+
+    def huge_build():
+        hdb = Database("huge", spark=spark)
+        hdims = []
+        for i in range(8):
+            d = hdb.add_dimension(f"h{i}").edit()
+            d.add_many("All", [f"m{j}" for j in range(100)])
+            d.commit()
+            hdims.append(d)
+        hcube = hdb.add_cube("huge", hdims)
+        # executor-side generation: 1M random leaf addresses, value 1.0
+        gen = spark.range(1_000_000)
+        cols = []
+        for i, d in enumerate(hdims):
+            leaf_ids = [m.index for m in d.leaf_members]
+            base, span = min(leaf_ids), len(leaf_ids)
+            cols.append(
+                (F.lit(base) + (F.xxhash64("id", F.lit(i)) % span + span) % span)
+                .cast("int").alias(hcube.dim_cols[i])
+            )
+        rows = gen.select(*cols, (F.rand(seed=1) * 100).alias("value"))
+        hcube.load_dataframe(rows, additive=True)
+        return hdb, hcube, hdims, hcube.fact.count()
+
+    (hdb, hcube, hdims, hcells) = timed("huge_load_1m_records", huge_build)
+    extra["huge_fact_cells"] = hcells
+    extra["huge_load_records_per_sec"] = round(
+        1_000_000 / timings["huge_load_1m_records"], 1
+    )
+
+    hrng = random.Random(7)
+
+    def huge_base_reads():
+        hcube._cache.clear()
+        addrs = [
+            tuple(f"m{hrng.randrange(100)}" for _ in range(8))
+            for _ in range(10_000)
+        ]
+        return hcube.get_many(addrs)
+
+    timed("huge_base_reads_10k_batched", huge_base_reads)
+    extra["huge_base_reads_per_sec"] = round(
+        10_000 / timings["huge_base_reads_10k_batched"], 1
+    )
+
+    def huge_agg_reads():
+        hcube._cache.clear()
+        addrs = []
+        for _ in range(100):
+            addr = ["All"] * 8
+            # drill one random dim to a leaf, one to a member
+            addr[hrng.randrange(8)] = f"m{hrng.randrange(100)}"
+            addrs.append(tuple(addr))
+        return hcube.get_many(addrs)
+
+    timed("huge_agg_reads_100_batched", huge_agg_reads)
+    extra["huge_agg_reads_per_sec"] = round(
+        100 / timings["huge_agg_reads_100_batched"], 1
+    )
+
+    def huge_top_cell():
+        hcube._cache.clear()
+        return hcube[("All",) * 8]
+
+    timed("huge_top_cell_read", huge_top_cell)
+
+    def huge_view():
+        return _View(
+            hcube,
+            rows=[("h0", "*")],
+            columns=[("h1", ["All"] + [f"m{j}" for j in range(10)])],
+        ).refresh()
+
+    hv = timed("huge_view_refresh", huge_view)
+    extra["huge_view_cells"] = hv.stats["cells"]
+    hcube._fact.unpersist()
+
     # ---- driver-contract queries over raw tables --------------------------
     q = entry_mod.queries()
     for name in [

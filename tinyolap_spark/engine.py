@@ -137,6 +137,12 @@ def _joined_rollup(
         if col not in requested:
             continue
         ids = [int(i) for i in requested[col]]
+        if len(ids) == 1 and ids[0] in dim._trivial_tops:
+            # join elimination: a single requested ancestor that covers all
+            # leaves with weight 1.0 constrains nothing — emit it as a
+            # constant ancestor column instead of a broadcast join
+            df = df.withColumn(f"__a_{col}", F.lit(ids[0]))
+            continue
         cdf = closure_df(spark, dim)
         if len(ids) == 1:
             cdf = cdf.where(F.col("ancestor_id") == ids[0])
@@ -323,6 +329,8 @@ def area_rows(
         if col not in filters or not filters[col]:
             continue
         ids = [int(i) for i in filters[col]]
+        if any(i in dim._trivial_tops for i in ids):
+            continue  # an all-covering ancestor in an OR-list filters nothing
         cdf = (
             closure_df(spark, dim)
             .where(F.col("ancestor_id").isin(ids))

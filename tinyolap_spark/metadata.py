@@ -333,6 +333,8 @@ class Dimension:
         self.subsets: dict[str, Subset] = {}
         # closure rows (member_idx, ancestor_idx, weight); computed at commit
         self._closure: list[tuple[int, int, float]] = []
+        # ancestors covering all leaves with weight 1.0 (join elidable)
+        self._trivial_tops: set[int] = set()
         self.version = 0
 
     # ------------------------------------------------------------------ edit
@@ -524,11 +526,19 @@ class Dimension:
                     out[cidx] = base_weight * w
             return out
 
+        n_leaves = sum(1 for d in self._defs.values() if not d.children)
+        trivial: set[int] = set()
         for i in self._defs:
             if self._defs[i].children:
-                for leaf, w in weighted_leaves(i, 1.0).items():
+                wl = weighted_leaves(i, 1.0)
+                for leaf, w in wl.items():
                     rows.append((leaf, i, w))
+                # an ancestor covering EVERY leaf with weight 1.0 adds no
+                # information to a rollup — the engine skips its join
+                if len(wl) == n_leaves and all(w == 1.0 for w in wl.values()):
+                    trivial.add(i)
         self._closure = rows
+        self._trivial_tops = trivial
 
     # ------------------------------------------------------------- queries
     def member(self, name: "str | Member") -> Member:
