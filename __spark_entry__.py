@@ -649,6 +649,31 @@ def _q_docs_fingerprints(spark, sf_dir):
     )
 
 
+def _q_sql_salted_region_qty(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation — results identical to a
+    plain GROUP BY (the salt only reshapes the shuffle)."""
+    from tinyolap_spark.pipeline.skew import salted_agg
+
+    li = _raw(spark, sf_dir, "lineitem")
+    orders = _raw(spark, sf_dir, "orders")
+    customer = _raw(spark, sf_dir, "customer")
+    nation = _raw(spark, sf_dir, "nation")
+    region = _raw(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("r_name", "l_quantity")
+    )
+    return salted_agg(
+        joined,
+        ["r_name"],
+        {"sum_qty": ("sum", "l_quantity"), "n_items": ("count", "l_quantity")},
+        salt=16,
+    ).orderBy("r_name")
+
+
 def _q_events_hourly_stream(spark, sf_dir):
     """Hourly event rollup computed through STRUCTURED STREAMING
     (readStream -> watermarked window agg -> availableNow -> memory sink),
@@ -728,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,  # rows-only (approximate ANN)
         "docs_fingerprints": _q_docs_fingerprints,  # rows-only (xxhash64)
         "events_hourly_stream": _q_events_hourly_stream,
+        "sql_salted_region_qty": _q_sql_salted_region_qty,
     }
 
 
@@ -994,6 +1020,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
+        "sql_salted_region_qty": (
+            f"SELECT r_name, SUM(l_quantity) AS sum_qty, "
+            f"COUNT(l_quantity) AS n_items "
+            f"FROM {_GEO_JOIN} GROUP BY 1 ORDER BY 1"
+        ),
         "events_hourly_stream": (
             "SELECT event_type, COUNT(*) AS n_windows, SUM(n) AS n_events, "
             "SUM(CAST(ROUND(s * 100, 0) AS BIGINT)) AS value_cents FROM ("
