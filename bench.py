@@ -135,8 +135,21 @@ def main() -> None:
     v = timed("view_refresh", view_refresh)
     extra["view_cells"] = v.stats["cells"]
 
+    # ---- driver-contract queries over raw tables --------------------------
+    q = entry_mod.queries()
+    for name in [
+        "sql_pricing_summary",
+        "sql_top_nations",
+        "docs_exact_dedup",
+        "docs_text_stats",
+        "emb_topk_cosine",
+        "events_sessionize",
+    ]:
+        timed(name, lambda n=name: q[n](spark, sf_dir).collect())
+
     # ---- `huge` workload mirror (BASELINE.md: 8 dims x 100 members + All,
     # 1M random records; reference: ~100k rec/s load, ~25k cell-q/s cold) ---
+    cube._fact.unpersist(blocking=True)  # free star-cube cache first
     from tinyolap_spark import Database, View as _View
 
     def huge_build():
@@ -214,18 +227,6 @@ def main() -> None:
     hv = timed("huge_view_refresh", huge_view)
     extra["huge_view_cells"] = hv.stats["cells"]
     hcube._fact.unpersist()
-
-    # ---- driver-contract queries over raw tables --------------------------
-    q = entry_mod.queries()
-    for name in [
-        "sql_pricing_summary",
-        "sql_top_nations",
-        "docs_exact_dedup",
-        "docs_text_stats",
-        "emb_topk_cosine",
-        "events_sessionize",
-    ]:
-        timed(name, lambda n=name: q[n](spark, sf_dir).collect())
 
     total = round(sum(timings.values()), 4)
     print(

@@ -68,10 +68,18 @@ def build_geo_dimension(db: Database, region: DataFrame, nation: DataFrame) -> D
         .select("r_name", "n_name")
         .collect()
     )
+    return build_geo_dimension_from_pairs(
+        db, [(r["r_name"], r["n_name"]) for r in rn]
+    )
+
+
+def build_geo_dimension_from_pairs(
+    db: Database, pairs: list[tuple[str, str]]
+) -> Dimension:
     geo = db.add_dimension("geo").edit()
     by_region: dict[str, list[str]] = {}
-    for row in rn:
-        by_region.setdefault(row["r_name"], []).append(row["n_name"])
+    for rname, nname in pairs:
+        by_region.setdefault(rname, []).append(nname)
     regions = sorted(by_region)
     geo.add_many("All Geographies", regions)
     for r in regions:
@@ -81,8 +89,8 @@ def build_geo_dimension(db: Database, region: DataFrame, nation: DataFrame) -> D
     geo.commit()
     # per-nation attribute: owning region (exercises P8/P10/J4 attribute ops)
     attr = geo.add_attribute("region", str)
-    for row in rn:
-        attr.set(row["n_name"], row["r_name"])
+    for rname, nname in pairs:
+        attr.set(nname, rname)
     return geo
 
 
@@ -102,8 +110,14 @@ def build_brand_dimension(db: Database, part: DataFrame) -> Dimension:
     brands = sorted(
         r["p_brand"] for r in part.select("p_brand").distinct().collect()
     )
+    return build_brand_dimension_from_names(db, brands)
+
+
+def build_brand_dimension_from_names(
+    db: Database, brands: list[str]
+) -> Dimension:
     brand = db.add_dimension("brand").edit()
-    brand.add_many("All Brands", brands)
+    brand.add_many("All Brands", sorted(brands))
     brand.commit()
     return brand
 
@@ -208,6 +222,37 @@ def fact_frame(
     return fact
 
 
+def _collect_dim_metadata(tables: dict[str, DataFrame]):
+    """One Spark job collects everything the dimension builds need:
+    (region, nation) pairs, distinct brands, and the order-year range —
+    a 3-way union of tiny projections instead of 3 separate jobs."""
+    nation, region = tables["nation"], tables["region"]
+    rn = (
+        nation.join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.lit("geo").alias("kind"),
+            F.col("r_name").alias("a"),
+            F.col("n_name").alias("b"),
+        )
+    )
+    brands = tables["part"].select(
+        F.lit("brand").alias("kind"),
+        F.col("p_brand").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+    ).distinct()
+    yr = tables["orders"].agg(
+        F.lit("years").alias("kind"),
+        F.min(F.year("o_orderdate")).cast("string").alias("a"),
+        F.max(F.year("o_orderdate")).cast("string").alias("b"),
+    )
+    rows = rn.unionByName(brands).unionByName(yr).collect()
+    geo_pairs = [(r["a"], r["b"]) for r in rows if r["kind"] == "geo"]
+    brand_names = sorted(r["a"] for r in rows if r["kind"] == "brand")
+    yrow = next(r for r in rows if r["kind"] == "years")
+    years = list(range(int(yrow["a"]), int(yrow["b"]) + 1))
+    return geo_pairs, brand_names, years
+
+
 class StarCube:
     """A cube over the TESTDATA star schema + handles to the raw tables."""
 
@@ -216,10 +261,11 @@ class StarCube:
         self.sf_dir = sf_dir
         self.tables = load_tables(spark, sf_dir)
         self.db = Database("star", spark=spark)
-        self.geo = build_geo_dimension(self.db, self.tables["region"], self.tables["nation"])
-        self.years = date_years(self.tables["orders"])
+        geo_pairs, brand_names, years = _collect_dim_metadata(self.tables)
+        self.geo = build_geo_dimension_from_pairs(self.db, geo_pairs)
+        self.years = years
         self.cal = build_calendar_dimension(self.db, self.years)
-        self.brand = build_brand_dimension(self.db, self.tables["part"])
+        self.brand = build_brand_dimension_from_names(self.db, brand_names)
         self.measures = build_measures_dimension(self.db)
         self.cube = self.db.add_cube(
             "sales", [self.geo, self.cal, self.brand, self.measures]
