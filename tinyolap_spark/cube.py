@@ -533,10 +533,33 @@ class Cube:
 
     def _run_rule(self, rdef: RuleDef, idx_address: tuple[int, ...]) -> Any:
         self.counter_rule_requests += 1
+        if rdef.expression is not None:
+            return self._eval_expression_rule(rdef, idx_address)
         try:
             return rdef.function(Cell(self, idx_address))
         except Exception as exc:  # noqa: BLE001 — sentinel mapping is the contract
             return map_rule_error(exc)
+
+    def _expression_operand_addrs(
+        self, rdef: RuleDef, idx_address: tuple[int, ...]
+    ) -> dict[str, tuple[int, ...]]:
+        dim_pos = rdef.idx_pattern[0][0]
+        out = {}
+        for ref, midx in rdef.operand_idx.items():
+            addr = list(idx_address)
+            addr[dim_pos] = midx
+            out[ref] = tuple(addr)
+        return out
+
+    def _eval_expression_rule(
+        self, rdef: RuleDef, idx_address: tuple[int, ...]
+    ) -> Any:
+        from .rules import eval_expression
+
+        addrs = self._expression_operand_addrs(rdef, idx_address)
+        self._prefetch(list(addrs.values()))
+        values = {ref: self._get_idx(a) for ref, a in addrs.items()}
+        return eval_expression(rdef.expression, values)
 
     def _read_base(self, idx_address: tuple[int, ...]) -> Any:
         if idx_address in self._pending:
@@ -643,6 +666,18 @@ class Cube:
         if scope is not None:
             rdef.scope = scope
         self.rules.register(self, rdef)
+        self._invalidate()
+
+    def register_expression_rule(
+        self, trigger: str, expression: str, name: str = ""
+    ) -> None:
+        """Fast-tier rule: ``"[Profit] / [Sales]"`` over sibling members of
+        the trigger's dimension.  Views evaluate these from the grid batch
+        (no per-cell Spark jobs); point reads batch the operand fetch."""
+        from .rules import compile_expression_rule
+
+        rdef = compile_expression_rule(self, trigger, expression, name)
+        self.rules._rules.append(rdef)
         self._invalidate()
 
     # ---------------------------------------------------------------- area

@@ -85,6 +85,70 @@ class RuleDef:
     idx_pattern: list[tuple[int, int]] = field(default_factory=list)
     feeder_idx_pattern: list[tuple[int, int]] = field(default_factory=list)
     trigger_idx_pattern: list[tuple[int, int]] = field(default_factory=list)
+    # expression fast path (see ExpressionRule): "[Profit] / [Sales]"
+    expression: Optional[str] = None
+    # operand member name -> member idx in the trigger's dimension
+    operand_idx: dict[str, int] = field(default_factory=dict)
+
+
+_EXPR_REF = __import__("re").compile(r"\[([^\]]+)\]")
+
+
+def compile_expression_rule(
+    cube, trigger: str, expression: str, name: str = ""
+) -> RuleDef:
+    """Single-dimension expression rule: the trigger is ONE member and the
+    expression references sibling members of the SAME dimension in
+    brackets — ``"[Profit] / [Sales]"``.
+
+    This is the fast tier for the dominant real-world rule shape
+    (ratio/difference measures, SURVEY §2.10 strategy note): a view
+    evaluates these from its own grid batch — ZERO extra Spark jobs —
+    and point reads evaluate them from one batched operand read.
+    """
+    pattern = RuleRegistry._compile(cube, [trigger])
+    (dim_pos, _midx) = pattern[0]
+    dim = cube.dimensions[dim_pos]
+    operands: dict[str, int] = {}
+    for ref in _EXPR_REF.findall(expression):
+        operands[ref] = dim.member(ref).index
+    if not operands:
+        raise ValueError("expression references no [Member] operands")
+
+    def _no_call(_c):  # the expression path never calls a Python body
+        raise RuntimeError("expression rule has no callable body")
+
+    return RuleDef(
+        function=_no_call,
+        trigger=[trigger],
+        scope=RuleScope.ALL_LEVELS,
+        name=name or f"expr:{trigger}",
+        idx_pattern=pattern,
+        expression=expression,
+        operand_idx=operands,
+    )
+
+
+def eval_expression(
+    expression: str, values: dict[str, object]
+) -> object:
+    """Evaluate a bracket-reference expression against operand values.
+
+    ``None`` operands coerce to 0.0 (reference ``Cell`` float semantics);
+    errors map to the spreadsheet sentinels.
+    """
+    ns: dict[str, float] = {}
+    py = expression
+    for i, (ref, v) in enumerate(values.items()):
+        var = f"__v{i}"
+        py = py.replace(f"[{ref}]", var)
+        ns[var] = 0.0 if not isinstance(v, (int, float)) else float(v)
+    try:
+        return eval(py, {"__builtins__": {}}, ns)  # noqa: S307 — same trust model as reference rules
+    except ZeroDivisionError:
+        return RuleError.DIV0.value
+    except Exception:
+        return RuleError.ERR.value
 
 
 def rule(

@@ -161,6 +161,26 @@ class View:
             RuleScope.BASE_LEVEL,
         )
         has_rules = len(cube.rules) > 0
+        if has_rules:
+            # batch-prefetch operands of expression rules across the whole
+            # grid: all rule cells then evaluate with ZERO extra jobs
+            operand_addrs = []
+            for rpos in self.row_axis.positions:
+                for cpos in self.col_axis.positions:
+                    addr = list(base_addr)
+                    for p, m in zip(self.row_axis.dims, rpos):
+                        addr[p] = m
+                    for p, m in zip(self.col_axis.dims, cpos):
+                        addr[p] = m
+                    rdef = cube.rules.match(tuple(addr), rule_scopes)
+                    if rdef is not None and rdef.expression is not None:
+                        operand_addrs.extend(
+                            cube._expression_operand_addrs(
+                                rdef, tuple(addr)
+                            ).values()
+                        )
+            if operand_addrs:
+                cube._prefetch(operand_addrs)
         for rpos in self.row_axis.positions:
             for cpos in self.col_axis.positions:
                 addr = list(base_addr)
