@@ -142,6 +142,8 @@ def main() -> None:
         "sql_top_nations",
         "docs_exact_dedup",
         "docs_text_stats",
+        "docs_minhash_pairs",
+        "docs_quality_histogram",
         "emb_topk_cosine",
         "events_sessionize",
     ]:

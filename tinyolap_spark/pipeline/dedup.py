@@ -101,6 +101,25 @@ def minhash_signature(
     )
 
 
+def shingle_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(doc, sh) with the shingle array MATERIALIZED (persisted).
+
+    Critical at scale: downstream signature expressions reference the
+    shingle array ~num_hashes times; without a materialization barrier
+    Catalyst's CollapseProject inlines the whole shingle computation into
+    every hash lane (observed 100x plan blowup).  The cache holds one
+    array per doc — negligible next to the corpus.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh")
+    ).persist()
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -109,6 +128,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 5,
     max_bucket: int = 200,
+    shingle_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -117,8 +137,13 @@ def minhash_lsh_candidates(
     log the drop count at call site if completeness matters.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(text_col, shingle_n), num_hashes)
-    with_sig = docs.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    sh_df = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_frame(docs, text_col, id_col, shingle_n)
+    )
+    sig = minhash_signature(F.col("sh"), num_hashes)
+    with_sig = sh_df.select(F.col("doc"), sig.alias("sig"))
     # band key = hash of the band's signature slice
     banded = with_sig.select(
         "doc",
@@ -177,6 +202,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 5,
     threshold: float = 0.8,
+    shingle_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs.
 
@@ -184,8 +210,10 @@ def ngram_jaccard_pairs(
     |A ∩ B| / |A ∪ B| with array intrinsics — only over the pruned
     candidate set, never all pairs.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh")
+    sh = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_frame(docs, text_col, id_col, shingle_n)
     )
     out = (
         candidates.join(
@@ -214,11 +242,18 @@ def near_duplicates(
     threshold: float = 0.8,
     **lsh_kwargs,
 ) -> DataFrame:
-    """MinHash-LSH candidates -> exact Jaccard verification."""
-    cands = minhash_lsh_candidates(docs, text_col, id_col, **lsh_kwargs)
+    """MinHash-LSH candidates -> exact Jaccard verification.
+
+    The shingle frame is computed/persisted ONCE and shared by signature
+    generation and verification."""
+    shingle_n = lsh_kwargs.get("shingle_n", 5)
+    sh_df = shingle_frame(docs, text_col, id_col, shingle_n)
+    cands = minhash_lsh_candidates(
+        docs, text_col, id_col, shingle_df=sh_df, **lsh_kwargs
+    )
     return ngram_jaccard_pairs(
         docs, cands, text_col, id_col,
-        shingle_n=lsh_kwargs.get("shingle_n", 5), threshold=threshold,
+        shingle_n=shingle_n, threshold=threshold, shingle_df=sh_df,
     )
 
 
