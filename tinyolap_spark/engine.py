@@ -143,6 +143,29 @@ def _joined_rollup(
             # constant ancestor column instead of a broadcast join
             df = df.withColumn(f"__a_{col}", F.lit(ids[0]))
             continue
+        leaf_ids = [i for i in ids if dim._defs[i].level == 0]
+        trivial_ids = [i for i in ids if i in dim._trivial_tops]
+        if len(leaf_ids) + len(trivial_ids) == len(ids):
+            # joinless fan-out: every requested member is either a leaf
+            # (identity row, weight 1) or an all-covering weight-1 top —
+            # the ancestor column is a pure projection + explode, no
+            # broadcast, no join.  (Rows matching nothing emit an empty
+            # array and are dropped — inner-join semantics.)
+            branches = []
+            if leaf_ids:
+                cond = (
+                    df[col] == leaf_ids[0]
+                    if len(leaf_ids) == 1
+                    else df[col].isin(leaf_ids)
+                )
+                branches.append(F.when(cond, df[col]))
+            for t in trivial_ids:
+                branches.append(F.lit(int(t)))
+            df = df.withColumn(
+                f"__a_{col}",
+                F.explode(F.array_compact(F.array(*branches))),
+            )
+            continue
         cdf = closure_df(spark, dim)
         if len(ids) == 1:
             cdf = cdf.where(F.col("ancestor_id") == ids[0])
