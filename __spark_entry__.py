@@ -962,8 +962,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1"
         ),
         "docs_text_stats": (
-            r"SELECT lang, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars, "
-            r"SUM(LENGTH(REGEXP_EXTRACT_ALL(text, '\S+'))) AS total_tokens "
+            r"SELECT lang, COUNT(*) AS n_docs, "
+            r"CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars, "
+            r"CAST(SUM(LENGTH(REGEXP_EXTRACT_ALL(text, '\S+'))) AS BIGINT) "
+            r"AS total_tokens "
             r"FROM documents GROUP BY 1 ORDER BY 1"
         ),
         "docs_dedup_survivors": (
@@ -1026,15 +1028,17 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_GEO_JOIN} GROUP BY 1 ORDER BY 1"
         ),
         "events_hourly_stream": (
-            "SELECT event_type, COUNT(*) AS n_windows, SUM(n) AS n_events, "
-            "SUM(CAST(ROUND(s * 100, 0) AS BIGINT)) AS value_cents FROM ("
+            "SELECT event_type, COUNT(*) AS n_windows, "
+            "CAST(SUM(n) AS BIGINT) AS n_events, "
+            "CAST(SUM(CAST(ROUND(s * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM ("
             "  SELECT event_type, date_trunc('hour', ts) AS h, "
             "         COUNT(*) AS n, SUM(value) AS s "
             "  FROM events GROUP BY 1, 2) t "
             "GROUP BY 1 ORDER BY 1"
         ),
         "events_sessionize": (
-            "SELECT event_type, SUM(new_sess) AS n_sessions, "
+            "SELECT event_type, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, "
             "COUNT(*) AS n_events FROM ("
             "  SELECT event_type, CASE WHEN prev_sec IS NULL OR "
             "    ts_sec - prev_sec > 1800 "
