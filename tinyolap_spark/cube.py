@@ -27,6 +27,7 @@ Write path: point writes buffer in a driver dict and flush as one merge
 
 from __future__ import annotations
 
+import inspect
 import itertools
 from typing import Any, Iterable, Optional, Sequence, Union
 
@@ -329,19 +330,45 @@ class Cube:
         self._set_idx(idx_address, value)
 
     def _set_idx(self, idx_address: tuple[int, ...], value: Any) -> None:
+        # Writes through ANY path (Cube.set, Cell cursors, push rules) must
+        # hit base-level cells only (reference cube.py:540 raises
+        # TinyOlapInvalidOperationError for aggregated targets).
+        if self._super_level(idx_address) > 0:
+            raise InvalidCellWriteError(
+                "writing to aggregated cells is not supported "
+                f"(address {self._names_for(idx_address)!r})"
+            )
         if isinstance(value, bool):
             pass  # stored as value_str? reference stores any object; keep float path for bool
         if isinstance(value, int) and not isinstance(value, bool):
             value = float(value)  # reference cube.py:515-516
         self._pending[idx_address] = value
         self._invalidate()
-        # ON_ENTRY push rules (reference cube.py:526-537)
+        # ON_ENTRY push rules (reference cube.py:526-537): the reference
+        # calls ``func(cursor, value)``.  Accept one-arg rules too, picking
+        # the arity up front so a signature mismatch is not silently
+        # swallowed by the rule-error guard below.
         rdef = self.rules.match(idx_address, (RuleScope.ON_ENTRY,))
         if rdef is not None:
+            fn = rdef.function
             try:
-                rdef.function(Cell(self, idx_address, bypass_rules=True))
+                nargs = len(inspect.signature(fn).parameters)
+            except (TypeError, ValueError):
+                nargs = 2
+            cell = Cell(self, idx_address, bypass_rules=True)
+            try:
+                if nargs >= 2:
+                    fn(cell, value)
+                else:
+                    fn(cell)
             except Exception:
-                pass
+                pass  # reference swallows push-rule errors (cube.py:536-537)
+
+    def _names_for(self, idx_address: Sequence[int]) -> tuple[str, ...]:
+        return tuple(
+            dim._defs[idx].name
+            for dim, idx in zip(self.dimensions, idx_address)
+        )
 
     def __setitem__(self, address, value) -> None:
         if not isinstance(address, tuple):
@@ -382,7 +409,13 @@ class Cube:
             resolved = list(dedup.values())
         new = self.spark.createDataFrame(resolved, schema=self._schema)
         keep = self._fact.join(new.select(*self._cols), on=self._cols, how="left_anti")
-        self._replace_fact(keep.unionByName(new))
+        # None values delete the cell (mirror _flush): inserting a
+        # (None, None) tombstone would inflate cells_count and make rollups
+        # report 0.0 where the reference reports an empty cell.
+        inserts = new.where(
+            F.col("value").isNotNull() | F.col("value_str").isNotNull()
+        )
+        self._replace_fact(keep.unionByName(inserts))
 
     def load_dataframe(
         self,

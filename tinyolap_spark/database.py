@@ -127,7 +127,13 @@ class Database:
         with open(os.path.join(path, "database.json"), "w") as f:
             json.dump(meta, f, indent=1)
         for cube in self.cubes.values():
-            writer = cube.fact.write.mode("overwrite")
+            # Cut lineage before the overwrite: after open() the fact plan
+            # still scans the destination parquet, and Spark refuses to
+            # overwrite a path it is reading from (open -> modify -> save
+            # to the same path is the reference's routine workflow).
+            fact = cube.fact.localCheckpoint(eager=True)
+            cube._replace_fact(fact, persist=False)
+            writer = fact.write.mode("overwrite")
             pcol = (partition_by or {}).get(cube.name.lower())
             if pcol:
                 writer = writer.partitionBy(pcol)

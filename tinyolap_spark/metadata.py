@@ -451,9 +451,14 @@ class Dimension:
         self._require_edit()
         m = self.member(old)
         d = self._defs[m.index]
+        new_key = self._key(new.strip())
+        if new_key in self._lookup and self._lookup[new_key] != m.index:
+            raise DimensionEditError(
+                f"member name '{new}' already exists"
+            )  # reference dimension.py: 'New name already exists.'
         self._lookup.pop(self._key(d.name))
         d.name = new.strip()
-        self._lookup[self._key(new)] = m.index
+        self._lookup[new_key] = m.index
 
     def add_alias(self, member: str, alias: str) -> None:
         m = self.member(member)
