@@ -147,3 +147,51 @@ def test_sql_dense_product_includes_empty_cells(tiny2):
     vals = {r[0]: r[1] for r in q.records}
     assert vals["West"] is None  # dense output keeps the empty cell
     assert vals["East"] is not None
+
+
+def test_cell_full_arithmetic_surface(spark):
+    """Reference cell.py:336-448: every numeric operator works on a Cell,
+    returns plain numbers, and in-place ops rebind to a number — exercised
+    inside a rule as reference models do (e.g. c["x"] ** 2)."""
+    from tinyolap_spark import Database
+
+    db = Database("cellmath", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    m = db.add_dimension("m").edit()
+    for name in ["x", "y", "sq"]:
+        m.add_many(name)
+    m.commit()
+    cube = db.add_cube("c", [d, m])
+    cube[("a", "x")] = 7.0
+    cube[("a", "y")] = 2.0
+
+    c = cube.cell("a", "x")
+    assert float(c) == 7.0
+    assert c.__index__() == 7
+    assert -c == -7.0 and +c == 7.0 and abs(-c + 0.0) == 7.0
+    assert c + 3 == 10.0 and 3 + c == 10.0
+    assert c - 2 == 5.0 and 10 - c == 3.0
+    assert c * 2 == 14.0 and 2 * c == 14.0
+    assert c / 2 == 3.5 and 14 / c == 2.0
+    assert c // 2 == 3.0 and 15 // c == 2.0
+    assert c % 4 == 3.0 and 15 % c == 1.0
+    assert divmod(c, 4) == (1.0, 3.0)
+    assert divmod(15, c) == (2.0, 1.0)
+    assert c ** 2 == 49.0 and 2 ** c == 128.0
+    assert (c and 5) == 5 and (c or 5) == 7.0
+    # Cell (+) Cell via __float__
+    cy = cube.cell("a", "y")
+    assert c + cy == 9.0 and c ** cy == 49.0
+    # in-place rebinding to a number (reference behaviour)
+    acc = cube.cell("a", "x")
+    acc += 1
+    assert isinstance(acc, float) and acc == 8.0
+
+    # and all of it inside a rule: sq = x ** 2 + x // y - x % y
+    def sq_rule(cell):
+        return cell["x"] ** 2 + cell["x"] // cell["y"] - cell["x"] % cell["y"]
+
+    cube.register_rule(sq_rule, trigger=["m:sq"])
+    assert cube[("a", "sq")] == 49.0 + 3.0 - 1.0

@@ -273,3 +273,83 @@ def test_base_level_rule_with_feeder(spark):
     assert cube["Jan", "Sales"] == pytest.approx(20.0)
     assert cube["Q1", "Sales"] == pytest.approx(60.0)
     assert cube["Q1", "Quantity"] == pytest.approx(30.0)
+
+
+def _area_golden_model(spark):
+    """Mirror of reference tests/test_area.py:133-168 (dense-fill golden)."""
+    db = Database("sales_golden", spark=spark)
+    years = db.add_dimension("years").edit()
+    for y in ["2020", "2021", "2022", "2023"]:
+        years.add_many(y)
+    years.commit()
+    months = db.add_dimension("months").edit()
+    months.add_many("Q1", ["Jan", "Feb", "Mar"])
+    months.add_many("Q2", ["Apr", "Mai", "Jun"])
+    months.add_many("Q3", ["Jul", "Aug", "Sep"])
+    months.add_many("Q4", ["Oct", "Nov", "Dec"])
+    months.add_many("Year", ["Q1", "Q2", "Q3", "Q4"])
+    months.commit()
+    regions = db.add_dimension("regions").edit()
+    regions.add_many("Total", ["North", "South", "West", "East"])
+    regions.commit()
+    products = db.add_dimension("products").edit()
+    products.add_many("Total", ["A", "B", "C"])
+    products.commit()
+    measures = db.add_dimension("measures").edit()
+    for m in ["Sales", "Cost", "Profit"]:
+        measures.add_many(m)
+    measures.commit()
+    cube = db.add_cube("sales", [years, months, regions, products, measures])
+    return db, cube
+
+
+def test_dense_fill_empty_area(spark):
+    """Reference tests/test_area.py:36-70 semantics: set_value on an EMPTY
+    area enumerates the data space (area.py:315-336) — dense fill of
+    1 year x 12 months x 4 regions x 3 products x 2 measures = 288 cells,
+    value 3.0 => sum 864.0."""
+    db, cube = _area_golden_model(spark)
+    area = cube.area("2021", ("Sales", "Cost"))
+    assert len(area) == 0
+    area.set_value(3.0)
+    assert len(area) == 288
+    assert area.sum() == pytest.approx(864.0)
+    assert cube["2021", "Year", "Total", "Total", "Sales"] == pytest.approx(
+        12 * 4 * 3 * 3.0
+    )
+    # neighbors outside the area untouched
+    assert cube["2020", "Jan", "North", "A", "Sales"] is None
+
+
+def test_dense_fill_zero_arg_callable(spark):
+    """Reference area.py:322-326 calls value() with NO arguments."""
+    import random
+
+    db, cube = _area_golden_model(spark)
+    area = cube.area("2020", "months:Q1", ("Sales",))
+
+    def gen():
+        return 2.0
+
+    area.set_value(gen)
+    assert len(area) == 3 * 4 * 3
+    assert area.sum() == pytest.approx(3 * 4 * 3 * 2.0)
+    # one-arg callables (our original surface) still work, address-aware
+    area2 = cube.area("2022", "months:Q1", ("Sales",))
+    area2.set_value(lambda addr: 1.0 if addr[2] == "North" else 0.5)
+    assert area2.sum() == pytest.approx(3 * 3 * 1.0 + 3 * 3 * 3 * 0.5)
+
+
+def test_dense_fill_respects_existing_rows(spark):
+    """With stored rows present, set_value updates ONLY those rows
+    (reference else-branch area.py:328-336); enumerate_data_space=True
+    forces the dense fill."""
+    db, cube = _area_golden_model(spark)
+    cube[("2023", "Jan", "North", "A", "Sales")] = 7.0
+    area = cube.area("2023", ("Sales",))
+    area.set_value(1.0)
+    assert len(area) == 1
+    assert cube[("2023", "Jan", "North", "A", "Sales")] == 1.0
+    area.set_value(5.0, enumerate_data_space=True)
+    assert len(area) == 12 * 4 * 3
+    assert area.sum() == pytest.approx(12 * 4 * 3 * 5.0)

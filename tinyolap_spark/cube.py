@@ -134,7 +134,11 @@ class Cell:
     def __setitem__(self, modifiers, value) -> None:
         self._cube._set_idx(self._shifted(modifiers), value)
 
-    # float-ish arithmetic (reference cell.py:336-448)
+    # float-ish arithmetic (reference cell.py:336-448).  All operators —
+    # including the in-place variants — return plain numbers, so
+    # ``c += x`` rebinds the name to a float, exactly like the reference.
+    # (Deviation: reference ``__iadd__`` calls ``other.numeric_value`` and
+    # so crashes on ``c += 2.0``; we use the sane numeric path.)
     def _f(self) -> float:
         v = self.value
         return float(v) if isinstance(v, (int, float)) else 0.0
@@ -142,13 +146,28 @@ class Cell:
     def __float__(self) -> float:
         return self._f()
 
+    def __index__(self) -> int:
+        return int(self._f())
+
+    def __neg__(self):
+        return -self._f()
+
+    def __pos__(self):
+        return self._f()
+
+    def __abs__(self):
+        return abs(self._f())
+
     def __add__(self, o):
         return self._f() + float(o)
 
     __radd__ = __add__
+    __iadd__ = __add__
 
     def __sub__(self, o):
         return self._f() - float(o)
+
+    __isub__ = __sub__
 
     def __rsub__(self, o):
         return float(o) - self._f()
@@ -157,12 +176,61 @@ class Cell:
         return self._f() * float(o)
 
     __rmul__ = __mul__
+    __imul__ = __mul__
 
     def __truediv__(self, o):
         return self._f() / float(o)
 
+    __itruediv__ = __truediv__
+
     def __rtruediv__(self, o):
         return float(o) / self._f()
+
+    def __floordiv__(self, o):
+        return self._f() // float(o)
+
+    __ifloordiv__ = __floordiv__
+
+    def __rfloordiv__(self, o):
+        return float(o) // self._f()
+
+    def __mod__(self, o):
+        return self._f() % float(o)
+
+    __imod__ = __mod__
+
+    def __rmod__(self, o):
+        return float(o) % self._f()
+
+    def __divmod__(self, o):
+        return divmod(self._f(), float(o))
+
+    def __rdivmod__(self, o):
+        return divmod(float(o), self._f())
+
+    def __pow__(self, o, modulo=None):
+        return self._f() ** float(o)
+
+    __ipow__ = __pow__
+
+    def __rpow__(self, o):
+        return float(o) ** self._f()
+
+    def __and__(self, o):
+        return self._f() and o
+
+    __iand__ = __and__
+
+    def __rand__(self, o):
+        return o and self._f()
+
+    def __or__(self, o):
+        return self._f() or o
+
+    __ior__ = __or__
+
+    def __ror__(self, o):
+        return o or self._f()
 
     def __eq__(self, o):
         return self._f() == o
@@ -967,18 +1035,138 @@ class Area:
         changed = inside.withColumn("value", fn_col(F.col("value")))
         cube._replace_fact(outside.unionByName(changed))
 
-    def set_value(self, value: Any) -> None:
-        """Set every *existing* cell in the area to ``value``.
+    def set_value(self, value: Any, enumerate_data_space: bool = False) -> None:
+        """Set cells in the area to ``value``.
 
-        A callable is evaluated per cell with the address (tuple of member
-        names) as argument (reference ``area.py:321-336``: cell-value
-        callables, e.g. seeded random generators).  Executed as one
-        Arrow-batched pass — the callable runs executor-side.
+        Reference parity (``area.py:315-336``): if the area holds stored
+        rows, only those rows are updated; if the area is EMPTY (or
+        ``enumerate_data_space=True``), the entire base-level data space of
+        the area is enumerated and filled — this is how models are seeded.
+
+        Callables are evaluated per cell executor-side: zero-arg callables
+        match the reference contract (``area.py:322-326`` calls
+        ``value()``); one-arg callables receive the address as a tuple of
+        member names.  The dense grid is built as a distributed cross join
+        of per-dimension leaf-member DataFrames (never materialized on the
+        driver), so a huge data space parallelizes across executors.
         """
+        if enumerate_data_space or self.count() == 0:
+            self._dense_fill(value)
+            return
         if callable(value):
             self._set_callable(value)
             return
+        if isinstance(value, str):
+            cube = self.cube
+            cube._flush()
+            inside = self.rows_df()
+            outside = cube._fact.exceptAll(inside)
+            changed = inside.withColumn(
+                "value", F.lit(None).cast(DoubleType())
+            ).withColumn("value_str", F.lit(value))
+            cube._replace_fact(outside.unionByName(changed))
+            return
         self.transform(lambda c: F.lit(float(value)))
+
+    def _dense_grid_df(self) -> DataFrame:
+        """Distributed dense base-level grid of the area: cross join of
+        per-dimension leaf-id DataFrames (reference ``area.py:140-192``
+        enumerates the same space with ``itertools.product`` on the
+        driver — here the product is generated executor-side)."""
+        cube = self.cube
+        spark = cube.spark
+        grid: Optional[DataFrame] = None
+        n_cells = 1
+        for pos, (col, dim) in enumerate(cube._dims_spec()):
+            if pos in self.filters:
+                ids: list[int] = []
+                seen: set[int] = set()
+                for idx in self.filters[pos]:
+                    for leaf in Member(dim, idx).leaves:
+                        if leaf.index not in seen:
+                            seen.add(leaf.index)
+                            ids.append(leaf.index)
+            else:
+                ids = [m.index for m in dim.leaf_members]
+            n_cells *= max(len(ids), 1)
+            # single partition per (tiny) member list + broadcast right
+            # sides: a plain crossJoin multiplies partition counts
+            # (4^ndims scheduler blowup for a few hundred rows)
+            df = spark.createDataFrame(
+                [(i,) for i in ids],
+                StructType([StructField(col, IntegerType())]),
+            ).coalesce(1)
+            grid = df if grid is None else grid.crossJoin(F.broadcast(df))
+        if n_cells > 100_000:
+            # spread a genuinely large dense space across the cluster
+            grid = grid.repartition(spark.sparkContext.defaultParallelism)
+        return grid
+
+    def _dense_fill(self, value: Any) -> None:
+        """Overwrite the area's entire base-level space with ``value``."""
+        cube = self.cube
+        cube._flush()
+        grid = self._dense_grid_df()
+        schema = cube._schema
+        used_callable = callable(value)
+        if used_callable:
+            try:
+                nargs = len(inspect.signature(value).parameters)
+            except (TypeError, ValueError):
+                nargs = 0
+            name_maps = [
+                {d.idx: d.name for d in dim._iter_defs()}
+                for dim in cube.dimensions
+            ]
+            cols = cube._cols
+            fn = value
+
+            def run(batches):
+                for pdf in batches:
+                    vals, strs = [], []
+                    for row in pdf.to_dict("records"):
+                        if nargs == 0:
+                            v = fn()
+                        else:
+                            v = fn(
+                                tuple(
+                                    name_maps[i][row[c]]
+                                    for i, c in enumerate(cols)
+                                )
+                            )
+                        if isinstance(v, str):
+                            vals.append(None)
+                            strs.append(v)
+                        elif v is None:
+                            vals.append(None)
+                            strs.append(None)
+                        else:
+                            vals.append(float(v))
+                            strs.append(None)
+                    pdf = pdf.copy()
+                    pdf["value"] = vals
+                    pdf["value_str"] = strs
+                    yield pdf
+
+            rows = grid.mapInPandas(run, schema=schema)
+        elif isinstance(value, str):
+            rows = grid.withColumn(
+                "value", F.lit(None).cast(DoubleType())
+            ).withColumn("value_str", F.lit(value))
+        else:
+            rows = grid.withColumn(
+                "value", F.lit(float(value))
+            ).withColumn("value_str", F.lit(None).cast(StringType()))
+        inside = self.rows_df()
+        remaining = cube._fact.exceptAll(inside)
+        merged = remaining.unionByName(rows.select(*schema.fieldNames()))
+        if used_callable:
+            # snapshot: non-deterministic callables (random seeds) must not
+            # re-evaluate on lineage recompute
+            merged = merged.localCheckpoint(eager=True)
+            cube._replace_fact(merged, persist=False)
+        else:
+            cube._replace_fact(merged)
 
     def _set_callable(self, fn) -> None:
         cube = self.cube
