@@ -195,3 +195,26 @@ def test_cell_full_arithmetic_surface(spark):
 
     cube.register_rule(sq_rule, trigger=["m:sq"])
     assert cube[("a", "sq")] == 49.0 + 3.0 - 1.0
+
+
+def test_mini_sql_dense_product_guard(spark):
+    """SURVEY §7.4: an unbounded dense product (d1=*, d2=* over big dims)
+    raises QueryError instead of materializing on the driver."""
+    from tinyolap_spark import Database
+    from tinyolap_spark.sqlq import Query, QueryError
+
+    db = Database("guard", spark=spark)
+    d1 = db.add_dimension("d1").edit()
+    d1.add_many("All1", [f"a{i}" for i in range(1500)])
+    d1.commit()
+    d2 = db.add_dimension("d2").edit()
+    d2.add_many("All2", [f"b{i}" for i in range(1500)])
+    d2.commit()
+    db.add_cube("c", [d1, d2])
+    with pytest.raises(QueryError, match="max_cells"):
+        Query(db, 'SELECT value FROM c WHERE d1=*, d2=*').execute()
+    # a raised budget permits it (and a narrow query is always fine)
+    Query(db, 'SELECT value FROM c WHERE d1=All1, d2=(b0, b1)').execute()
+    q = Query(db, 'SELECT value FROM c WHERE d1=*, d2=*',
+              max_cells=3_000_000)
+    assert q.max_cells == 3_000_000

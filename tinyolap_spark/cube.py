@@ -58,90 +58,25 @@ from .rules import (
 
 MAX_DIMS_PER_CUBE = 32  # reference database.py:35-37
 
+_FALLBACK = object()  # sentinel: distributed rule path declined
 
-class Cell:
-    """Cursor at one cube address, handed to rules
-    (reference ``cell.py:17``, member resolution ``cell.py:251-331``).
 
-    Inside a rule::
+class _NonLocalRead(Exception):
+    """A slice-local rule cell was asked for data outside its slice."""
 
-        @rule("sales", trigger=["Profit in %"])
-        def profit_pct(c):
-            return c["Profit"] / c["Sales"]
 
-    Modifier syntax for ``c[...]``: a bare member name (resolved against the
-    first dimension that contains it), ``"dim:member"``, or ``"i:member"``
-    with a 0-based dimension ordinal.  Multiple modifiers combine.
-    """
+class _FloatOps:
+    """Float operator surface shared by Cell and slice-local rule cells
+    (reference ``cell.py:336-448``).  All operators — including in-place
+    variants — return plain numbers, so ``c += x`` rebinds to a float,
+    exactly like the reference.  (Deviation: reference ``__iadd__`` calls
+    ``other.numeric_value`` and so crashes on ``c += 2.0``; we use the
+    sane numeric path.)  Subclasses provide ``_f() -> float``."""
 
-    __slots__ = ("_cube", "_idx_address", "bypass_rules")
+    __slots__ = ()
 
-    def __init__(self, cube: "Cube", idx_address: tuple[int, ...], bypass_rules: bool = False):
-        self._cube = cube
-        self._idx_address = idx_address
-        self.bypass_rules = bypass_rules
-
-    # -- address ----------------------------------------------------------
-    @property
-    def address(self) -> tuple[str, ...]:
-        return tuple(
-            dim._defs[idx].name
-            for dim, idx in zip(self._cube.dimensions, self._idx_address)
-        )
-
-    def member(self, dim: "str | int") -> Member:
-        pos = self._cube._dim_position(dim)
-        return Member(self._cube.dimensions[pos], self._idx_address[pos])
-
-    # -- reads ------------------------------------------------------------
-    @property
-    def value(self) -> Any:
-        return self._cube._get_idx(
-            self._idx_address, bypass_rules=self.bypass_rules
-        )
-
-    def _shifted(self, modifiers: "str | tuple") -> tuple[int, ...]:
-        if isinstance(modifiers, str):
-            modifiers = (modifiers,)
-        addr = list(self._idx_address)
-        for mod in modifiers:
-            pos, midx = self._resolve_modifier(str(mod))
-            addr[pos] = midx
-        return tuple(addr)
-
-    def _resolve_modifier(self, mod: str) -> tuple[int, int]:
-        cube = self._cube
-        if ":" in mod:
-            dpart, mname = mod.split(":", 1)
-            dpart, mname = dpart.strip(), mname.strip()
-            if dpart.isdigit():
-                pos = int(dpart)
-                if pos >= len(cube.dimensions):
-                    raise KeyError(f"dimension ordinal {pos} out of range")
-            else:
-                pos = cube._dim_position(dpart)
-            return pos, cube.dimensions[pos].member(mname).index
-        for pos, dim in enumerate(cube.dimensions):
-            if mod in dim:
-                return pos, dim.member(mod).index
-        raise KeyError(f"member '{mod}' not found in any dimension")
-
-    def __getitem__(self, modifiers) -> Any:
-        return self._cube._get_idx(
-            self._shifted(modifiers), bypass_rules=self.bypass_rules
-        )
-
-    def __setitem__(self, modifiers, value) -> None:
-        self._cube._set_idx(self._shifted(modifiers), value)
-
-    # float-ish arithmetic (reference cell.py:336-448).  All operators —
-    # including the in-place variants — return plain numbers, so
-    # ``c += x`` rebinds the name to a float, exactly like the reference.
-    # (Deviation: reference ``__iadd__`` calls ``other.numeric_value`` and
-    # so crashes on ``c += 2.0``; we use the sane numeric path.)
     def _f(self) -> float:
-        v = self.value
-        return float(v) if isinstance(v, (int, float)) else 0.0
+        raise NotImplementedError
 
     def __float__(self) -> float:
         return self._f()
@@ -247,8 +182,208 @@ class Cell:
     def __ge__(self, o):
         return self._f() >= o
 
+
+class Cell(_FloatOps):
+    """Cursor at one cube address, handed to rules
+    (reference ``cell.py:17``, member resolution ``cell.py:251-331``).
+
+    Inside a rule::
+
+        @rule("sales", trigger=["Profit in %"])
+        def profit_pct(c):
+            return c["Profit"] / c["Sales"]
+
+    Modifier syntax for ``c[...]``: a bare member name (resolved against the
+    first dimension that contains it), ``"dim:member"``, or ``"i:member"``
+    with a 0-based dimension ordinal.  Multiple modifiers combine.
+    """
+
+    __slots__ = ("_cube", "_idx_address", "bypass_rules")
+
+    def __init__(self, cube: "Cube", idx_address: tuple[int, ...], bypass_rules: bool = False):
+        self._cube = cube
+        self._idx_address = idx_address
+        self.bypass_rules = bypass_rules
+
+    # -- address ----------------------------------------------------------
+    @property
+    def address(self) -> tuple[str, ...]:
+        return tuple(
+            dim._defs[idx].name
+            for dim, idx in zip(self._cube.dimensions, self._idx_address)
+        )
+
+    def member(self, dim: "str | int") -> Member:
+        pos = self._cube._dim_position(dim)
+        return Member(self._cube.dimensions[pos], self._idx_address[pos])
+
+    # -- reads ------------------------------------------------------------
+    @property
+    def value(self) -> Any:
+        return self._cube._get_idx(
+            self._idx_address, bypass_rules=self.bypass_rules
+        )
+
+    def _shifted(self, modifiers: "str | tuple") -> tuple[int, ...]:
+        if isinstance(modifiers, str):
+            modifiers = (modifiers,)
+        addr = list(self._idx_address)
+        for mod in modifiers:
+            pos, midx = self._resolve_modifier(str(mod))
+            addr[pos] = midx
+        return tuple(addr)
+
+    def _resolve_modifier(self, mod: str) -> tuple[int, int]:
+        cube = self._cube
+        if ":" in mod:
+            dpart, mname = mod.split(":", 1)
+            dpart, mname = dpart.strip(), mname.strip()
+            if dpart.isdigit():
+                pos = int(dpart)
+                if pos >= len(cube.dimensions):
+                    raise KeyError(f"dimension ordinal {pos} out of range")
+            else:
+                pos = cube._dim_position(dpart)
+            return pos, cube.dimensions[pos].member(mname).index
+        for pos, dim in enumerate(cube.dimensions):
+            if mod in dim:
+                return pos, dim.member(mod).index
+        raise KeyError(f"member '{mod}' not found in any dimension")
+
+    def __getitem__(self, modifiers) -> Any:
+        return self._cube._get_idx(
+            self._shifted(modifiers), bypass_rules=self.bypass_rules
+        )
+
+    def __setitem__(self, modifiers, value) -> None:
+        self._cube._set_idx(self._shifted(modifiers), value)
+
+    # float-ish arithmetic: inherited from _FloatOps (reference
+    # cell.py:336-448)
+    def _f(self) -> float:
+        v = self.value
+        return float(v) if isinstance(v, (int, float)) else 0.0
+
     def __hash__(self):
         return hash((id(self._cube), self._idx_address))
+
+
+class _ProbeCell(Cell):
+    """Cell that records which (dim position, member) every modifier of
+    ``c[...]`` resolves to — a one-row dry run deciding whether a
+    BASE_LEVEL rule is eligible for executor-side evaluation."""
+
+    __slots__ = ("probed",)
+
+    def __init__(self, cube, idx_address, probed):
+        super().__init__(cube, idx_address, bypass_rules=False)
+        self.probed = probed
+
+    def _resolve_modifier(self, mod):
+        pos, midx = super()._resolve_modifier(mod)
+        self.probed.append((pos, midx))
+        return pos, midx
+
+    def run(self, fn):
+        return fn(self)
+
+
+class _SliceCell(_FloatOps):
+    """Executor-side rule cursor backed by ONE fact slice row: the values
+    of dimension ``p``'s members at a fixed rest-address, as a plain dict.
+    Resolution mirrors ``Cell._resolve_modifier``; any read that leaves
+    the slice raises ``_NonLocalRead`` (→ driver fallback)."""
+
+    __slots__ = (
+        "_p", "_rest_cols", "_rest", "_trigger_midx", "_vals",
+        "_dim_lookups", "_id_names", "_n_dims", "_p_col",
+    )
+
+    def __init__(
+        self, p, rest_cols, rest, trigger_midx, vals,
+        dim_lookups, id_names, n_dims, p_col,
+    ):
+        self._p = p
+        self._rest_cols = rest_cols
+        self._rest = rest
+        self._trigger_midx = trigger_midx
+        if vals and not isinstance(vals, dict):
+            vals = dict(vals)  # Arrow map -> list of (k, v) tuples
+        self._vals = vals or {}
+        self._dim_lookups = dim_lookups
+        self._id_names = id_names
+        self._n_dims = n_dims
+        self._p_col = p_col
+
+    # -- reads -------------------------------------------------------------
+    @property
+    def value(self):
+        return self._vals.get(self._trigger_midx)
+
+    def _f(self) -> float:
+        v = self.value
+        return float(v) if isinstance(v, (int, float)) else 0.0
+
+    def _resolve(self, mod: str) -> tuple[int, int]:
+        mod = str(mod)
+        if ":" in mod:
+            dpart, mname = mod.split(":", 1)
+            dpart, mname = dpart.strip(), mname.strip()
+            key = mname.strip().lower()
+            if dpart.isdigit():
+                pos = int(dpart)
+                if pos >= self._n_dims:
+                    raise KeyError(f"dimension ordinal {pos} out of range")
+            else:
+                dl = dpart.strip().lower()
+                pos = next(
+                    (
+                        i
+                        for i, (_lk, dname) in enumerate(self._dim_lookups)
+                        if dname == dl
+                    ),
+                    None,
+                )
+                if pos is None:
+                    raise KeyError(f"dimension '{dpart}' not found")
+            midx = self._dim_lookups[pos][0].get(key)
+            if midx is None:
+                raise KeyError(f"member '{mname}' not found")
+            return pos, midx
+        key = mod.strip().lower()
+        for pos, (lk, _dname) in enumerate(self._dim_lookups):
+            if key in lk:
+                return pos, lk[key]
+        raise KeyError(f"member '{mod}' not found in any dimension")
+
+    def __getitem__(self, modifiers):
+        if isinstance(modifiers, str):
+            modifiers = (modifiers,)
+        midx = self._trigger_midx
+        for mod in modifiers:
+            pos, m = self._resolve(str(mod))
+            if pos != self._p:
+                raise _NonLocalRead(str(mod))
+            midx = m
+        return self._vals.get(midx)
+
+    def __setitem__(self, modifiers, value):
+        raise _NonLocalRead("write from distributed rule")
+
+    @property
+    def address(self) -> tuple:
+        out = []
+        ri = 0
+        for pos in range(self._n_dims):
+            if pos == self._p:
+                out.append(self._id_names[pos].get(self._trigger_midx))
+            else:
+                out.append(self._id_names[pos].get(self._rest[ri]))
+                ri += 1
+        return tuple(out)
+
+    def __getattr__(self, name):
+        raise _NonLocalRead(name)
 
 
 class Cube:
@@ -289,6 +424,9 @@ class Cube:
         self.rules = RuleRegistry()
         self.caching = True
         self._cache: dict[tuple[int, ...], Any] = {}
+        # which path evaluated the last BASE_LEVEL aggregate rule
+        # ("executor" | "driver") — observability + tests
+        self._last_base_rule_path: Optional[str] = None
         # stats (reference cube.py:118-127)
         self.counter_cell_requests = 0
         self.counter_aggregations = 0
@@ -702,14 +840,33 @@ class Cube:
         The base-cell set comes from the feeder slice when a feeder is
         declared (rows of ``Quantity`` drive ``Sales``), else from the
         trigger slice itself.
+
+        Execution is two-tier (SURVEY §2.10/R6): a distributed path
+        evaluates the rule executor-side over the feeder slice and
+        aggregates in Spark — no driver collect of base rows — whenever a
+        one-row probe shows the rule only reads sibling leaf members of a
+        single dimension (the dominant measures-rule shape) with no nested
+        rules on the read addresses.  Anything else falls back to the
+        driver loop, which can re-enter the full cube.
         """
         self._flush()
         query_addr = list(idx_address)
         if rdef.feeder:
             for pos, midx in rdef.feeder_idx_pattern:
                 query_addr[pos] = midx
-        # all base rows under the (possibly feeder-swapped) address, with
-        # rollup weights — one Spark job
+        dist = self._base_rule_distributed(rdef, query_addr)
+        if dist is not _FALLBACK:
+            self._last_base_rule_path = "executor"
+            return dist
+        self._last_base_rule_path = "driver"
+        return self._base_rule_driver_loop(rdef, query_addr)
+
+    def _base_rule_driver_loop(
+        self, rdef: RuleDef, query_addr: list[int]
+    ) -> Any:
+        """Driver-side evaluation: collects the feeder slice and calls the
+        rule per row with a full cube-backed Cell (supports arbitrary
+        cube re-entry, nested rules, multi-dimension reads)."""
         requested = {c: [query_addr[i]] for i, c in enumerate(self._cols)}
         df, _ = engine._joined_rollup(
             self._fact, self.spark, self._dims_spec(), requested
@@ -738,6 +895,175 @@ class Cube:
             if isinstance(v, float):
                 total += v * row["__w_total"]
         return total
+
+    def _base_rule_distributed(
+        self, rdef: RuleDef, query_addr: list[int]
+    ) -> Any:
+        """Executor-side feeder-rule aggregation, or ``_FALLBACK``.
+
+        Plan: fact rows under the aggregate with the rule's single read
+        dimension p left UNFILTERED → groupBy the leaf rest-address with a
+        JVM-side ``map_from_entries(collect_list(...))`` building the
+        per-cell {member_id: value} map → one ``mapInPandas`` pass calls
+        the rule with a slice-local Cell → Spark sums the weighted results
+        to a scalar.  One shuffle, no fact-sized driver collect.
+        """
+        pattern = rdef.trigger_idx_pattern or rdef.idx_pattern
+        positions = {pos for pos, _ in pattern}
+        if rdef.feeder_idx_pattern:
+            positions |= {pos for pos, _ in rdef.feeder_idx_pattern}
+        if len(positions) != 1:
+            return _FALLBACK
+        p = next(iter(positions))
+        pdim = self.dimensions[p]
+        trigger_midx = dict(pattern)[p]
+        feeder_midx = (
+            dict(rdef.feeder_idx_pattern)[p]
+            if rdef.feeder_idx_pattern
+            else trigger_midx
+        )
+        # leaf trigger/feeder only (aggregated feeders need rollup weights
+        # inside dim p — driver path handles those)
+        if pdim._defs[trigger_midx].level != 0 or pdim._defs[feeder_midx].level != 0:
+            return _FALLBACK
+        # probe: one base row under the query address tells us which
+        # dimensions the rule actually touches
+        requested_full = {c: [query_addr[i]] for i, c in enumerate(self._cols)}
+        sample_df, _ = engine._joined_rollup(
+            self._fact, self.spark, self._dims_spec(), requested_full
+        )
+        sample = sample_df.select(*self._cols).limit(1).collect()
+        if not sample:
+            return None  # empty feeder slice (reference: empty cell)
+        trigger_idx = [sample[0][c] for c in self._cols]
+        for pos, midx in pattern:
+            trigger_idx[pos] = midx
+        probed: list[tuple[int, int]] = []
+        try:
+            _ProbeCell(self, tuple(trigger_idx), probed).run(rdef.function)
+        except Exception:  # noqa: BLE001 — probe errors still leave reads recorded
+            pass
+        read_pos = {pos for pos, _ in probed}
+        if read_pos - {p}:
+            return _FALLBACK  # reads cross dimensions — needs the cube
+        read_midxs = {midx for _, midx in probed} | {trigger_midx, feeder_midx}
+        if any(pdim._defs[m].level != 0 for m in read_midxs):
+            return _FALLBACK  # reads aggregated members of p
+        # nested rules on any readable (p, member) address -> driver path
+        for other in self.rules:
+            if other is rdef:
+                continue
+            if other.scope not in (
+                RuleScope.ALL_LEVELS,
+                RuleScope.BASE_LEVEL,
+                RuleScope.AGGREGATION_LEVEL,
+            ):
+                continue
+            for pos, midx in other.idx_pattern or []:
+                if pos == p:
+                    return _FALLBACK
+        p_col = self._cols[p]
+        requested = {
+            c: [query_addr[i]]
+            for i, c in enumerate(self._cols)
+            if c != p_col
+        }
+        df, _ = engine._joined_rollup(
+            self._fact, self.spark, self._dims_spec(), requested
+        )
+        wprod = F.lit(1.0)
+        for c in self._cols:
+            if f"__w_{c}" in df.columns:
+                wprod = wprod * F.col(f"__w_{c}")
+        rest_cols = [c for c in self._cols if c != p_col]
+        grouped = df.groupBy(*[F.col(c) for c in rest_cols]).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(p_col), F.col("value")))
+            ).alias("__vals"),
+            F.first(wprod).alias("__w"),
+        )
+        # context shipped to executors: per-dim name->idx resolution and
+        # idx->name maps (small metadata), matching Cell._resolve_modifier
+        dim_lookups = [
+            ({k: v for k, v in dim._lookup.items()}, dim.name.lower())
+            for dim in self.dimensions
+        ]
+        id_names = [
+            {d.idx: d.name for d in dim._iter_defs()}
+            for dim in self.dimensions
+        ]
+        fn = rdef.function
+        n_dims = len(self._cols)
+
+        def run(batches):
+            import pandas as pd
+
+            from tinyolap_spark.rules import CONTINUE as _CONT
+            from tinyolap_spark.rules import map_rule_error as _map_err
+
+            for pdf in batches:
+                out_v, out_err = [], []
+                for row in pdf.to_dict("records"):
+                    vals = row["__vals"] or {}
+                    rest = [row[c] for c in rest_cols]
+                    cell = _SliceCell(
+                        p, rest_cols, rest, trigger_midx, vals,
+                        dim_lookups, id_names, n_dims, p_col,
+                    )
+                    err = None
+                    try:
+                        v = fn(cell)
+                    except _NonLocalRead:
+                        out_v.append(None)
+                        out_err.append("__nonlocal__")
+                        continue
+                    except Exception as exc:  # noqa: BLE001
+                        out_v.append(None)
+                        out_err.append(_map_err(exc))
+                        continue
+                    if v is _CONT:
+                        v = vals.get(feeder_midx)
+                    if isinstance(v, bool) or not isinstance(v, (int, float)):
+                        v = None
+                    out_v.append(float(v) if v is not None else None)
+                    out_err.append(err)
+                yield pd.DataFrame(
+                    {
+                        "v": pd.Series(out_v, dtype="float64"),
+                        "w": pd.Series(
+                            [row["__w"] for row in pdf.to_dict("records")],
+                            dtype="float64",
+                        ),
+                        "err": pd.Series(out_err, dtype="object"),
+                    }
+                )
+
+        # only groups holding a feeder row are evaluation points
+        evald = grouped.where(
+            F.map_contains_key(F.col("__vals"), F.lit(int(feeder_midx)))
+        )
+        try:
+            res = evald.mapInPandas(
+                run, schema="v double, w double, err string"
+            ).agg(
+                F.sum(F.col("v") * F.col("w")).alias("total"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("err").alias("err"),
+                F.max(
+                    F.coalesce(
+                        F.col("err") == F.lit("__nonlocal__"), F.lit(False)
+                    )
+                ).alias("nonloc"),
+            ).collect()[0]
+        except Exception:  # noqa: BLE001 — unpicklable rule etc.
+            return _FALLBACK
+        if res["nonloc"]:
+            return _FALLBACK
+        if res["err"] is not None:
+            return res["err"]
+        if res["n"] == 0:
+            return None
+        return res["total"] if res["total"] is not None else 0.0
 
     # --------------------------------------------------------------- rules
     def register_rule(

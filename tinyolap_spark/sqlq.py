@@ -74,9 +74,14 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
 class Query:
     """``Query(db, sql).execute()`` — reference-compatible entry point."""
 
-    def __init__(self, db: Database, sql: str):
+    #: default dense-product budget: the result grid is driver-collected,
+    #: so cap it well under driver memory (SURVEY §7.4)
+    DEFAULT_MAX_CELLS = 1_000_000
+
+    def __init__(self, db: Database, sql: str, max_cells: Optional[int] = None):
         self.db = db
         self.sql = sql
+        self.max_cells = max_cells or self.DEFAULT_MAX_CELLS
         self.records: list[list[Any]] = []
         self.column_names: list[str] = []
         self.df: Optional[DataFrame] = None
@@ -128,6 +133,20 @@ class Query:
                 fields.append(("dim", cube._dim_position(f_)))
         if not any(k == "value" for k, _ in fields):
             fields.append(("value", None))
+
+        # ---- dense-product guard (SURVEY §7.4) --------------------------
+        # the result is the dense cross product of slicer member lists; an
+        # unbounded ``d1=*, d2=*`` over big dimensions would blow up the
+        # driver, so refuse above a configurable cell budget
+        n_cells = 1
+        for lst in member_lists.values():
+            n_cells *= max(len(lst), 1)
+        if n_cells > self.max_cells:
+            raise QueryError(
+                f"query spans {n_cells:,} cells, above the max_cells limit "
+                f"of {self.max_cells:,}; narrow the WHERE slicers or raise "
+                "Query(..., max_cells=...)"
+            )
 
         # ---- one aggregation job ----------------------------------------
         positions = list(range(len(cube.dimensions)))
