@@ -580,14 +580,36 @@ def _q_docs_minhash_pairs(spark, sf_dir):
 
 
 def _q_docs_simhash_pairs(spark, sf_dir):
-    """SimHash hamming-0 pairs == identical token streams (oracle: identical
-    normalized text self-join)."""
+    """SimHash candidate -> exact-verify dedup (same shape as the MinHash
+    pipeline): hamming-0 SimHash pairs are CANDIDATES (different short docs
+    with overlapping vocab do collide — measured 4 collisions at sf0.01),
+    verified by normalized-text equality.  The final result is exactly the
+    identical-normalized-text pairs, which the DuckDB oracle computes
+    directly.  Identical text => identical simhash, so no true pair can be
+    missed — the oracle also catches false negatives in the banding."""
     from tinyolap_spark.pipeline import dedup
 
     corpus = _docs_with_dups(spark, sf_dir)
     sim = dedup.simhash(corpus)
+    cand = dedup.simhash_near_pairs(sim, max_hamming=0)
+    norm = corpus.select(
+        F.col("doc_id"),
+        F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("__t"),
+    )
     return (
-        dedup.simhash_near_pairs(sim, max_hamming=0)
+        cand.join(
+            norm.select(
+                F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            norm.select(
+                F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb")
+            ),
+            "doc_b",
+        )
+        .where(F.col("__ta") == F.col("__tb"))
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     )
@@ -619,33 +641,141 @@ def _q_docs_quality_histogram(spark, sf_dir):
 
 
 def _q_emb_ivf_topk(spark, sf_dir):
-    """IVF approximate ANN (rows-only check: approximate by design)."""
+    """IVF ANN with a recall oracle (VERDICT r1 #5/#6): 8 query vectors run
+    through the batched ``search_many`` (ncells=64, nprobe=48) AND through
+    an exhaustive probe of every cell (= exact top-10); per-query
+    recall@10 is computed IN SPARK and thresholded at 0.7.  The oracle
+    asserts all 8 queries clear the threshold.
+
+    The synthetic embeddings are near-uniform (no cluster structure), so
+    recall tracks the scanned fraction — hence the high nprobe here; on
+    clustered production data the same index reaches high recall at
+    nprobe << ncells.  Exact top-10 via nprobe=ncells also exercises the
+    full-probe path end-to-end."""
     from tinyolap_spark.pipeline import similarity
 
     emb = _raw(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).collect()[0]
-    q = [float(x) for x in qrow["embedding"]]
-    idx = similarity.IVFIndex(
-        emb.where(F.col("vec_id") != 0), ncells=8, sample=512, iters=3
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    ]
+    corpus = emb.where(F.col("vec_id") >= 8)
+    idx = similarity.IVFIndex(corpus, ncells=64, sample=1024, iters=4)
+    approx = idx.search_many(queries, k=10, nprobe=48)
+    exact = idx.search_many(queries, k=10, nprobe=idx.ncells)
+    hits = approx.select("query_id", "vec_id").join(
+        exact.select("query_id", "vec_id"), ["query_id", "vec_id"]
     )
-    out = idx.search(q, k=10, nprobe=4).select("vec_id", "score")
-    result = out.select("vec_id")  # drop float score for stability
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    result = (
+        per_q.select(
+            F.col("query_id"),
+            (F.col("__n") >= F.lit(7)).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+    rows = result.collect()
     idx.assigned.unpersist()
-    return result
+    return spark.createDataFrame(rows, schema="query_id long, recall_ok boolean")
 
 
 def _q_docs_fingerprints(spark, sf_dir):
-    """Rolling-hash fingerprint groups (xxhash64 — no DuckDB twin;
-    rows-only check).  Groups >1 mean near-identical normalized bodies."""
+    """Fingerprint candidate -> exact-verify dedup: equal rolling-hash
+    fingerprints (a 1-hash MinHash — two different docs sharing their
+    minimum 8-gram DO collide) are candidate pairs, verified by
+    normalized-text equality.  Identical text => identical fingerprint, so
+    the verified result is exactly the identical-normalized-text pairs —
+    the DuckDB oracle computes those directly, catching both false
+    positives that survive verification and any false negative in the
+    fingerprint itself."""
     from tinyolap_spark.pipeline import text as text_ops
 
     corpus = _docs_with_dups(spark, sf_dir)
+    fp = corpus.select(
+        F.col("doc_id"),
+        text_ops.fingerprint("text").alias("__fp"),
+        F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("__t"),
+    )
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__fp").alias("__fpa"),
+        F.col("__t").alias("__ta"),
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__fp").alias("__fpb"),
+        F.col("__t").alias("__tb"),
+    )
     return (
-        corpus.select(text_ops.fingerprint("text").alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .orderBy("fp")
+        a.join(b, (F.col("__fpa") == F.col("__fpb")) & (F.col("doc_a") < F.col("doc_b")))
+        .where(F.col("__ta") == F.col("__tb"))
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _q_events_cube_stream_ingest(spark, sf_dir):
+    """Streaming ingestion END-TO-END into a cube (VERDICT r1 #8): the
+    events fixture streams through ``readStream -> foreachBatch`` additive
+    merges into a (event_type x day) cube fact, then the result is read
+    back through the cube's closure rollup — per-type totals plus the
+    all-types/all-days grand total.  The oracle is the equivalent batch
+    SQL; values are integer cents so streaming/batch sums are exact."""
+    import tempfile
+
+    from tinyolap_spark import Database
+    from tinyolap_spark.streaming import ingest
+
+    ev = _raw(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+    day = F.to_date("ts").cast("string")
+    meta = ev.select(
+        F.col("event_type").alias("t"), day.alias("d")
+    ).distinct().collect()
+    types = sorted({r["t"] for r in meta})
+    days = sorted({r["d"] for r in meta})
+    db = Database("stream_cube", spark=spark)
+    et = db.add_dimension("etype").edit()
+    et.add_many("All types", types)
+    et.commit()
+    dd = db.add_dimension("day").edit()
+    dd.add_many("All days", days)
+    dd.commit()
+    cube = db.add_cube("events_cube", [et, dd])
+    tmap = {m.name: m.index for m in et.members}
+    dmap = {m.name: m.index for m in dd.members}
+    t_expr = F.create_map(
+        [F.lit(x) for kv in tmap.items() for x in kv]
+    )
+    d_expr = F.create_map(
+        [F.lit(x) for kv in dmap.items() for x in kv]
+    )
+
+    def mapper(batch):
+        return batch.groupBy(
+            t_expr[F.col("event_type")].alias("etype"),
+            d_expr[F.to_date("ts").cast("string")].alias("day"),
+        ).agg(F.sum(F.round(F.col("value") * 100, 0)).alias("value"))
+
+    src = tempfile.mkdtemp(prefix="events_cube_src_")
+    ck = tempfile.mkdtemp(prefix="events_cube_ck_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = ingest.events_stream(spark, src, max_files_per_trigger=2)
+    q = ingest.stream_fact_writes(stream, cube, mapper, ck)
+    q.awaitTermination(300)
+    # read back through the cube (closure rollup over the day dimension)
+    vals = cube.get_many(
+        [(t, "All days") for t in types] + [("All types", "All days")]
+    )
+    rows = [(t, int(v)) for t, v in zip(types, vals)]
+    rows.append(("__total__", int(vals[-1])))
+    return spark.createDataFrame(
+        sorted(rows), "event_type string, value_cents long"
     )
 
 
@@ -747,12 +877,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_attr_filter": _q_cube_attr_filter,
         "cube_two_level_rollup": _q_cube_two_level_rollup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_simhash_pairs": _q_docs_simhash_pairs,  # rows-only (approx op)
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_language_id": _q_docs_language_id,
         "docs_quality_histogram": _q_docs_quality_histogram,
-        "emb_ivf_topk": _q_emb_ivf_topk,  # rows-only (approximate ANN)
-        "docs_fingerprints": _q_docs_fingerprints,  # rows-only (xxhash64)
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "docs_fingerprints": _q_docs_fingerprints,
         "events_hourly_stream": _q_events_hourly_stream,
+        "events_cube_stream_ingest": _q_events_cube_stream_ingest,
         "sql_salted_region_qty": _q_sql_salted_region_qty,
     }
 
@@ -1020,6 +1151,32 @@ def oracle_sql() -> dict[str, str]:
             "ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id "
             "ORDER BY 1, 2"
         ),
+        # simhash / fingerprint pipelines verify candidates by normalized-
+        # text equality, so the final result is exactly the identical-
+        # normalized-text pairs (see the query docstrings)
+        "docs_simhash_pairs": (
+            f"{_DUP_CORPUS} "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM corpus a JOIN corpus b "
+            r"ON trim(lower(regexp_replace(a.text, '\s+', ' ', 'g'))) = "
+            r"trim(lower(regexp_replace(b.text, '\s+', ' ', 'g'))) "
+            "AND a.doc_id < b.doc_id ORDER BY 1, 2"
+        ),
+        "docs_fingerprints": (
+            f"{_DUP_CORPUS} "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM corpus a JOIN corpus b "
+            r"ON trim(lower(regexp_replace(a.text, '\s+', ' ', 'g'))) = "
+            r"trim(lower(regexp_replace(b.text, '\s+', ' ', 'g'))) "
+            "AND a.doc_id < b.doc_id ORDER BY 1, 2"
+        ),
+        # the Spark side computes per-query recall@10 of IVF(nprobe=48)
+        # against the exact full-probe top-10 and thresholds it; the oracle
+        # asserts every query clears the threshold
+        "emb_ivf_topk": (
+            "SELECT CAST(c0 AS BIGINT) AS query_id, TRUE AS recall_ok "
+            "FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) t(c0) ORDER BY 1"
+        ),
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
         "sql_salted_region_qty": (
@@ -1036,6 +1193,14 @@ def oracle_sql() -> dict[str, str]:
             "         COUNT(*) AS n, SUM(value) AS s "
             "  FROM events GROUP BY 1, 2) t "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_cube_stream_ingest": (
+            "SELECT event_type, "
+            "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "AS value_cents FROM events GROUP BY 1 "
+            "UNION ALL SELECT '__total__', "
+            "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+            "FROM events ORDER BY 1"
         ),
         "events_sessionize": (
             "SELECT event_type, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, "

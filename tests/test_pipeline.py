@@ -264,3 +264,53 @@ def test_multimodal_resize_and_frames(spark):
     rows = frames.collect()
     assert len(rows) == sum((1000 + i + 249) // 250 for i in range(8))
     assert set(frames.columns) == {"media_id", "frame_ms", "frame"}
+
+
+def test_ivf_search_many_full_probe_is_exact(emb):
+    """search_many with nprobe=ncells scans every cell => results must
+    equal the exact brute-force top-k per query."""
+    from tinyolap_spark.pipeline import similarity
+
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    sub = emb.where(F.col("vec_id") >= 3)
+    idx = similarity.IVFIndex(sub, ncells=8, sample=512, iters=3)
+    got = idx.search_many(queries, k=5, nprobe=idx.ncells).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid, vec in queries:
+        exact = [
+            (r["vec_id"], r["score"])
+            for r in similarity.brute_force_topk(sub, vec, k=5).collect()
+        ]
+        approx = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert [a for a, _ in approx] == [e for e, _ in exact], qid
+    idx.assigned.unpersist()
+
+
+def test_ivf_random_sample_not_first_rows(spark):
+    """Centroid sample must come from df.sample, not the first partitions:
+    on a corpus sorted by cluster, first-rows sampling would see only one
+    cluster and recall for the others would collapse."""
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+
+    rng = np.random.default_rng(0)
+    rows = []
+    vid = 0
+    # two well-separated clusters, all of cluster 0 first
+    for c, center in [(0, -10.0), (1, 10.0)]:
+        for _ in range(500):
+            vec = (rng.standard_normal(8) * 0.1 + center).tolist()
+            rows.append((vid, [float(x) for x in vec]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    idx = similarity.IVFIndex(df, ncells=2, sample=200, iters=4)
+    # both clusters must be represented among the centroids
+    signs = {1 if c.mean() > 0 else -1 for c in idx.centroids}
+    assert signs == {-1, 1}, f"centroids collapsed: {idx.centroids.mean(1)}"
+    idx.assigned.unpersist()

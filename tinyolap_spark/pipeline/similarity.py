@@ -112,7 +112,16 @@ def cosine_topk_pandas(
 
 class IVFIndex:
     """Coarse-quantized corpus: centroids on the driver, assignments as a
-    column.  ``ncells`` ~ sqrt(corpus); built from a driver-side sample."""
+    column.  ``ncells`` ~ sqrt(corpus); built from a RANDOM sample.
+
+    Scale design: sampling uses ``df.sample`` (``.limit`` alone takes the
+    first partitions' rows — on sorted/clustered data the centroids
+    degenerate); the assignment pass is one Arrow-batched NumPy argmin with
+    the centroid matrix in the closure, so the PLAN is O(1) in ``ncells``
+    (the old chained-``least`` expression grew linearly and stopped being
+    compilable around a thousand cells).  The cell column doubles as a
+    partition key for on-disk layouts (partition pruning per probe).
+    """
 
     def __init__(
         self,
@@ -126,11 +135,18 @@ class IVFIndex:
     ):
         import numpy as np
 
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
         self.id_col, self.vec_col = id_col, vec_col
         self.ncells = ncells
+        total = emb.count()
+        # Bernoulli sample sized to ~1.2x the target and NO .limit after it:
+        # limit takes the FIRST rows of the sampled stream, which re-biases
+        # toward the leading partitions on sorted/clustered data
+        frac = min(1.0, (1.2 * sample) / max(total, 1))
         rows = (
             emb.select(vec_col)
-            .limit(sample)
+            .sample(withReplacement=False, fraction=frac, seed=seed)
             .collect()
         )
         X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
@@ -144,37 +160,130 @@ class IVFIndex:
                 if len(m):
                     cents[c] = m.mean(0)
         self.centroids = cents
-        # assignment pass: nearest centroid per vector (JVM expression)
-        scored = emb
-        best = None
-        for ci, c in enumerate(cents):
-            dist = self._sqdist_expr(vec_col, c)
-            s = F.struct(dist.alias("d"), F.lit(ci).alias("cell"))
-            best = s if best is None else F.least(best, s)
-        self.assigned = scored.withColumn("cell", best["cell"]).persist()
+        # assignment pass: vectorized nearest-centroid per Arrow batch
+        cent_list = [[float(x) for x in c] for c in cents]
+        vcol = vec_col
 
-    @staticmethod
-    def _sqdist_expr(vec_col: str, centroid) -> F.Column:
-        arr = "array({})".format(
-            ", ".join(f"cast({float(v)!r} as double)" for v in centroid)
-        )
-        return F.expr(
-            f"aggregate(zip_with({vec_col}, {arr}, "
-            f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
-            f"cast(0.0 as double), (acc, v) -> acc + v)"
-        )
+        def assign_batches(batches):
+            import numpy as np
+            import pandas as pd
 
-    def search(
-        self, qvec: Sequence[float], k: int = 10, nprobe: int = 4
-    ) -> DataFrame:
+            C = np.asarray(cent_list, dtype=np.float64)  # (ncells, dim)
+            Cn = (C * C).sum(1)
+            for pdf in batches:
+                pdf = pdf.copy()
+                if len(pdf):
+                    M = np.vstack(
+                        pdf[vcol].map(
+                            lambda a: np.asarray(a, dtype=np.float64)
+                        )
+                    )
+                    d2 = -2.0 * (M @ C.T) + Cn[None, :]  # argmin ignores |M|²
+                    pdf["cell"] = d2.argmin(1).astype("int32")
+                else:
+                    pdf["cell"] = pd.Series([], dtype="int32")
+                yield pdf
+
+        out_schema = StructType(
+            list(emb.schema.fields) + [StructField("cell", IntegerType())]
+        )
+        self.assigned = emb.mapInPandas(assign_batches, out_schema).persist()
+
+    def _probe_cells(self, qvec, nprobe: int) -> list[int]:
         import numpy as np
 
         q = np.asarray([float(x) for x in qvec])
         d = ((self.centroids - q[None, :]) ** 2).sum(1)
-        probe_cells = [int(i) for i in np.argsort(d)[:nprobe]]
-        subset = self.assigned.where(F.col("cell").isin(probe_cells))
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    def search(
+        self, qvec: Sequence[float], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        subset = self.assigned.where(
+            F.col("cell").isin(self._probe_cells(qvec, nprobe))
+        )
         return brute_force_topk(
             subset, qvec, k=k, id_col=self.id_col, vec_col=self.vec_col
+        )
+
+    def search_many(
+        self,
+        queries,
+        k: int = 10,
+        nprobe: int = 4,
+        qid_col: str = "query_id",
+    ) -> DataFrame:
+        """Batched multi-query ANN: ``queries`` is a list of
+        ``(query_id, vector)`` or a driver-small DataFrame with
+        ``(qid_col, vec_col)`` columns.
+
+        Plan: probe cells per query are computed driver-side against the
+        (small) centroid matrix; a tiny (query, cell) frame broadcast-joins
+        the assigned corpus so each corpus row is scored only for the
+        queries probing its cell; scoring is one Arrow/NumPy pass emitting
+        per-batch top-k per query; a final window keeps global top-k.
+        Shuffle volume ≈ k x nbatches x nqueries, independent of corpus
+        size."""
+        from pyspark.sql.window import Window
+
+        if isinstance(queries, DataFrame):
+            queries = [
+                (r[qid_col], [float(x) for x in r[self.vec_col]])
+                for r in queries.collect()
+            ]
+        qmap = {int(qid): [float(x) for x in vec] for qid, vec in queries}
+        spark = self.assigned.sparkSession
+        probe_rows = [
+            (qid, cell)
+            for qid, vec in qmap.items()
+            for cell in self._probe_cells(vec, nprobe)
+        ]
+        probes = spark.createDataFrame(
+            probe_rows, f"{qid_col} long, cell int"
+        )
+        joined = self.assigned.join(F.broadcast(probes), "cell")
+        id_col, vec_col = self.id_col, self.vec_col
+
+        def scorer(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.vstack(
+                    pdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float64))
+                )
+                Qm = np.vstack(
+                    pdf[qid_col].map(lambda q: np.asarray(qmap[int(q)]))
+                )
+                dots = (M * Qm).sum(1)
+                scores = dots / (
+                    np.linalg.norm(M, axis=1) * np.linalg.norm(Qm, axis=1)
+                )
+                out = pd.DataFrame(
+                    {
+                        qid_col: pdf[qid_col].values,
+                        id_col: pdf[id_col].values,
+                        "score": scores,
+                    }
+                )
+                yield (
+                    out.sort_values("score", ascending=False)
+                    .groupby(qid_col, sort=False)
+                    .head(k)
+                )
+
+        partial = joined.mapInPandas(
+            scorer, schema=f"{qid_col} long, {id_col} long, score double"
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.desc("score"), F.col(id_col)
+        )
+        return (
+            partial.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
         )
 
 
