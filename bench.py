@@ -231,19 +231,66 @@ def main() -> None:
     hcube._fact.unpersist()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extra": extra,
-            }
-        )
-    )
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }
+    prev = _load_prev_bench()
+    if prev:
+        prev_q = prev.get("queries", {})
+        out["prev"] = {
+            "round": prev.get("round"),
+            "total": prev.get("value"),
+            "delta_total": (
+                round(total - prev["value"], 4)
+                if isinstance(prev.get("value"), (int, float))
+                else None
+            ),
+            "delta_queries": {
+                name: round(t - prev_q[name], 4)
+                for name, t in timings.items()
+                if isinstance(prev_q.get(name), (int, float))
+            },
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_bench() -> "dict | None":
+    """Latest BENCH_r{N}.json next to this file — per-query regression
+    diffing across rounds (VERDICT r1 #10)."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = fname, n
+    if best is None:
+        return None
+    try:
+        with open(os.path.join(here, best)) as f:
+            data = json.load(f)
+    except Exception:
+        return None
+    parsed = data.get("parsed") if isinstance(data, dict) else None
+    if isinstance(parsed, dict):
+        parsed = dict(parsed)
+        parsed["round"] = best_n
+        return parsed
+    if isinstance(data, dict) and "queries" in data:
+        data = dict(data)
+        data["round"] = best_n
+        return data
+    return None
 
 
 if __name__ == "__main__":

@@ -208,3 +208,48 @@ def test_subsets_and_attributes(tiny):
 def test_cells_count(tiny):
     db, cube, rows = tiny
     assert cube.cells_count >= 1728  # 3y x 12m x 4r x 6p x 2measures
+
+
+def test_aggregate_cells_fast_paths_match_grid(tiny, monkeypatch):
+    """grouping-sets / conditional-agg fast paths must return exactly what
+    the join-based grid plan returns, across mixed batches (leaf drills,
+    weighted ancestors, multi-parent members, missing cells)."""
+    import random
+
+    from tinyolap_spark import engine
+
+    db, cube, rows = tiny
+    dims = cube.dimensions
+    rng = random.Random(123)
+    members_per_dim = [[m.name for m in d.members] for d in dims]
+    addrs = {}
+    for rid in range(60):
+        if rid % 3 == 0:
+            # leaf drill: mostly tops, one leaf
+            addr = [d.members[0].name for d in dims]  # may or may not be top
+            addr = ["All years", "Year", "Total", "Total", "Sales"]
+            pos = rng.randrange(4)
+            leaves = [m.name for m in dims[pos].leaf_members]
+            addr[pos] = rng.choice(leaves)
+        else:
+            addr = [rng.choice(ms) for ms in members_per_dim]
+        addrs[rid] = tuple(
+            dims[i].member(n).index for i, n in enumerate(addr)
+        )
+    cube._flush()
+    fast = engine.aggregate_cells(
+        cube._fact, cube.spark, cube._dims_spec(), addrs
+    )
+    # disable both fast paths -> grid / request-join reference plans
+    monkeypatch.setattr(engine, "_GSETS_MAX_SIGNATURES", 0)
+    monkeypatch.setattr(engine, "_COND_AGG_MAX_REQUESTS", 0)
+    slow = engine.aggregate_cells(
+        cube._fact, cube.spark, cube._dims_spec(), addrs
+    )
+    assert set(fast) == set(slow)
+    for rid in fast:
+        f, s = fast[rid], slow[rid]
+        if f is None or s is None:
+            assert f == s, (rid, addrs[rid], f, s)
+        else:
+            assert abs(f - s) < 1e-6, (rid, addrs[rid], f, s)

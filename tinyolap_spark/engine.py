@@ -216,6 +216,204 @@ def aggregate_grid(
     return out.withColumn("value", F.coalesce(F.col("value"), F.lit(0.0)))
 
 
+_COND_AGG_MAX_REQUESTS = 128
+_COND_AGG_MAX_LEAVES = 512
+_COND_AGG_LITERAL_BUDGET = 2_000
+
+_GSETS_MAX_SIGNATURES = 16
+_GSETS_MAX_ROWS = 50_000
+
+
+def _grouping_sets_cells(
+    fact: DataFrame,
+    dims: Sequence[tuple[str, Dimension]],
+    addresses: dict[int, Sequence[int]],
+    value_col: str = "value",
+) -> Optional[dict[int, Optional[float]]]:
+    """GROUPING SETS fast path for batches of LEAF-drill reads (the
+    dominant interactive pattern: a few dims drilled to leaf members, the
+    rest at all-covering tops).  All requests sharing a drill signature
+    (the set of non-trivial dim positions) are answered by one grouping
+    set; the whole batch is ONE scan + ONE partial-aggregated shuffle,
+    independent of the number of requests.
+
+    Ineligible (non-leaf ancestors, too many signatures, an estimated
+    marginal-grid size above the collect budget) -> None, callers fall
+    through to the conditional-agg / grid / request-join plans.
+    """
+    cols = [c for c, _ in dims]
+    sigs: dict[tuple[int, ...], list[int]] = {}
+    for rid, addr in addresses.items():
+        sig = []
+        for i, (_c, dim) in enumerate(dims):
+            a = int(addr[i])
+            if a in dim._trivial_tops:
+                continue
+            if dim._defs[a].level != 0:
+                return None
+            sig.append(i)
+        sigs.setdefault(tuple(sig), []).append(rid)
+    if len(sigs) > _GSETS_MAX_SIGNATURES:
+        return None
+    est = 0
+    for sig in sigs:
+        p = 1
+        for i in sig:
+            dim = dims[i][1]
+            p *= max(
+                1, sum(1 for d in dim._iter_defs() if not d.children)
+            )
+        est += p
+        if est > _GSETS_MAX_ROWS:
+            return None
+    involved = sorted({i for sig in sigs for i in sig})
+    inv_cols = [cols[i] for i in involved]
+    if not involved:
+        # every request is the grand total
+        row = fact.agg(
+            F.sum(F.col(value_col)).alias("__v"),
+            F.count(F.lit(1)).alias("__c"),
+        ).collect()[0]
+        v = (
+            (row["__v"] if row["__v"] is not None else 0.0)
+            if row["__c"] > 0
+            else None
+        )
+        return {rid: v for rid in addresses}
+    gsets = [[F.col(cols[i]) for i in sig] for sig in sigs]
+    rows = (
+        fact.groupingSets(gsets, *[F.col(c) for c in inv_cols])
+        .agg(
+            F.sum(F.col(value_col)).alias("__v"),
+            F.count(F.lit(1)).alias("__c"),
+            F.grouping_id().alias("__gid"),
+        )
+        .collect()
+    )
+    # grouping_id bit j (MSB-first over inv_cols) = 1 when that col is
+    # AGGREGATED (not part of the set)
+    def gid_of(sig: tuple[int, ...]) -> int:
+        gid = 0
+        for j, i in enumerate(involved):
+            gid = (gid << 1) | (0 if i in sig else 1)
+        return gid
+
+    grids: dict[int, dict[tuple, tuple]] = {}
+    for r in rows:
+        grids.setdefault(r["__gid"], {})[
+            tuple(r[c] for c in inv_cols)
+        ] = (r["__v"], r["__c"])
+    out: dict[int, Optional[float]] = {}
+    for sig, rids in sigs.items():
+        grid = grids.get(gid_of(sig), {})
+        sig_set = set(sig)
+        for rid in rids:
+            addr = addresses[rid]
+            key = tuple(
+                int(addr[i]) if i in sig_set else None for i in involved
+            )
+            hit = grid.get(key)
+            if hit is None or hit[1] == 0:
+                out[rid] = None
+            else:
+                out[rid] = hit[0] if hit[0] is not None else 0.0
+    return out
+
+
+def _cond_agg_cells(
+    fact: DataFrame,
+    dims: Sequence[tuple[str, Dimension]],
+    addresses: dict[int, Sequence[int]],
+    value_col: str = "value",
+) -> Optional[dict[int, Optional[float]]]:
+    """Conditional-aggregation fast path for SMALL batches of aggregated
+    point reads: each request becomes a pair of aggregate expressions
+    ``sum(when(cond, value * w))`` / ``count(when(cond, 1))`` over ONE
+    fact scan — no closure join, no ancestor fan-out, no shuffle beyond
+    the single global reduce.  (The grid/request-join paths explode each
+    fact row once per matching ancestor; for a handful of interactive
+    reads over a big fact that fan-out dominates the runtime.)
+
+    Per-dim condition: trivial tops constrain nothing; leaves are an
+    equality; uniform-weight ancestors inline their leaf set as ``isin``;
+    weighted ancestors inline a literal id->weight map.  Returns None when
+    a request is not cheaply representable (huge leaf sets, literal budget
+    exceeded) — callers fall back to the join-based plans.
+    """
+    # cheap eligibility pre-pass: count literals BEFORE building any
+    # Column objects, so the ineligible case costs ~nothing
+    closure_maps: dict[int, dict[int, dict[int, float]]] = {}
+    literals = 0
+    for addr in addresses.values():
+        for i, (c, dim) in enumerate(dims):
+            a = int(addr[i])
+            if a in dim._trivial_tops:
+                continue
+            if dim._defs[a].level == 0:
+                literals += 1
+                continue
+            cm = closure_maps.setdefault(i, {})
+            if a not in cm:
+                cm[a] = {
+                    leaf: w
+                    for leaf, anc, w in dim.closure_rows
+                    if anc == a and dim._defs[leaf].level == 0
+                }
+            n = len(cm[a])
+            if n == 0 or n > _COND_AGG_MAX_LEAVES:
+                return None
+            literals += n
+        if literals > _COND_AGG_LITERAL_BUDGET:
+            return None
+
+    exprs = []
+    for rid, addr in addresses.items():
+        conds = []
+        wfactors = []
+        for i, (c, dim) in enumerate(dims):
+            a = int(addr[i])
+            if a in dim._trivial_tops:
+                continue
+            d = dim._defs[a]
+            if d.level == 0:
+                conds.append(F.col(c) == F.lit(a))
+                continue
+            leaves = closure_maps[i][a]
+            if all(w == 1.0 for w in leaves.values()):
+                conds.append(F.col(c).isin([int(x) for x in leaves]))
+            else:
+                entries = []
+                for leaf, w in leaves.items():
+                    entries.append(F.lit(int(leaf)))
+                    entries.append(F.lit(float(w)))
+                wfactors.append(
+                    F.try_element_at(F.create_map(*entries), F.col(c))
+                )
+        val = F.col(value_col)
+        cond = None
+        for x in conds:
+            cond = x if cond is None else (cond & x)
+        for wf in wfactors:
+            val = val * wf
+            nn = wf.isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        if cond is None:
+            exprs.append(F.sum(val).alias(f"__v_{rid}"))
+            exprs.append(F.count(F.lit(1)).alias(f"__c_{rid}"))
+        else:
+            exprs.append(F.sum(F.when(cond, val)).alias(f"__v_{rid}"))
+            exprs.append(F.count(F.when(cond, F.lit(1))).alias(f"__c_{rid}"))
+    row = fact.agg(*exprs).collect()[0]
+    out: dict[int, Optional[float]] = {}
+    for rid in addresses:
+        if row[f"__c_{rid}"] > 0:
+            v = row[f"__v_{rid}"]
+            out[rid] = v if v is not None else 0.0
+        else:
+            out[rid] = None
+    return out
+
+
 def aggregate_cells(
     fact: DataFrame,
     spark: SparkSession,
@@ -238,6 +436,13 @@ def aggregate_cells(
     """
     if not addresses:
         return {}
+    got = _grouping_sets_cells(fact, dims, addresses, value_col)
+    if got is not None:
+        return got
+    if len(addresses) <= _COND_AGG_MAX_REQUESTS:
+        got = _cond_agg_cells(fact, dims, addresses, value_col)
+        if got is not None:
+            return got
     cols = [c for c, _ in dims]
     requested = {
         c: sorted({int(addr[i]) for addr in addresses.values()})
