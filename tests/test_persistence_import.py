@@ -129,3 +129,66 @@ def test_dimension_rollback(spark):
     d.rollback()
     assert "X" not in d
     assert len(d) == 3
+
+
+def test_history_undo_redo_cell_writes(spark):
+    """S7 parity (reference history.py:329-417): one undo step per cell
+    write; undo reverts, redo re-applies, a new write clears redo."""
+    from tinyolap_spark import Database
+
+    db = Database("hist", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    cube[("a",)] = 1.0
+    cube[("b",)] = 2.0
+    cube[("a",)] = 5.0
+    assert cube[("All",)] == 7.0
+    assert db.history.can_undo
+    db.history.undo()                      # revert a=5 -> a=1
+    assert cube[("a",)] == 1.0 and cube[("All",)] == 3.0
+    db.history.undo(2)                     # revert both writes
+    assert cube[("a",)] is None and cube[("All",)] is None
+    assert db.history.redo(3) == 3         # replay all
+    assert cube[("a",)] == 5.0 and cube[("All",)] == 7.0
+    db.history.undo()
+    cube[("b",)] = 9.0                     # new write clears redo
+    assert not db.history.can_redo
+    assert cube[("All",)] == 10.0
+
+
+def test_history_bulk_and_area_ops(spark):
+    from tinyolap_spark import Database
+
+    db = Database("hist2", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    m = db.add_dimension("m").edit()
+    m.add_many("x")
+    m.add_many("y")
+    m.commit()
+    cube = db.add_cube("c", [d, m])
+    cube.write_rows([("a", "x", 1.0), ("b", "x", 2.0)])
+    cube.area("All", ("x",)).set_value(10.0)   # area transform
+    assert cube[("All", "x")] == 20.0
+    db.history.undo()                          # undo area fill
+    assert cube[("All", "x")] == 3.0
+    db.history.undo()                          # undo bulk write
+    assert cube[("All", "x")] is None
+    assert db.history.redo() == 1
+    assert cube[("All", "x")] == 3.0
+
+
+def test_history_disabled(spark):
+    from tinyolap_spark import Database
+
+    db = Database("hist3", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    db.history.enabled = False
+    cube[("a",)] = 1.0
+    assert not db.history.can_undo

@@ -28,6 +28,7 @@ from .rules import rule, RuleScope, RuleError, CONTINUE, NOT_PROCESSED
 from .view import View
 from .slice import Slice
 from .server import Server
+from .history import History
 
 __version__ = "0.1.0"
 
@@ -43,6 +44,7 @@ __all__ = [
     "View",
     "Slice",
     "Server",
+    "History",
     "rule",
     "RuleScope",
     "RuleError",

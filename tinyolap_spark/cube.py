@@ -427,6 +427,8 @@ class Cube:
         # which path evaluated the last BASE_LEVEL aggregate rule
         # ("executor" | "driver") — observability + tests
         self._last_base_rule_path: Optional[str] = None
+        # database-level undo/redo (set by Database.add_cube)
+        self._history = None
         # stats (reference cube.py:118-127)
         self.counter_cell_requests = 0
         self.counter_aggregations = 0
@@ -493,10 +495,13 @@ class Cube:
             self._fact.persist()
             self._fact_is_persisted = True
         if old is not None and self._fact_is_persisted:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
+            # history entries hold replaced facts by reference — tearing
+            # down their cached/checkpoint blocks would corrupt undo
+            if not (self._history is not None and self._history.holds(old)):
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
         self._invalidate()
 
     def _invalidate(self) -> None:
@@ -548,6 +553,8 @@ class Cube:
             pass  # stored as value_str? reference stores any object; keep float path for bool
         if isinstance(value, int) and not isinstance(value, bool):
             value = float(value)  # reference cube.py:515-516
+        if self._history is not None:
+            self._history.capture(self)  # one undo step per cell write
         self._pending[idx_address] = value
         self._invalidate()
         # ON_ENTRY push rules (reference cube.py:526-537): the reference
@@ -585,6 +592,8 @@ class Cube:
         self.set(address, None)
 
     def clear(self) -> None:
+        if self._history is not None:
+            self._history.capture(self)
         self._pending.clear()
         self._replace_fact(
             self.spark.createDataFrame([], schema=self._schema), persist=False
@@ -594,6 +603,8 @@ class Cube:
         self, rows: Iterable[Sequence], last_write_wins: bool = True
     ) -> None:
         """Bulk write of (member_name..., value) tuples in ONE merge."""
+        if self._history is not None:
+            self._history.capture(self)
         resolved = []
         for r in rows:
             *addr, value = r
@@ -640,6 +651,8 @@ class Cube:
         (reference semantics are last-write-wins per cell; additive is the
         natural bulk mode for transaction feeds).
         """
+        if self._history is not None:
+            self._history.capture(self)
         if mapping:
             for src, dst in mapping.items():
                 df = df.withColumnRenamed(src, dst)
@@ -1338,6 +1351,8 @@ class Area:
     def clear(self) -> None:
         """Remove all fact rows in the area (reference ``area.py:80-83``)."""
         cube = self.cube
+        if cube._history is not None:
+            cube._history.capture(cube)
         cube._flush()
         keep = engine.area_rows(
             cube._fact, cube.spark, cube._dims_spec(), self._filter_cols()
@@ -1355,6 +1370,8 @@ class Area:
     def transform(self, fn_col) -> None:
         """Apply a Column->Column function to stored values in the area."""
         cube = self.cube
+        if cube._history is not None:
+            cube._history.capture(cube)
         cube._flush()
         inside = self.rows_df()
         outside = cube._fact.exceptAll(inside)
@@ -1384,6 +1401,8 @@ class Area:
             return
         if isinstance(value, str):
             cube = self.cube
+            if cube._history is not None:
+                cube._history.capture(cube)
             cube._flush()
             inside = self.rows_df()
             outside = cube._fact.exceptAll(inside)
@@ -1431,6 +1450,8 @@ class Area:
     def _dense_fill(self, value: Any) -> None:
         """Overwrite the area's entire base-level space with ``value``."""
         cube = self.cube
+        if cube._history is not None:
+            cube._history.capture(cube)
         cube._flush()
         grid = self._dense_grid_df()
         schema = cube._schema
@@ -1496,6 +1517,8 @@ class Area:
 
     def _set_callable(self, fn) -> None:
         cube = self.cube
+        if cube._history is not None:
+            cube._history.capture(cube)
         cube._flush()
         inside = self.rows_df()
         outside = cube._fact.exceptAll(inside)
@@ -1579,6 +1602,8 @@ class Area:
         )
         # materialize source before clearing the target
         src_rows = src_rows.localCheckpoint(eager=True)
+        if cube._history is not None:
+            cube._history.capture(cube)
         cube._flush()
         inside = engine.area_rows(
             cube._fact, cube.spark, cube._dims_spec(), self._filter_cols()

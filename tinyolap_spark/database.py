@@ -37,6 +37,11 @@ class Database:
             raise TinyOlapError("no active SparkSession; pass spark=")
         self.dimensions: dict[str, Dimension] = {}
         self.cubes: dict[str, Cube] = {}
+        # session-scoped undo/redo over cube mutations (reference
+        # history.py; S7) — see tinyolap_spark/history.py
+        from .history import History
+
+        self.history = History()
 
     # ------------------------------------------------------------- dims
     def add_dimension(self, name: str, description: str = "") -> Dimension:
@@ -71,6 +76,7 @@ class Database:
             for d in dimensions
         ]
         c = Cube(name, dims, self.spark, description)
+        c._history = self.history
         self.cubes[key] = c
         return c
 
