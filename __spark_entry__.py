@@ -563,7 +563,11 @@ def _docs_with_dups(spark, sf_dir):
         docs.where(F.col("doc_id") < 20)
         .withColumn("doc_id", F.col("doc_id") + 100000)
     )
-    return docs.unionByName(dups)
+    # small corpus parquet arrives as 1-2 splits; spread so the per-doc
+    # hashing expressions (shingles/simhash/fingerprints) use every core
+    return docs.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _q_docs_minhash_pairs(spark, sf_dir):
@@ -590,12 +594,16 @@ def _q_docs_simhash_pairs(spark, sf_dir):
     from tinyolap_spark.pipeline import dedup
 
     corpus = _docs_with_dups(spark, sf_dir)
-    sim = dedup.simhash(corpus)
+    # materialize the 64-lane simhash frame and the normalized-text frame
+    # ONCE: the banded self-join and the verify join each reference them
+    # twice, and without a barrier Spark recomputes the full expression
+    # tree per branch (measured 2x wall on the hashing stages)
+    sim = dedup.simhash(corpus).localCheckpoint(eager=True)
     cand = dedup.simhash_near_pairs(sim, max_hamming=0)
     norm = corpus.select(
         F.col("doc_id"),
         F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("__t"),
-    )
+    ).localCheckpoint(eager=True)
     return (
         cand.join(
             norm.select(
@@ -693,11 +701,13 @@ def _q_docs_fingerprints(spark, sf_dir):
     from tinyolap_spark.pipeline import text as text_ops
 
     corpus = _docs_with_dups(spark, sf_dir)
+    # one materialized (id, fp, normtext) frame shared by both join sides
+    # (otherwise the O(text_len) fingerprint expression runs twice)
     fp = corpus.select(
         F.col("doc_id"),
         text_ops.fingerprint("text").alias("__fp"),
         F.trim(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("__t"),
-    )
+    ).localCheckpoint(eager=True)
     a = fp.select(
         F.col("doc_id").alias("doc_a"),
         F.col("__fp").alias("__fpa"),
