@@ -218,3 +218,75 @@ def test_mini_sql_dense_product_guard(spark):
     q = Query(db, 'SELECT value FROM c WHERE d1=*, d2=*',
               max_cells=3_000_000)
     assert q.max_cells == 3_000_000
+
+
+def test_rest_api_surface(spark):
+    """Q6 (reference api/rest): catalog, cell read/write, batched reads,
+    mini-SQL and views over HTTP — stdlib server, JSON in/out."""
+    import json
+    import urllib.request
+
+    from tinyolap_spark import Database
+    from tinyolap_spark.api import RestServer
+
+    db = Database("restdb", spark=spark)
+    d1 = db.add_dimension("d1").edit()
+    d1.add_many("All", ["a", "b"])
+    d1.commit()
+    d2 = db.add_dimension("d2").edit()
+    d2.add_many("Total", ["x", "y"])
+    d2.commit()
+    cube = db.add_cube("c", [d1, d2])
+    cube.write_rows([("a", "x", 1.0), ("b", "y", 2.0)])
+
+    srv = RestServer(db).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def call(method, path, body=None):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    try:
+        st, cat = call("GET", "/catalog")
+        assert st == 200
+        assert cat["database"]["cubes"][0]["id"] == "c"
+        assert cat["database"]["cubes"][0]["cells_count"] == 2
+        st, out = call("POST", "/cells/get", {
+            "database": "restdb", "cube": "c", "members": ["All", "Total"]})
+        assert (st, out["value"]) == (200, 3.0)
+        st, out = call("PUT", "/cells", {
+            "database": "restdb", "cube": "c",
+            "members": ["a", "y"], "value": 5.0})
+        assert st == 200
+        st, out = call("POST", "/cells/batch", {
+            "database": "restdb", "cube": "c",
+            "addresses": [["All", "Total"], ["a", "y"], ["b", "x"]]})
+        assert (st, out["values"]) == (200, [8.0, 5.0, None])
+        st, out = call("POST", "/query", {
+            "database": "restdb",
+            "sql": "SELECT d1, value FROM c WHERE d1=(a, b), d2=Total"})
+        assert st == 200 and len(out["records"]) == 2
+        st, out = call("GET", "/views?database=restdb&cube=c&rows=d1&columns=d2")
+        assert st == 200
+        grid = {tuple(r["row"]): r["cells"] for r in out["rows"]}
+        assert grid[("All",)][0] == 8.0  # (All, Total) after the PUT above
+        # errors: unknown cube -> 4xx with a detail message
+        st, out = call("POST", "/cells/get", {
+            "database": "restdb", "cube": "nope", "members": ["a", "x"]})
+        assert st in (400, 404) and "detail" in out
+        # aggregate write rejected through the API too
+        st, out = call("PUT", "/cells", {
+            "database": "restdb", "cube": "c",
+            "members": ["All", "Total"], "value": 1.0})
+        assert st in (400, 404) and "detail" in out
+    finally:
+        srv.shutdown()

@@ -1,0 +1,174 @@
+"""Minimal REST API over the engine (reference ``api/rest/`` — SURVEY Q6).
+
+The reference serves a FastAPI app with catalog, cell read/write and view
+endpoints (``api/rest/main.py:28-33``, ``routers/cells.py:25-58``,
+``tiny/catalog.py:4``).  This module provides the same surface on the
+standard library only (no FastAPI/pydantic in the runtime), which keeps
+the engine deployable anywhere a Python driver runs:
+
+- ``GET  /catalog``                         — database catalog (cubes, dims, counts)
+- ``GET  /databases``                       — registered database names
+- ``POST /cells/get``   ``{database, cube, members}``          -> value
+- ``POST /cells/batch`` ``{database, cube, addresses: [...]}`` -> values
+  (ONE Spark job via ``Cube.get_many`` — the Spark-right way to serve
+  many point reads; the reference resolves cells one at a time)
+- ``PUT  /cells``       ``{database, cube, members, value}``   -> write
+- ``POST /query``       ``{database, sql}``  -> mini-SQL records
+- ``GET  /views?database=..&cube=..&rows=dim&columns=dim`` -> view dict
+
+Mutations serialize through an RLock (the reference wraps writes in a
+writer lock, ``routers/cells.py:42-55``).  Intended for interactive /
+tool access, not as a high-QPS data plane — bulk traffic should speak
+DataFrames.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, urlparse
+
+from .database import Database
+
+
+class RestServer:
+    """``RestServer({"mydb": db}).start()`` -> serving on ``port``."""
+
+    def __init__(
+        self,
+        databases: "dict[str, Database] | Database",
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        if isinstance(databases, Database):
+            databases = {databases.name: databases}
+        self.databases = {k.lower(): v for k, v in databases.items()}
+        self._lock = threading.RLock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: Any) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def _route(self, method: str) -> None:
+                try:
+                    url = urlparse(self.path)
+                    out = outer._dispatch(method, url.path, parse_qs(url.query),
+                                          self._body() if method != "GET" else {})
+                    self._send(200, out)
+                except KeyError as e:
+                    self._send(404, {"detail": f"not found: {e}"})
+                except Exception as e:  # noqa: BLE001 — error envelope
+                    self._send(400, {"detail": str(e)})
+
+            def do_GET(self):
+                self._route("GET")
+
+            def do_POST(self):
+                self._route("POST")
+
+            def do_PUT(self):
+                self._route("PUT")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    # ----------------------------------------------------------- lifecycle
+    def start(self) -> "RestServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------ dispatch
+    def _db(self, name: str) -> Database:
+        return self.databases[str(name).lower()]
+
+    def _dispatch(self, method: str, path: str, query: dict, body: dict):
+        if method == "GET" and path == "/databases":
+            return {"databases": sorted(self.databases)}
+        if method == "GET" and path == "/catalog":
+            name = query.get("database", [next(iter(self.databases))])[0]
+            return self._catalog(self._db(name))
+        if method == "POST" and path == "/cells/get":
+            db = self._db(body["database"])
+            cube = db.cube(body["cube"])
+            return {"members": body["members"],
+                    "value": cube.get(tuple(body["members"]))}
+        if method == "POST" and path == "/cells/batch":
+            db = self._db(body["database"])
+            cube = db.cube(body["cube"])
+            addrs = [tuple(a) for a in body["addresses"]]
+            return {"values": cube.get_many(addrs)}
+        if method == "PUT" and path == "/cells":
+            db = self._db(body["database"])
+            cube = db.cube(body["cube"])
+            with self._lock:
+                cube.set(tuple(body["members"]), body["value"])
+            return {"ok": True}
+        if method == "POST" and path == "/query":
+            from .sqlq import Query
+
+            db = self._db(body["database"])
+            q = Query(db, body["sql"]).execute()
+            return {"columns": q.column_names, "records": q.records}
+        if method == "GET" and path == "/views":
+            from .view import View
+
+            db = self._db(query["database"][0])
+            cube = db.cube(query["cube"][0])
+            v = View(
+                cube,
+                rows=[(d, "*") for d in query.get("rows", [])],
+                columns=[(d, "*") for d in query.get("columns", [])],
+            )
+            v.refresh()
+            return v.to_dict()
+        raise KeyError(f"{method} {path}")
+
+    @staticmethod
+    def _catalog(db: Database) -> dict:
+        """Reference ``tiny/catalog.py:4-28`` shape."""
+        return {
+            "database": {
+                "id": db.name,
+                "cubes": [
+                    {
+                        "id": c.name,
+                        "description": c.description,
+                        "dimensions": [d.name for d in c.dimensions],
+                        "cells_count": c.cells_count,
+                    }
+                    for c in db.cubes.values()
+                ],
+                "dimensions": [
+                    {
+                        "id": d.name,
+                        "description": d.description,
+                        "members_count": len(d.members),
+                    }
+                    for d in db.dimensions.values()
+                ],
+            }
+        }
