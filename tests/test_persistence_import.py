@@ -192,3 +192,35 @@ def test_history_disabled(spark):
     db.history.enabled = False
     cube[("a",)] = 1.0
     assert not db.history.can_undo
+
+
+def test_encrypted_save_open_roundtrip(spark, tmp_path):
+    """S9 (reference encryption.py): values AES-GCM-encrypted on disk,
+    decrypted on open with the password; wrong password raises; the
+    parquet files hold no plaintext value column."""
+    from tinyolap_spark import Database, TinyOlapError
+
+    path = str(tmp_path / "enc")
+    db = Database("encdb", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    cube.write_rows([("a", 1.5), ("b", "note")])  # numeric + string cell
+    db.save(path, password="s3cret")
+
+    raw = spark.read.parquet(f"{path}/cubes/c.parquet")
+    assert "value" not in raw.columns and "value_enc" in raw.columns
+    assert dict(raw.dtypes)["value_enc"] == "binary"
+
+    db2 = Database.open(path, spark=spark, password="s3cret")
+    assert db2.cube("c")[("a",)] == 1.5
+    assert db2.cube("c")[("b",)] == "note"
+    assert db2.cube("c")[("All",)] == 1.5  # strings do not aggregate
+
+    import pytest as _pytest
+
+    with _pytest.raises(TinyOlapError, match="password"):
+        Database.open(path, spark=spark)
+    with _pytest.raises(TinyOlapError, match="password"):
+        Database.open(path, spark=spark, password="wrong")

@@ -114,8 +114,32 @@ class Database:
                     )
 
     # ------------------------------------------------------- persistence
+    # --- encrypted storage (reference encryption.py — SURVEY S9).  The
+    # reference Fernet-encrypts strings on the driver; Spark-native版 runs
+    # the built-in aes_encrypt/aes_decrypt on the fact's value columns
+    # EXECUTOR-SIDE (distributed, GCM), with a PBKDF2 password KDF and a
+    # per-database salt + password-check token in database.json.  Member
+    # ids stay plain (they are meaningless without the metadata); values
+    # never hit disk in cleartext.
+    _PBKDF2_ITERS = 390_000
+    _CHECK_TOKEN = "tinyolap_spark"
+
+    def _derive_key(self, password: str, salt_hex: str) -> str:
+        import hashlib
+
+        key = hashlib.pbkdf2_hmac(
+            "sha256",
+            password.encode(),
+            bytes.fromhex(salt_hex),
+            self._PBKDF2_ITERS,
+        )
+        return key.hex()
+
     def save(
-        self, path: str, partition_by: Optional[dict[str, str]] = None
+        self,
+        path: str,
+        partition_by: Optional[dict[str, str]] = None,
+        password: Optional[str] = None,
     ) -> None:
         """Persist metadata + facts.
 
@@ -123,13 +147,37 @@ class Database:
         At scale, partitioning the fact by a filter-heavy dimension column
         turns dimension slicers into PARTITION PRUNING at the parquet scan
         (the directory layout is the index).
+
+        ``password``: AES-GCM-encrypt the value columns on disk
+        (reference S9); pass the same password to :meth:`open`.
         """
+        import secrets
+
+        from pyspark.sql import functions as F
+
         os.makedirs(path, exist_ok=True)
         meta = {
             "name": self.name,
             "dimensions": [d.to_dict() for d in self.dimensions.values()],
             "cubes": [c.to_dict() for c in self.cubes.values()],
         }
+        key = None
+        if password is not None:
+            salt = secrets.token_bytes(16).hex()
+            key = self._derive_key(password, salt)
+            check = self.spark.range(1).select(
+                F.base64(
+                    F.expr(
+                        f"aes_encrypt('{self._CHECK_TOKEN}', "
+                        f"unhex('{key}'), 'GCM')"
+                    )
+                ).alias("c")
+            ).collect()[0]["c"]
+            meta["encryption"] = {
+                "method": "aes-gcm-pbkdf2",
+                "salt": salt,
+                "check": check,
+            }
         with open(os.path.join(path, "database.json"), "w") as f:
             json.dump(meta, f, indent=1)
         for cube in self.cubes.values():
@@ -139,7 +187,19 @@ class Database:
             # to the same path is the reference's routine workflow).
             fact = cube.fact.localCheckpoint(eager=True)
             cube._replace_fact(fact, persist=False)
-            writer = fact.write.mode("overwrite")
+            out = fact
+            if key is not None:
+                out = fact.select(
+                    *[F.col(c) for c in cube._cols],
+                    F.expr(
+                        f"aes_encrypt(cast(value as string), "
+                        f"unhex('{key}'), 'GCM')"
+                    ).alias("value_enc"),
+                    F.expr(
+                        f"aes_encrypt(value_str, unhex('{key}'), 'GCM')"
+                    ).alias("value_str_enc"),
+                )
+            writer = out.write.mode("overwrite")
             pcol = (partition_by or {}).get(cube.name.lower())
             if pcol:
                 writer = writer.partitionBy(pcol)
@@ -148,10 +208,34 @@ class Database:
             )
 
     @classmethod
-    def open(cls, path: str, spark: Optional[SparkSession] = None) -> "Database":
+    def open(
+        cls,
+        path: str,
+        spark: Optional[SparkSession] = None,
+        password: Optional[str] = None,
+    ) -> "Database":
         with open(os.path.join(path, "database.json")) as f:
             meta = json.load(f)
         db = cls(meta["name"], spark)
+        db._open_key = None
+        enc = meta.get("encryption")
+        if enc is not None:
+            from pyspark.sql import functions as F
+
+            if password is None:
+                raise TinyOlapError(
+                    f"database at '{path}' is encrypted; pass password="
+                )
+            key = db._derive_key(password, enc["salt"])
+            got = db.spark.range(1).select(
+                F.expr(
+                    f"cast(try_aes_decrypt(unbase64('{enc['check']}'), "
+                    f"unhex('{key}'), 'GCM') as string)"
+                ).alias("t")
+            ).collect()[0]["t"]
+            if got != cls._CHECK_TOKEN:
+                raise TinyOlapError("wrong password")
+            db._open_key = key
         for ddata in meta["dimensions"]:
             dim = Dimension.from_dict(ddata)
             db.dimensions[dim.name.lower()] = dim
@@ -163,7 +247,22 @@ class Database:
             )
             fpath = os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
             if os.path.exists(fpath):
+                from pyspark.sql import functions as F
+
                 df = db.spark.read.parquet(fpath)
+                if db._open_key is not None:
+                    k = db._open_key
+                    df = df.select(
+                        *[F.col(c) for c in cube._cols],
+                        F.expr(
+                            f"cast(cast(aes_decrypt(value_enc, "
+                            f"unhex('{k}'), 'GCM') as string) as double)"
+                        ).alias("value"),
+                        F.expr(
+                            f"cast(aes_decrypt(value_str_enc, "
+                            f"unhex('{k}'), 'GCM') as string)"
+                        ).alias("value_str"),
+                    )
                 cube._replace_fact(df.select(*cube._schema.fieldNames()))
             if cdata.get("rules"):
                 cube.load_rules_from_dicts(cdata["rules"])
