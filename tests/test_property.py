@@ -123,3 +123,47 @@ def test_big_cube_total_count(spark):
             rows.append((*a, 1.0))
         cube.write_rows(rows)
         assert cube[("Total",) * ndims] == pytest.approx(len(addrs))
+
+
+@pytest.mark.parametrize("seed", [5, 21])
+def test_random_small_batches_hit_fast_paths(spark, seed):
+    """Batches small enough for the grouping-sets / conditional-agg fast
+    paths (engine.aggregate_cells) must match the dict oracle exactly —
+    including weighted ancestors, leaf drills and missing cells."""
+    rng = random.Random(seed)
+    db = Database(f"fast{seed}", spark=spark)
+    d1, leaves1 = random_dag_dimension(db, "da", rng)
+    d2, leaves2 = random_dag_dimension(db, "db", rng, n_leaves=5, n_mid=3)
+    cube = db.add_cube("c", [d1, d2])
+    rows = []
+    seen = set()
+    for _ in range(30):
+        addr = (rng.choice(leaves1), rng.choice(leaves2))
+        if addr not in seen:
+            seen.add(addr)
+            rows.append((*addr, float(rng.randint(-50, 100))))
+    cube.write_rows(rows)
+    oracle = DictOracle(cube.dimensions, rows)
+    all1 = [m.name for m in d1.members]
+    all2 = [m.name for m in d2.members]
+    # several SMALL batches with fresh cache each time
+    for batch_no in range(4):
+        cube._invalidate()
+        if batch_no % 2 == 0:
+            # leaf-drill flavored (grouping-sets eligible shapes)
+            queries = [
+                (rng.choice(leaves1), rng.choice(all2)) for _ in range(20)
+            ]
+        else:
+            queries = [
+                (rng.choice(all1), rng.choice(all2)) for _ in range(20)
+            ]
+        got = cube.get_many(queries)
+        for q, g in zip(queries, got):
+            want = oracle.get(q)
+            if want is None:
+                assert g is None, (q, g)
+            else:
+                assert g is not None and abs(g - want) < 1e-9 * max(
+                    1, abs(want)
+                ), (q, g, want)
