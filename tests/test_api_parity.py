@@ -290,3 +290,87 @@ def test_rest_api_surface(spark):
         assert st in (400, 404) and "detail" in out
     finally:
         srv.shutdown()
+
+
+def test_reference_convenience_surface(tiny2):
+    """Round-2 parity sweep: the reference's procedural get_*/member_*
+    APIs, Member navigation extras, Cube/Database/Area/Cell conveniences."""
+    db, cube, _ = tiny2
+
+    months = db.dimension("months")
+    # Dimension procedural family (names, like the reference)
+    assert "Jan" in months.get_members()
+    assert set(months.get_leaves()) >= {"Jan", "Dec"}
+    assert "Q1" in months.get_aggregated_members()
+    assert months.get_root_members() == ["Year"]
+    assert months.get_members_by_level(1) == ["Q1", "Q2", "Q3", "Q4"]
+    assert months.get_top_level() == 2 and months.top_level == 2
+    assert months.member_exists("jan") and not months.member_exists("nope")
+    assert months.member_get_children("Q1") == ["Jan", "Feb", "Mar"]
+    assert months.member_get_parents("Jan") == ["Q1"]
+    assert len(months.member_get_leaves("Year")) == 12
+    assert months.member_get_level("Q1") == 1
+    assert months.member_is_leave("Jan") and months.member_is_root("Year")
+    measures = db.dimension("measures")
+    assert measures.is_weighted  # Profit has a -1 weight
+    assert not months.is_weighted
+
+    # aliases
+    months.member_add_alias("Jan", "January")
+    assert months.member_has_alias("January")
+    assert months.member_aliases_count("Jan") == 1
+    assert months.get_member_by_alias("January") == "Jan"
+    months.remove_alias("Jan", "January")
+    assert not months.member_has_alias("January")
+
+    # Member navigation extras
+    jan = months.member("Jan")
+    assert jan.qualified_name == "months:Jan"
+    assert jan.parent().name == "Q1" and jan.up().name == "Q1"
+    assert months.member("Q1").child(1).name == "Feb"
+    assert months.member("Q1").down().name == "Jan"
+    assert jan.root().name == "Year"
+    assert jan.has_parents and not months.member("Year").has_parents
+    assert months.member("Q1").has_children and not jan.has_children
+    assert months.member("Q1").children_count == 3
+    assert jan.parents_count == 1
+    assert months.member("Q1").is_parent_of("Jan")
+    assert jan.has_next and not months.member("Year").has_next
+
+    # Cube conveniences
+    assert cube.get_dimension_by_index(0).name == "years"
+    assert cube.get_dimension("months") is months
+    assert cube.get_dimension_ordinal("months") == 1
+    assert cube.get_dimension_ordinal("nope") == -1
+    assert cube.dimension_contained("measures")
+    assert cube.dimensions_count == 5
+    assert "months" in cube.dimension_names
+    cube.reset_counters()
+    assert cube.counter_cell_requests == 0
+    ok, report = cube.validate_rules()
+    assert isinstance(ok, bool) and isinstance(report, str)
+    assert '"name"' in cube.to_json()
+
+    # Database conveniences
+    assert db.cube_exists("sales") and not db.cube_exists("nope")
+    assert db.dimension_exists("months")
+    v = db.get(("sales", "2021", "Jan", "North", "coupe", "Sales"))
+    db.set(("sales", "2021", "Jan", "North", "coupe", "Sales"), 42.0)
+    assert db.get(("sales", "2021", "Jan", "North", "coupe", "Sales")) == 42.0
+    db.set(("sales", "2021", "Jan", "North", "coupe", "Sales"), v)  # restore
+
+    # Area conveniences
+    area = cube.area("2021")
+    c2 = area.clone()
+    assert c2.filters == area.filters and c2 is not area
+    assert area.refresh() is area
+    assert next(iter(area.enumerate()))  # yields addresses
+    area.alter("2022")
+    assert area.filters != c2.filters
+
+    # Cell conveniences
+    cell = cube.cell("2021", "Jan", "North", "coupe", "Sales")
+    assert cell.cube is cube
+    assert isinstance(cell.numeric_value, float)
+    shifted = cell.alter("Feb")
+    assert shifted.address[1] == "Feb" and cell.address[1] == "Jan"

@@ -258,6 +258,25 @@ class Cell(_FloatOps):
     def __setitem__(self, modifiers, value) -> None:
         self._cube._set_idx(self._shifted(modifiers), value)
 
+    # reference-compat surface (cell.py public API)
+    @property
+    def numeric_value(self) -> float:
+        """The cell value as a float; non-numeric -> 0.0 (reference)."""
+        return self._f()
+
+    @property
+    def cube(self) -> "Cube":
+        return self._cube
+
+    def alter(self, *modifiers) -> "Cell":
+        """A new Cell at the modifier-shifted address (reference
+        ``cell.alter``)."""
+        return Cell(
+            self._cube,
+            self._shifted(tuple(str(m) for m in modifiers)),
+            bypass_rules=self.bypass_rules,
+        )
+
     # float-ish arithmetic: inherited from _FloatOps (reference
     # cell.py:336-448)
     def _f(self) -> float:
@@ -1120,6 +1139,57 @@ class Cube:
         self.rules._rules.append(rdef)
         self._invalidate()
 
+    # reference-compat conveniences (cube.py public surface)
+    def get_dimension_by_index(self, index: int) -> Dimension:
+        return self.dimensions[index]
+
+    def get_dimension(self, name: str) -> Dimension:
+        return self.dimensions[self._dim_position(name)]
+
+    def get_dimension_ordinal(self, name: str) -> int:
+        """Position of the dimension in the cube, or -1 (reference)."""
+        try:
+            return self._dim_position(name)
+        except (KeyError, InvalidAddressError):
+            return -1
+
+    def dimension_contained(self, name: str) -> bool:
+        return self.get_dimension_ordinal(name) >= 0
+
+    @property
+    def dimension_names(self) -> list[str]:
+        return [d.name for d in self.dimensions]
+
+    @property
+    def dimensions_count(self) -> int:
+        return len(self.dimensions)
+
+    def reset_counters(self) -> None:
+        self.counter_cell_requests = 0
+        self.counter_aggregations = 0
+        self.counter_rule_requests = 0
+
+    def validate_rules(self) -> tuple[bool, str]:
+        """Call every function rule once with a sample cell matching its
+        trigger (reference ``cube.py:849-870``); returns (ok, report)."""
+        problems = []
+        for rdef in self.rules:
+            if rdef.expression is not None or rdef.scope == RuleScope.COMMAND:
+                continue
+            addr = [dim.leaf_members[0].index for dim in self.dimensions]
+            for pos, midx in rdef.idx_pattern or []:
+                addr[pos] = midx
+            try:
+                rdef.function(Cell(self, tuple(addr)))
+            except Exception as exc:  # noqa: BLE001 — validation report
+                problems.append(f"rule '{rdef.name}': {exc!r}")
+        return (not problems, "; ".join(problems) or "ok")
+
+    def to_json(self) -> str:
+        import json as _json
+
+        return _json.dumps(self.to_dict())
+
     # ---------------------------------------------------------------- area
     def area(self, *defs) -> "Area":
         return Area(self, defs)
@@ -1223,6 +1293,29 @@ class Area:
         self.filters: dict[int, list[int]] = {}
         for d in defs:
             self._add_def(d)
+
+    # reference-compat surface (area.py:194-222; to_dict/from_dict are
+    # NotImplementedError in the reference and omitted here)
+    def alter(self, *defs) -> "Area":
+        """Replace the area definition in place (reference ``alter``)."""
+        self.filters = {}
+        for d in defs:
+            self._add_def(d)
+        return self
+
+    def clone(self) -> "Area":
+        out = Area(self.cube, ())
+        out.filters = {pos: list(idxs) for pos, idxs in self.filters.items()}
+        return out
+
+    def refresh(self) -> "Area":
+        """No-op for compatibility: rows are computed lazily from the fact
+        DataFrame on every access (no cached row-id set to refresh)."""
+        return self
+
+    def enumerate(self, enumerate_data_space: bool = False):
+        """Generator over area addresses (reference ``area.py:194-207``)."""
+        yield from self.addresses(enumerate_data_space)
 
     def _add_def(self, d) -> None:
         cube = self.cube

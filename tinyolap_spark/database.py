@@ -83,6 +83,38 @@ class Database:
     def cube(self, name: str) -> Cube:
         return self.cubes[name.lower()]
 
+    # reference-compat conveniences (database.py public surface)
+    def cube_exists(self, name: str) -> bool:
+        return name.lower() in self.cubes
+
+    def dimension_exists(self, name: str) -> bool:
+        return name.lower() in self.dimensions
+
+    def get_dimension(self, name: str) -> Dimension:
+        return self.dimension(name)
+
+    def get(self, address: Sequence) -> "float | str | None":
+        """``db.get(("cube", m1, ..., mN))`` (reference
+        ``database.py:409-421``)."""
+        cube_name, *members = address
+        return self.cube(cube_name).get(tuple(members))
+
+    def set(self, address: Sequence, value) -> None:
+        cube_name, *members = address
+        self.cube(cube_name).set(tuple(members), value)
+
+    def clone(self, name: Optional[str] = None) -> "Database":
+        """Deep copy via a temp save/open round trip (reference
+        ``Database.clone``; DataFrame immutability makes the fact copies
+        free — only metadata re-materializes)."""
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="tinyolap_clone_")
+        self.save(tmp)
+        out = Database.open(tmp, spark=self.spark)
+        out.name = name or f"{self.name}_clone"
+        return out
+
     def __getitem__(self, item):
         """``db["cube", m1, ..., mN]`` cell read (reference
         ``database.py:409-421``)."""

@@ -179,6 +179,65 @@ class Member:
     def last(self) -> "Member":
         return Member(self._dim, self._dim._ordered_idx[-1])
 
+    # reference-compat navigation (member.py:112-420; the sibling family
+    # is NotImplementedError in the reference and is omitted here too)
+    @property
+    def qualified_name(self) -> str:
+        return f"{self._dim.name}:{self.name}"
+
+    def parent(self, index: int = 0) -> "Member":
+        parents = self.parents
+        if not (0 <= index < len(parents)):
+            raise KeyError(
+                f"member '{self.name}' has no parent with index {index}"
+            )
+        return parents[index]
+
+    up = parent
+
+    def child(self, index: int = 0) -> "Member":
+        children = self.children
+        if not (0 <= index < len(children)):
+            raise KeyError(
+                f"member '{self.name}' has no child with index {index}"
+            )
+        return children[index]
+
+    down = child
+
+    def root(self, index: int = 0) -> "Member":
+        roots = self._dim.roots
+        if not (0 <= index < len(roots)):
+            raise KeyError(f"no root member with index {index}")
+        return roots[index]
+
+    @property
+    def has_children(self) -> bool:
+        return self.is_parent
+
+    @property
+    def has_parents(self) -> bool:
+        return bool(self._dim._defs[self._idx].parents)
+
+    @property
+    def has_next(self) -> bool:
+        return self.next is not None
+
+    @property
+    def has_previous(self) -> bool:
+        return self.previous is not None
+
+    @property
+    def children_count(self) -> int:
+        return len(self._dim._defs[self._idx].children)
+
+    @property
+    def parents_count(self) -> int:
+        return len(self._dim._defs[self._idx].parents)
+
+    def is_parent_of(self, child: "str | Member") -> bool:
+        return self._dim.member(child).is_child_of(self)
+
     # attribute access ----------------------------------------------------
     def attribute(self, name: str) -> Any:
         return self._dim._defs[self._idx].attributes.get(name.lower())
@@ -593,6 +652,181 @@ class Dimension:
 
     def members_by_level(self, level: int) -> list[Member]:
         return [Member(self, d.idx) for d in self._iter_defs() if d.level == level]
+
+    # reference-compat procedural surface (dimension.py:1666-2294): the
+    # get_*/member_* family traffics in member NAMES like the reference,
+    # all thin delegations onto the Member/registry API above
+    def get_members(self) -> list[str]:
+        return [m.name for m in self.members]
+
+    def get_leaves(self) -> list[str]:
+        return [m.name for m in self.leaf_members]
+
+    def get_aggregated_members(self) -> list[str]:
+        return [m.name for m in self.aggregated_members]
+
+    def get_root_members(self) -> list[str]:
+        return [m.name for m in self.roots]
+
+    def get_members_by_level(self, level: int) -> list[str]:
+        return [m.name for m in self.members_by_level(level)]
+
+    def get_first_member(self) -> str:
+        return self.default_member.name
+
+    def get_member_by_index(self, idx: int) -> str:
+        return self._defs[idx].name
+
+    def get_member_by_alias(self, alias: str) -> str:
+        idx = self._lookup.get(self._key(alias))
+        if idx is None:
+            raise InvalidAddressError(f"unknown alias '{alias}'")
+        return self._defs[idx].name
+
+    def get_top_level(self) -> int:
+        return max((d.level for d in self._iter_defs()), default=0)
+
+    @property
+    def top_level(self) -> int:
+        return self.get_top_level()
+
+    def member_exists(self, name: str) -> bool:
+        return name in self
+
+    @property
+    def is_weighted(self) -> bool:
+        """Any rollup weight other than the default +1.0
+        (reference ``dimension.py:1033-1036``)."""
+        return any(
+            w != 1.0 for d in self._iter_defs() for w in d.parents.values()
+        )
+
+    # member_* delegations (reference's flat dimension-level member API)
+    def member_get_children(self, name: str) -> list[str]:
+        return [m.name for m in self.member(name).children]
+
+    def member_get_parents(self, name: str) -> list[str]:
+        return [m.name for m in self.member(name).parents]
+
+    def member_get_leaves(self, name: str) -> list[str]:
+        return [m.name for m in self.member(name).leaves]
+
+    def member_get_roots(self, name: str) -> list[str]:
+        return self.get_root_members()
+
+    def member_get_level(self, name: str) -> int:
+        return self.member(name).level
+
+    def member_get_ordinal(self, name: str) -> int:
+        return self.member(name).ordinal
+
+    def member_get_index(self, name: str) -> int:
+        return self.member(name).index
+
+    def member_get_format(self, name: str) -> Optional[str]:
+        return self.member(name).format
+
+    def member_set_format(self, name: str, fmt: str) -> None:
+        self.set_format(name, fmt)
+
+    def member_remove_format(self, name: str) -> None:
+        self._defs[self.member(name).index].format = None
+
+    def member_is_leave(self, name: str) -> bool:  # (sic — reference name)
+        return self.member(name).is_leaf
+
+    def member_is_root(self, name: str) -> bool:
+        return self.member(name).is_root
+
+    def member_add_alias(self, member: str, alias: str) -> None:
+        self.add_alias(member, alias)
+
+    def member_has_alias(self, alias: str) -> bool:
+        idx = self._lookup.get(self._key(alias))
+        return idx is not None and alias in self._defs[idx].aliases
+
+    def member_aliases_count(self, member: str) -> int:
+        return len(self._defs[self.member(member).index].aliases)
+
+    def member_remove_all_aliases(self, member: str) -> None:
+        d = self._defs[self.member(member).index]
+        for alias in list(d.aliases):
+            self._lookup.pop(self._key(alias), None)
+        d.aliases.clear()
+
+    def remove_alias(self, member: str, alias: str) -> None:
+        d = self._defs[self.member(member).index]
+        if alias not in d.aliases:
+            raise DimensionEditError(
+                f"'{alias}' is not an alias of '{member}'"
+            )
+        d.aliases.remove(alias)
+        self._lookup.pop(self._key(alias), None)
+
+    # attribute / subset registry conveniences
+    def has_attribute(self, name: str) -> bool:
+        return name.lower() in self.attributes
+
+    @property
+    def attributes_count(self) -> int:
+        return len(self.attributes)
+
+    def get_attribute_type(self, name: str) -> type:
+        return self.attribute_field(name).value_type
+
+    def del_attribute_value(self, attribute: str, member: str) -> None:
+        self._defs[self.member(member).index].attributes.pop(
+            attribute.lower(), None
+        )
+
+    def remove_attribute(self, name: str) -> None:
+        key = name.lower()
+        if key not in self.attributes:
+            raise DimensionEditError(f"unknown attribute '{name}'")
+        del self.attributes[key]
+        for d in self._iter_defs():
+            d.attributes.pop(key, None)
+
+    def rename_attribute(self, old: str, new: str) -> None:
+        f = self.attribute_field(old)
+        new_key = new.lower()
+        if new_key in self.attributes:
+            raise DimensionEditError(f"attribute '{new}' already exists")
+        del self.attributes[f.name]
+        for d in self._iter_defs():
+            if f.name in d.attributes:
+                d.attributes[new_key] = d.attributes.pop(f.name)
+        f.name = new_key
+        self.attributes[new_key] = f
+
+    def has_subset(self, name: str) -> bool:
+        return name.lower() in self.subsets
+
+    def get_subset(self, name: str) -> "Subset":
+        return self.subset(name)
+
+    @property
+    def subsets_count(self) -> int:
+        return len(self.subsets)
+
+    def subset_contains(self, subset: str, member: str) -> bool:
+        m = self.member(member)
+        return any(x.index == m.index for x in self.subset(subset).members)
+
+    def remove_subset(self, name: str) -> None:
+        if name.lower() not in self.subsets:
+            raise DimensionEditError(f"unknown subset '{name}'")
+        del self.subsets[name.lower()]
+
+    def rename_subset(self, old: str, new: str) -> None:
+        s = self.subsets.get(old.lower())
+        if s is None:
+            raise DimensionEditError(f"unknown subset '{old}'")
+        if new.lower() in self.subsets:
+            raise DimensionEditError(f"subset '{new}' already exists")
+        del self.subsets[old.lower()]
+        s.name = new
+        self.subsets[new.lower()] = s
 
     # ---------------------------------------------------------- attributes
     def add_attribute(self, name: str, value_type: type = object) -> AttributeField:
