@@ -818,7 +818,11 @@ def _q_events_hourly_stream(spark, sf_dir):
     """Hourly event rollup computed through STRUCTURED STREAMING
     (readStream -> watermarked window agg -> availableNow -> memory sink),
     then returned as a batch DataFrame.  The oracle is the equivalent batch
-    SQL — streaming and batch must agree on complete data."""
+    SQL — streaming and batch must agree on complete data.
+
+    NB: the complete-mode memory sink is a TEST HARNESS device — it holds
+    the whole result on the driver.  Production would writeStream to a
+    table/Kafka sink in update/append mode (driver holds nothing)."""
     import tempfile
 
     from tinyolap_spark.streaming import ingest
