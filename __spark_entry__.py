@@ -726,6 +726,102 @@ def _q_docs_fingerprints(spark, sf_dir):
     )
 
 
+def _docs_with_trunc(spark, sf_dir):
+    """Documents corpus augmented with PARTIAL duplicates: for doc_id < 20
+    a copy at doc_id+300000 keeps only the first (n_tokens - 15) normalized
+    tokens (min 1).  With 10-99-token docs this plants exact word-5-gram
+    Jaccard values spread across ~0.2-0.85 — a genuine near-dup population
+    (the +100000 corpus used by the MinHash/SimHash queries only plants
+    J == 1.0 exact copies)."""
+    docs = _raw(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    keep = F.greatest(F.size(toks) - 15, F.lit(1))
+    trunc = (
+        docs.where(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, F.lit(1), keep)).alias("text"),
+        )
+    )
+    return (
+        docs.select("doc_id", "text")
+        .unionByName(trunc)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _q_docs_jaccard_pairs(spark, sf_dir):
+    """Standalone exact n-gram Jaccard near-dup detection: MinHash-LSH
+    candidates (64 hashes / 32 bands => band-match p = J^2, miss prob
+    (1-J^2)^32 ~ 1e-4 at the J=0.5 threshold) verified with the EXACT
+    word-5-gram Jaccard VALUE, which the DuckDB oracle recomputes all-pairs
+    from scratch (list-comprehension shingles + list_intersect).  Unlike
+    docs_minhash_pairs (which only plants J=1 exact copies), this corpus
+    plants truncated partial duplicates so the Jaccard arithmetic itself —
+    not just identity detection — is value-verified."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_trunc(spark, sf_dir)
+    pairs = dedup.near_duplicates(
+        corpus, threshold=0.5, num_hashes=64, bands=32
+    )
+    return pairs.select("doc_a", "doc_b", "jaccard").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _emb_with_neardups(spark, sf_dir):
+    """Embeddings corpus augmented with deterministic near-duplicates:
+
+    - ``vec_id < 20``: scaled copies (x * 1.25) at id+100000 — cosine
+      exactly 1.0 with the original (hyperplane signs are scale-invariant).
+    - ``20 <= vec_id < 40``: multiplicatively perturbed copies
+      ``x * (1 + 0.02 sin(1000 x + vec_id))`` at id+200000 — cosine
+      ~0.9998.
+
+    Natural pairs max out at cosine ~0.52 (measured at sf0.01), so the
+    >= 0.99 pair set is exactly the 40 planted pairs — no boundary risk."""
+    emb = _raw(spark, sf_dir, "embeddings")
+    scaled = (
+        emb.where(F.col("vec_id") < 20)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+        .withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> cast(x * 1.25 as float))"),
+        )
+    )
+    pert = (
+        emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, x -> cast(x * (1.0 + 0.02 * "
+                "sin(cast(x as double) * 1000.0 + cast(vec_id as double)))"
+                " as float))"
+            ),
+        )
+        .withColumn("vec_id", F.col("vec_id") + 200000)
+    )
+    return emb.unionByName(scaled).unionByName(pert)
+
+
+def _q_emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH bucket
+    join (6 tables x 12 bits, one Arrow/NumPy signature pass) -> exact
+    cosine >= 0.99 verification on candidates only.  The DuckDB oracle is
+    the exact all-pairs cosine self-join (list_cosine_similarity), so any
+    LSH recall loss OR false survivor shows up as a mismatch."""
+    from tinyolap_spark.pipeline import similarity
+
+    corpus = _emb_with_neardups(spark, sf_dir)
+    pairs = similarity.embedding_near_duplicates(
+        corpus, threshold=0.99, bits=12, tables=6
+    )
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
 def _q_events_cube_stream_ingest(spark, sf_dir):
     """Streaming ingestion END-TO-END into a cube (VERDICT r1 #8): the
     events fixture streams through ``readStream -> foreachBatch`` additive
@@ -896,6 +992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_histogram": _q_docs_quality_histogram,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
+        "docs_jaccard_pairs": _q_docs_jaccard_pairs,
+        "emb_near_dup_pairs": _q_emb_near_dup_pairs,
         "events_hourly_stream": _q_events_hourly_stream,
         "events_cube_stream_ingest": _q_events_cube_stream_ingest,
         "sql_salted_region_qty": _q_sql_salted_region_qty,
@@ -1183,6 +1281,60 @@ def oracle_sql() -> dict[str, str]:
             r"ON trim(lower(regexp_replace(a.text, '\s+', ' ', 'g'))) = "
             r"trim(lower(regexp_replace(b.text, '\s+', ' ', 'g'))) "
             "AND a.doc_id < b.doc_id ORDER BY 1, 2"
+        ),
+        # exact all-pairs word-5-gram Jaccard, recomputed from scratch:
+        # shingles via a list comprehension over token windows (mirrors the
+        # Spark transform/slice pipeline), size-ratio prefilter (J >= 0.5
+        # requires 2*min(|A|,|B|) >= max(|A|,|B|)), then list_intersect.
+        # int/int division is IEEE double in both engines -> bit-identical
+        # jaccard values.
+        "docs_jaccard_pairs": (
+            r"WITH corpus AS ("
+            r"  SELECT doc_id, text FROM documents"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 300000,"
+            r"         array_to_string(t[1:greatest(len(t)-15, 1)], ' ')"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents WHERE doc_id < 20)"
+            r"), sh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+4], ' ')"
+            r"     for i in range(1, greatest(len(t)-4, 1)+1)]) AS s"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM corpus)"
+            r") SELECT doc_a, doc_b, ji / ju AS jaccard FROM ("
+            r"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            r"         len(list_intersect(a.s, b.s)) AS ji,"
+            r"         len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))"
+            r"           AS ju"
+            r"  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            r"   AND 2 * least(len(a.s), len(b.s)) >="
+            r"       greatest(len(a.s), len(b.s))"
+            r") WHERE ji / ju >= 0.5 ORDER BY 1, 2"
+        ),
+        # exact all-pairs cosine over the augmented embedding corpus — the
+        # ground truth the LSH-bucketed Spark pipeline must reproduce
+        "emb_near_dup_pairs": (
+            "WITH aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 100000,"
+            "         list_transform(embedding,"
+            "           x -> CAST(x * 1.25 AS FLOAT))"
+            "  FROM embeddings WHERE vec_id < 20"
+            "  UNION ALL"
+            "  SELECT vec_id + 200000,"
+            "         list_transform(embedding,"
+            "           x -> CAST(x * (1.0 + 0.02 * sin("
+            "             CAST(x AS DOUBLE) * 1000.0"
+            "             + CAST(vec_id AS DOUBLE))) AS FLOAT))"
+            "  FROM embeddings WHERE vec_id >= 20 AND vec_id < 40"
+            ") SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+            "  FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
+            "  WHERE list_cosine_similarity(a.embedding, b.embedding)"
+            "        >= 0.99 ORDER BY 1, 2"
         ),
         # the Spark side computes per-query recall@10 of IVF(nprobe=48)
         # against the exact full-probe top-10 and thresholds it; the oracle

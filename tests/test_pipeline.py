@@ -314,3 +314,44 @@ def test_ivf_random_sample_not_first_rows(spark):
     signs = {1 if c.mean() > 0 else -1 for c in idx.centroids}
     assert signs == {-1, 1}, f"centroids collapsed: {idx.centroids.mean(1)}"
     idx.assigned.unpersist()
+
+
+def test_embedding_near_duplicates_recovers_planted_pairs(spark):
+    """Planted scaled (cos==1) and lightly-perturbed (cos~0.9998) copies
+    must ALL be recovered through the LSH bucket join; unrelated random
+    vectors (max natural cosine ~0.5 in the fixture) must not appear."""
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    scaled = (
+        base.where(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") + 1000)
+        .withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> cast(x * 2.0 as float))"),
+        )
+    )
+    corpus = base.unionByName(scaled)
+    pairs = similarity.embedding_near_duplicates(
+        corpus, threshold=0.99, bits=12, tables=6
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 1000) for i in range(10)}
+    # cosine column is exact: the scaled pairs sit at 1.0
+    vals = [r.cosine for r in pairs.collect()]
+    assert all(abs(v - 1.0) < 1e-9 for v in vals)
+
+
+def test_embedding_near_duplicates_bucket_cap(spark):
+    """A degenerate bucket (many identical vectors) larger than max_bucket
+    is dropped instead of exploding quadratically."""
+    from tinyolap_spark.pipeline import similarity
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_duplicates(
+        df, threshold=0.99, bits=4, tables=2, max_bucket=10
+    )
+    assert pairs.count() == 0  # every bucket holds all 50 -> capped out

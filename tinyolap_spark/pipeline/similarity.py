@@ -287,6 +287,116 @@ class IVFIndex:
         )
 
 
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 12,
+    tables: int = 6,
+    seed: int = 7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, cosine >= t).
+
+    Scale design (100 TB of embeddings):
+
+    - signatures: ``tables`` independent random-hyperplane LSH sketches of
+      ``bits`` bits each, computed in ONE Arrow/NumPy pass (``mapInPandas``
+      matmul against the (tables*bits, dim) plane matrix) — the plan is
+      O(1) in both ``bits`` and ``tables``, unlike per-bit column
+      expressions.  Emits only (id, table, sig): ~24 bytes/vec/table.
+    - candidates: equality bucket-join on (table, sig) — never all-pairs.
+      Two vectors at angle θ share one table's bucket with probability
+      1-(1-(1-θ/π)^bits)^tables (≈1 for near-dups, ≈0 for unrelated).
+      Raise ``bits`` with corpus size to keep buckets small; skewed
+      buckets (e.g. zero vectors) are capped via ``max_bucket``.
+    - verify: exact cosine (JVM ``zip_with``/``aggregate``) joined only
+      onto the pruned candidate set.
+
+    Returns (id_a, id_b, cosine).  Cosine of a zero vector is NULL (never
+    passes the threshold)."""
+    import numpy as np
+
+    rows0 = emb.select(vec_col).limit(1).collect()
+    if not rows0:
+        spark = emb.sparkSession
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+    dim = len(rows0[0][vec_col])
+    rng = np.random.default_rng(seed)
+    plane_list = rng.standard_normal((tables, bits, dim)).tolist()
+    n_tables = tables
+
+    def sig_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(plane_list)  # (tables, bits, dim)
+        P2 = P.reshape(-1, P.shape[-1])
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(
+                pdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float64))
+            )
+            S = (M @ P2.T > 0).reshape(len(pdf), n_tables, bits)
+            sigs = (S * weights[None, None, :]).sum(-1)
+            yield pd.DataFrame(
+                {
+                    "doc": np.repeat(pdf[id_col].values, n_tables),
+                    "table": np.tile(
+                        np.arange(n_tables, dtype=np.int32), len(pdf)
+                    ),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    banded = (
+        emb.select(id_col, vec_col)
+        .mapInPandas(sig_batches, schema="doc long, table int, sig long")
+        .persist()
+    )
+    sizes = banded.groupBy("table", "sig").agg(F.count(F.lit(1)).alias("sz"))
+    banded = banded.join(
+        sizes.where(F.col("sz") <= max_bucket).select("table", "sig"),
+        on=["table", "sig"],
+        how="leftsemi",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    cos = dot / (_norm("__va") * _norm("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame,
     qvec: Sequence[float],
