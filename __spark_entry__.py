@@ -822,6 +822,39 @@ def _q_emb_near_dup_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def _q_docs_media_features(spark, sf_dir):
+    """Multimodal binary plumbing END-TO-END: the documents table re-cast
+    as an opaque media corpus (content = utf-8 bytes, binary column +
+    typed metadata), pushed through the Arrow-batched ``extract_features``
+    pass (stub decoder = normalized byte histogram over 8 buckets; the
+    binary column is dropped inside the pass so the shuffle carries only
+    fixed-width features), histogram exploded to (bucket, share) rows.
+
+    The DuckDB oracle recomputes the byte buckets in pure SQL from
+    hex(content): byte % 8 == (low hex digit) % 8 because the high digit
+    contributes 16*h (mod 8 == 0) — so the histogram is exact for ANY byte
+    content, not just ASCII.  share = count/max(bytes,1) is int/int IEEE
+    division in both engines -> bit-identical doubles."""
+    from tinyolap_spark.pipeline import multimodal
+
+    docs = _raw(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("bucket", "share"),
+    ).orderBy("media_id", "bucket")
+
+
 def _q_events_cube_stream_ingest(spark, sf_dir):
     """Streaming ingestion END-TO-END into a cube (VERDICT r1 #8): the
     events fixture streams through ``readStream -> foreachBatch`` additive
@@ -994,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
         "emb_near_dup_pairs": _q_emb_near_dup_pairs,
+        "docs_media_features": _q_docs_media_features,
         "events_hourly_stream": _q_events_hourly_stream,
         "events_cube_stream_ingest": _q_events_cube_stream_ingest,
         "sql_salted_region_qty": _q_sql_salted_region_qty,
@@ -1313,6 +1347,24 @@ def oracle_sql() -> dict[str, str]:
             r"   AND 2 * least(len(a.s), len(b.s)) >="
             r"       greatest(len(a.s), len(b.s))"
             r") WHERE ji / ju >= 0.5 ORDER BY 1, 2"
+        ),
+        # byte-histogram features recomputed from hex(content) in pure SQL:
+        # byte % 8 == (low hex digit) % 8, so buckets are exact for any
+        # byte content; shares are int/int IEEE divisions in both engines
+        "docs_media_features": (
+            "WITH h AS ("
+            "  SELECT doc_id AS media_id, hex(encode(text)) AS hx,"
+            "         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes"
+            "  FROM documents"
+            "), bk AS ("
+            "  SELECT media_id, n_bytes,"
+            "         [(strpos('0123456789ABCDEF', hx[i:i]) - 1) % 8"
+            "          for i in range(2, len(hx)+2, 2)] AS buckets"
+            "  FROM h"
+            ") SELECT media_id, n_bytes, CAST(b AS INTEGER) AS bucket,"
+            "         len(list_filter(buckets, x -> x = b))"
+            "           / greatest(n_bytes, 1) AS share"
+            "  FROM bk, range(0, 8) t(b) ORDER BY 1, 3"
         ),
         # exact all-pairs cosine over the augmented embedding corpus — the
         # ground truth the LSH-bucketed Spark pipeline must reproduce
