@@ -355,3 +355,27 @@ def test_embedding_near_duplicates_bucket_cap(spark):
         df, threshold=0.99, bits=4, tables=2, max_bucket=10
     )
     assert pairs.count() == 0  # every bucket holds all 50 -> capped out
+
+
+def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
+    """The IVF cell column doubles as an on-disk partition key: a probe
+    that filters to nprobe cells must hit partition pruning in the scan
+    (at 100 TB each probe reads nprobe/ncells of the corpus from disk)."""
+    from tinyolap_spark.pipeline import similarity
+
+    idx = similarity.IVFIndex(emb, ncells=8, sample=512)
+    out = str(tmp_path / "ivf_parquet")
+    idx.assigned.write.partitionBy("cell").parquet(out)
+    idx.assigned.unpersist()
+
+    df = spark.read.parquet(out)
+    probe = df.where(F.col("cell").isin([1, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):].split("]")[0]
+    assert "cell" in pf, f"no partition filter on cell: {pf}"
+    # pruned read returns exactly the two cells' rows
+    assert probe.count() == df.where(F.col("cell").isin([1, 3])).count()
+    assert set(
+        r["cell"] for r in probe.select("cell").distinct().collect()
+    ) <= {1, 3}

@@ -119,3 +119,37 @@ def test_sessionize_stream(spark, event_files, tmp_path):
     rows = spark.sql("SELECT count(*) AS n, sum(n_events) AS e FROM sessions").collect()
     assert rows[0]["n"] > 0
     assert rows[0]["e"] == spark.read.parquet(event_files).count()
+
+
+def test_dedup_stream_bounded_state(spark, tmp_path):
+    """Planted duplicate events are dropped across micro-batches; the
+    surviving count equals batch-mode dropDuplicates on the same keys."""
+    from tinyolap_spark.streaming import ingest
+
+    src = str(tmp_path / "dup_src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+        .limit(500)
+    )
+    # plant duplicates: every event re-emitted once with the same id+ts
+    ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = ingest.events_stream(spark, src, max_files_per_trigger=1)
+    # watermark must cover the fixture's full 14-day event-time span:
+    # with unordered files a shorter horizon drops out-of-order rows as
+    # LATE (correct streaming semantics, but not what this test checks)
+    dd = ingest.dedup_stream(stream, ["event_id"], watermark="30 days")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_out").count()
+    want = spark.read.parquet(src).dropDuplicates(["event_id"]).count()
+    assert got == want == 500

@@ -180,3 +180,27 @@ def sessionize_stream(
             "value_sum",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state.
+
+    The training-data ingest twin of ``pipeline.dedup.exact_dedup``: a row
+    whose key re-appears within the watermark horizon is dropped
+    (``dropDuplicatesWithinWatermark``); key state older than the horizon
+    is evicted.  At 100 TB/day this is the only viable shape — state holds
+    one digest per key per horizon, never the full history (an unbounded
+    ``dropDuplicates`` on a stream would grow state forever).
+
+    For content dedup pass e.g. ``key_cols=["content_hash"]`` where the
+    caller adds ``md5(text)`` upstream; keys should be digests, not raw
+    payloads, so state stays ~16 bytes/key.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
