@@ -92,3 +92,59 @@ def test_running_totals_stream(spark, tmp_path):
         wn, ws = want[r["user_id"]]
         assert r["n_events"] == wn
         assert r["value_sum"] == pytest.approx(ws)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """lineitem and orders co-bucketed on the order key: the join plan
+    must contain NO Exchange on either side (the shuffle was paid once at
+    write time), while the naive parquet join shuffles both sides."""
+    from tinyolap_spark.sources import bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        bucketed.save_bucketed(li, "bkt.lineitem_b", "l_orderkey", 8)
+        bucketed.save_bucketed(od, "bkt.orders_b", "o_orderkey", 8)
+
+        # disable broadcast: at the sf this test runs the planner would
+        # rather broadcast tiny orders — at real scale neither side fits,
+        # which is exactly the regime bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed.bucketed_join(
+                spark,
+                "bkt.lineitem_b",
+                "bkt.orders_b",
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, f"bucketed join shuffled:\n{plan}"
+            assert "SortMergeJoin" in plan
+
+            # the same join over plain parquet DOES shuffle both sides
+            naive = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            nplan = naive._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in nplan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # correctness: row counts agree with the naive join
+        assert joined.count() == li.join(
+            od, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+
+        # grouped agg on the bucket key is Exchange-free too
+        agg = (
+            spark.table("bkt.lineitem_b")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
