@@ -255,21 +255,33 @@ def near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    cleanup: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """MinHash-LSH candidates -> exact Jaccard verification.
 
     The shingle frame is computed/persisted ONCE and shared by signature
-    generation and verification."""
+    generation and verification.  With ``cleanup`` (default) the pair
+    result — orders of magnitude smaller than the shingle frame — is
+    materialized eagerly (``localCheckpoint``) and the shingle cache is
+    released before returning, so a long-lived session scanning many
+    corpora does not accumulate persisted shingle frames (one array per
+    doc each — the dominant memory term at scale).  Pass
+    ``cleanup=False`` to keep the plan lazy and manage the shingle
+    cache yourself (it stays registered with the CacheManager)."""
     shingle_n = lsh_kwargs.get("shingle_n", 5)
     sh_df = shingle_frame(docs, text_col, id_col, shingle_n)
     cands = minhash_lsh_candidates(
         docs, text_col, id_col, shingle_df=sh_df, **lsh_kwargs
     )
-    return ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         docs, cands, text_col, id_col,
         shingle_n=shingle_n, threshold=threshold, shingle_df=sh_df,
     )
+    if cleanup:
+        pairs = pairs.localCheckpoint(eager=True)
+        sh_df.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

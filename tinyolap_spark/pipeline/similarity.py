@@ -352,11 +352,12 @@ def embedding_near_duplicates(
                 }
             )
 
-    banded = (
+    sig_df = (
         emb.select(id_col, vec_col)
         .mapInPandas(sig_batches, schema="doc long, table int, sig long")
         .persist()
     )
+    banded = sig_df
     sizes = banded.groupBy("table", "sig").agg(F.count(F.lit(1)).alias("sz"))
     banded = banded.join(
         sizes.where(F.col("sz") <= max_bucket).select("table", "sig"),
@@ -388,13 +389,18 @@ def embedding_near_duplicates(
         "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
     )
     cos = dot / (_norm("__va") * _norm("__vb"))
-    return (
+    pairs = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # materialize the (small) pair set, then release the signature cache —
+    # a session sweeping many corpora must not accumulate persisted frames
+    pairs = pairs.localCheckpoint(eager=True)
+    sig_df.unpersist()
+    return pairs
 
 
 def lsh_bucket_topk(
