@@ -39,9 +39,15 @@ def _star(spark: SparkSession, sf_dir: str):
 
 def _raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark needs the legacy
-        # flag and then surfaces ts as BIGINT nanoseconds
+        # fixture has shipped as TIMESTAMP(NANOS) (needs the legacy flag,
+        # surfaces as BIGINT nanos) and as timestamp[us] (TIMESTAMP_NTZ);
+        # normalize_events handles both and pins the session TZ to UTC
+        from tinyolap_spark.streaming.ingest import normalize_events
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -496,12 +502,8 @@ def _q_events_sessionize(spark, sf_dir):
     the streaming operator; sessions per event_type."""
     from pyspark.sql import Window
 
-    ev = _raw(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ts_sec = F.expr("ts div 1000000000")  # exact integer seconds from ns
-    else:
-        ts_sec = F.col("ts").cast("long")
-    ev = ev.withColumn("ts_sec", ts_sec)
+    ev = _raw(spark, sf_dir, "events")  # ts normalized to TIMESTAMP (UTC)
+    ev = ev.withColumn("ts_sec", F.col("ts").cast("long"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts_sec") - F.lag(F.col("ts_sec")).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -867,11 +869,7 @@ def _q_events_cube_stream_ingest(spark, sf_dir):
     from tinyolap_spark import Database
     from tinyolap_spark.streaming import ingest
 
-    ev = _raw(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ev = ev.withColumn(
-            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-        )
+    ev = _raw(spark, sf_dir, "events")  # ts normalized to TIMESTAMP (UTC)
     day = F.to_date("ts").cast("string")
     meta = ev.select(
         F.col("event_type").alias("t"), day.alias("d")
@@ -956,11 +954,7 @@ def _q_events_hourly_stream(spark, sf_dir):
 
     from tinyolap_spark.streaming import ingest
 
-    ev = _raw(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") in ("bigint", "long"):
-        ev = ev.withColumn(
-            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
-        )
+    ev = _raw(spark, sf_dir, "events")  # ts normalized to TIMESTAMP (UTC)
     src = tempfile.mkdtemp(prefix="events_stream_src_")
     ck = tempfile.mkdtemp(prefix="events_stream_ck_")
     ev.repartition(4).write.mode("overwrite").parquet(src)

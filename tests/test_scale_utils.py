@@ -53,10 +53,13 @@ def test_salted_broadcast_left(spark):
 def test_running_totals_stream(spark, tmp_path):
     from tinyolap_spark.streaming import ingest
 
+    from tinyolap_spark.streaming.ingest import normalize_events
+
     src = str(tmp_path / "src")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
+    ev = normalize_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
     ev = ev.where(F.col("user_id") < 40)  # bound state-store keys for speed
     ev.repartition(2).write.mode("overwrite").parquet(src)
 

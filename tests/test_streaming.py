@@ -8,13 +8,15 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def event_files(spark, tmp_path_factory):
-    """Re-emit the events fixture as a directory of parquet files with
-    microsecond timestamps (streaming source needs a standard schema)."""
+    """Re-emit the events fixture as a directory of parquet files with a
+    normalized TIMESTAMP ts (streaming source needs a standard schema;
+    normalize_events handles both fixture schemas the driver has shipped)."""
+    from tinyolap_spark.streaming.ingest import normalize_events
+
     out = str(tmp_path_factory.mktemp("events_src"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    ev = ev.withColumn(
-        "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    ev = normalize_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     )
     ev.repartition(3).write.mode("overwrite").parquet(out)
     return out
@@ -126,13 +128,13 @@ def test_dedup_stream_bounded_state(spark, tmp_path):
     surviving count equals batch-mode dropDuplicates on the same keys."""
     from tinyolap_spark.streaming import ingest
 
+    from tinyolap_spark.streaming.ingest import normalize_events
+
     src = str(tmp_path / "dup_src")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
+    ev = normalize_events(
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_seconds(F.expr("ts div 1000000000")))
-        .limit(500)
-    )
+    ).limit(500)
     # plant duplicates: every event re-emitted once with the same id+ts
     ev.unionByName(ev).repartition(4).write.mode("overwrite").parquet(src)
 

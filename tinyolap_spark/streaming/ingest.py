@@ -28,6 +28,40 @@ from pyspark.sql import functions as F
 from ..cube import Cube
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize the events table's ``ts`` column to a plain TIMESTAMP.
+
+    The driver-generated ``events.parquet`` fixture has shipped with two
+    on-disk schemas across rounds:
+
+    - ``TIMESTAMP(NANOS)`` — readable only via the
+      ``spark.sql.legacy.parquet.nanosAsLong`` flag, surfacing ``ts`` as
+      BIGINT epoch-nanoseconds;
+    - ``timestamp[us]`` — surfacing as TIMESTAMP_NTZ under PySpark 4.
+
+    Both encode the same UTC wall clock.  This helper pins the session
+    timezone to UTC (so NTZ→LTZ casts and ``cast(ts AS long)`` epoch math
+    are timezone-independent) and emits ``ts`` as TIMESTAMP in every case —
+    matching a DuckDB oracle that reads the same parquet and treats naive
+    timestamps as UTC.  Every events consumer (entry queries, streaming
+    tests, bench) goes through here so a future fixture-schema change is a
+    one-line fix.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        # integer epoch-nanos -> exact integer seconds -> timestamp
+        df = df.withColumn(
+            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+    elif dt is not None and dt != "timestamp":
+        # TIMESTAMP_NTZ (or any other timestamp flavor): under a UTC
+        # session TZ this cast maps wall clock -> same instant
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def events_stream(
     spark: SparkSession,
     source_dir: str,
