@@ -47,93 +47,134 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def timed(name, fn):
+        """Per-query fault isolation (VERDICT r3 #2): one broken query must
+        never zero out the whole bench — the error is recorded in the JSON
+        and the harness moves on."""
         t0 = time.time()
-        out = fn()
+        try:
+            out = fn()
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+            return None
         timings[name] = round(time.time() - t0, 4)
         return out
 
+    def guarded(name, fn):
+        """Section-level isolation for multi-statement blocks whose later
+        statements depend on earlier results."""
+        try:
+            fn()
+        except Exception as exc:
+            errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:400])
+
     # ---- warmup: JIT/codegen/parquet-reader spin-up, not part of any
     # measured phase (standard steady-state benchmarking practice) --------
-    li_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
-    (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .groupBy("o_orderpriority").count().collect()
-    )
-
-    # ---- cube build + bulk load (fact materialization forced by count) ----
-    def build():
-        sc = entry_mod._star(spark, sf_dir)
-        return sc, sc.cube.fact.count()
-
-    sc, n_cells = timed("cube_bulk_load", build)
-    extra["lineitem_rows"] = li_rows
-    extra["fact_cells"] = n_cells
-    extra["load_records_per_sec"] = round(li_rows / timings["cube_bulk_load"], 1)
-
-    cube = sc.cube
-
-    # ---- random base-cell reads, batched (one Spark job) ------------------
-    rng = random.Random(42)
-    nations = [m.name for m in sc.geo.leaf_members]
-    months = [m.name for m in sc.cal.members_by_level(0)]
-    brands = [m.name for m in sc.brand.leaf_members]
-    measures = ["quantity", "extendedprice", "discount_amt", "revenue"]
-    base_addrs = [
+    def warmup():
+        extra["lineitem_rows"] = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        )
+        spark.range(2_000_000).selectExpr("sum(id * 2)").collect()
         (
-            rng.choice(nations),
-            rng.choice(months),
-            rng.choice(brands),
-            rng.choice(measures),
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderpriority").count().collect()
         )
-        for _ in range(1000)
-    ]
 
-    def base_reads():
-        cube._cache.clear()
-        return cube.get_many(base_addrs)
+    guarded("warmup", warmup)
+    li_rows = extra.get("lineitem_rows", 0)
 
-    vals = timed("point_reads_1000_batched", base_reads)
-    extra["point_reads_per_sec"] = round(
-        1000 / timings["point_reads_1000_batched"], 1
-    )
-    extra["point_reads_nonempty"] = sum(1 for v in vals if v is not None)
+    # ---- star-cube section: bulk load, batched reads, view refresh --------
+    def star_section():
+        def build():
+            sc = entry_mod._star(spark, sf_dir)
+            return sc, sc.cube.fact.count()
 
-    # ---- aggregated reads: every (region x year x measure) top cell -------
-    regions = [m.name for m in sc.geo.members_by_level(1)] + ["All Geographies"]
-    years = [str(y) for y in sc.years] + ["All Time"]
-    agg_addrs = [
-        (r, y, "All Brands", m)
-        for r in regions
-        for y in years
-        for m in measures + ["net_price"]
-    ]
+        out = timed("cube_bulk_load", build)
+        if out is None:
+            return
+        sc, n_cells = out
+        extra["fact_cells"] = n_cells
+        if li_rows and "cube_bulk_load" in timings:
+            extra["load_records_per_sec"] = round(
+                li_rows / timings["cube_bulk_load"], 1
+            )
 
-    def agg_reads():
-        cube._cache.clear()
-        return cube.get_many(agg_addrs)
+        cube = sc.cube
 
-    timed(f"agg_reads_{len(agg_addrs)}_batched", agg_reads)
-    extra["agg_reads_per_sec"] = round(
-        len(agg_addrs) / timings[f"agg_reads_{len(agg_addrs)}_batched"], 1
-    )
+        # random base-cell reads, batched (one Spark job)
+        rng = random.Random(42)
+        nations = [m.name for m in sc.geo.leaf_members]
+        months = [m.name for m in sc.cal.members_by_level(0)]
+        brands = [m.name for m in sc.brand.leaf_members]
+        measures = ["quantity", "extendedprice", "discount_amt", "revenue"]
+        base_addrs = [
+            (
+                rng.choice(nations),
+                rng.choice(months),
+                rng.choice(brands),
+                rng.choice(measures),
+            )
+            for _ in range(1000)
+        ]
 
-    # ---- one full view-grid refresh ---------------------------------------
-    from tinyolap_spark import View
+        def base_reads():
+            cube._cache.clear()
+            return cube.get_many(base_addrs)
 
-    def view_refresh():
-        v = View(
-            cube,
-            filters=[("brand", "All Brands")],
-            rows=[("geo", [m.name for m in sc.geo.members])],
-            columns=[("calendar", years), ("measures", ["quantity", "revenue"])],
-        )
-        return v.refresh()
+        vals = timed("point_reads_1000_batched", base_reads)
+        if vals is not None:
+            extra["point_reads_per_sec"] = round(
+                1000 / timings["point_reads_1000_batched"], 1
+            )
+            extra["point_reads_nonempty"] = sum(
+                1 for v in vals if v is not None
+            )
 
-    v = timed("view_refresh", view_refresh)
-    extra["view_cells"] = v.stats["cells"]
+        # aggregated reads: every (region x year x measure) top cell
+        regions = [m.name for m in sc.geo.members_by_level(1)] + [
+            "All Geographies"
+        ]
+        years = [str(y) for y in sc.years] + ["All Time"]
+        agg_addrs = [
+            (r, y, "All Brands", m)
+            for r in regions
+            for y in years
+            for m in measures + ["net_price"]
+        ]
+
+        def agg_reads():
+            cube._cache.clear()
+            return cube.get_many(agg_addrs)
+
+        name = f"agg_reads_{len(agg_addrs)}_batched"
+        if timed(name, agg_reads) is not None:
+            extra["agg_reads_per_sec"] = round(
+                len(agg_addrs) / timings[name], 1
+            )
+
+        # one full view-grid refresh
+        from tinyolap_spark import View
+
+        def view_refresh():
+            v = View(
+                cube,
+                filters=[("brand", "All Brands")],
+                rows=[("geo", [m.name for m in sc.geo.members])],
+                columns=[
+                    ("calendar", years),
+                    ("measures", ["quantity", "revenue"]),
+                ],
+            )
+            return v.refresh()
+
+        v = timed("view_refresh", view_refresh)
+        if v is not None:
+            extra["view_cells"] = v.stats["cells"]
+        cube._fact.unpersist(blocking=True)  # free star-cube cache
+
+    guarded("star_section", star_section)
 
     # ---- driver-contract queries over raw tables --------------------------
     q = entry_mod.queries()
@@ -151,84 +192,92 @@ def main() -> None:
 
     # ---- `huge` workload mirror (BASELINE.md: 8 dims x 100 members + All,
     # 1M random records; reference: ~100k rec/s load, ~25k cell-q/s cold) ---
-    cube._fact.unpersist(blocking=True)  # free star-cube cache first
-    from tinyolap_spark import Database, View as _View
+    def huge_section():
+        from tinyolap_spark import Database, View as _View
 
-    def huge_build():
-        hdb = Database("huge", spark=spark)
-        hdims = []
-        for i in range(8):
-            d = hdb.add_dimension(f"h{i}").edit()
-            d.add_many("All", [f"m{j}" for j in range(100)])
-            d.commit()
-            hdims.append(d)
-        hcube = hdb.add_cube("huge", hdims)
-        # executor-side generation: 1M random leaf addresses, value 1.0
-        gen = spark.range(1_000_000)
-        cols = []
-        for i, d in enumerate(hdims):
-            leaf_ids = [m.index for m in d.leaf_members]
-            base, span = min(leaf_ids), len(leaf_ids)
-            cols.append(
-                (F.lit(base) + (F.xxhash64("id", F.lit(i)) % span + span) % span)
-                .cast("int").alias(hcube.dim_cols[i])
+        def huge_build():
+            hdb = Database("huge", spark=spark)
+            hdims = []
+            for i in range(8):
+                d = hdb.add_dimension(f"h{i}").edit()
+                d.add_many("All", [f"m{j}" for j in range(100)])
+                d.commit()
+                hdims.append(d)
+            hcube = hdb.add_cube("huge", hdims)
+            # executor-side generation: 1M random leaf addresses, value 1.0
+            gen = spark.range(1_000_000)
+            cols = []
+            for i, d in enumerate(hdims):
+                leaf_ids = [m.index for m in d.leaf_members]
+                base, span = min(leaf_ids), len(leaf_ids)
+                cols.append(
+                    (
+                        F.lit(base)
+                        + (F.xxhash64("id", F.lit(i)) % span + span) % span
+                    ).cast("int").alias(hcube.dim_cols[i])
+                )
+            rows = gen.select(*cols, (F.rand(seed=1) * 100).alias("value"))
+            hcube.load_dataframe(rows, additive=True)
+            return hdb, hcube, hdims, hcube.fact.count()
+
+        out = timed("huge_load_1m_records", huge_build)
+        if out is None:
+            return
+        (hdb, hcube, hdims, hcells) = out
+        extra["huge_fact_cells"] = hcells
+        extra["huge_load_records_per_sec"] = round(
+            1_000_000 / timings["huge_load_1m_records"], 1
+        )
+
+        hrng = random.Random(7)
+
+        def huge_base_reads():
+            hcube._cache.clear()
+            addrs = [
+                tuple(f"m{hrng.randrange(100)}" for _ in range(8))
+                for _ in range(10_000)
+            ]
+            return hcube.get_many(addrs)
+
+        if timed("huge_base_reads_10k_batched", huge_base_reads) is not None:
+            extra["huge_base_reads_per_sec"] = round(
+                10_000 / timings["huge_base_reads_10k_batched"], 1
             )
-        rows = gen.select(*cols, (F.rand(seed=1) * 100).alias("value"))
-        hcube.load_dataframe(rows, additive=True)
-        return hdb, hcube, hdims, hcube.fact.count()
 
-    (hdb, hcube, hdims, hcells) = timed("huge_load_1m_records", huge_build)
-    extra["huge_fact_cells"] = hcells
-    extra["huge_load_records_per_sec"] = round(
-        1_000_000 / timings["huge_load_1m_records"], 1
-    )
+        def huge_agg_reads():
+            hcube._cache.clear()
+            addrs = []
+            for _ in range(100):
+                addr = ["All"] * 8
+                # drill one random dim to a leaf, one to a member
+                addr[hrng.randrange(8)] = f"m{hrng.randrange(100)}"
+                addrs.append(tuple(addr))
+            return hcube.get_many(addrs)
 
-    hrng = random.Random(7)
+        if timed("huge_agg_reads_100_batched", huge_agg_reads) is not None:
+            extra["huge_agg_reads_per_sec"] = round(
+                100 / timings["huge_agg_reads_100_batched"], 1
+            )
 
-    def huge_base_reads():
-        hcube._cache.clear()
-        addrs = [
-            tuple(f"m{hrng.randrange(100)}" for _ in range(8))
-            for _ in range(10_000)
-        ]
-        return hcube.get_many(addrs)
+        def huge_top_cell():
+            hcube._cache.clear()
+            return hcube[("All",) * 8]
 
-    timed("huge_base_reads_10k_batched", huge_base_reads)
-    extra["huge_base_reads_per_sec"] = round(
-        10_000 / timings["huge_base_reads_10k_batched"], 1
-    )
+        timed("huge_top_cell_read", huge_top_cell)
 
-    def huge_agg_reads():
-        hcube._cache.clear()
-        addrs = []
-        for _ in range(100):
-            addr = ["All"] * 8
-            # drill one random dim to a leaf, one to a member
-            addr[hrng.randrange(8)] = f"m{hrng.randrange(100)}"
-            addrs.append(tuple(addr))
-        return hcube.get_many(addrs)
+        def huge_view():
+            return _View(
+                hcube,
+                rows=[("h0", "*")],
+                columns=[("h1", ["All"] + [f"m{j}" for j in range(10)])],
+            ).refresh()
 
-    timed("huge_agg_reads_100_batched", huge_agg_reads)
-    extra["huge_agg_reads_per_sec"] = round(
-        100 / timings["huge_agg_reads_100_batched"], 1
-    )
+        hv = timed("huge_view_refresh", huge_view)
+        if hv is not None:
+            extra["huge_view_cells"] = hv.stats["cells"]
+        hcube._fact.unpersist()
 
-    def huge_top_cell():
-        hcube._cache.clear()
-        return hcube[("All",) * 8]
-
-    timed("huge_top_cell_read", huge_top_cell)
-
-    def huge_view():
-        return _View(
-            hcube,
-            rows=[("h0", "*")],
-            columns=[("h1", ["All"] + [f"m{j}" for j in range(10)])],
-        ).refresh()
-
-    hv = timed("huge_view_refresh", huge_view)
-    extra["huge_view_cells"] = hv.stats["cells"]
-    hcube._fact.unpersist()
+    guarded("huge_section", huge_section)
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -239,6 +288,8 @@ def main() -> None:
         "sf": sf,
         "extra": extra,
     }
+    if errors:
+        out["errors"] = errors
     prev = _load_prev_bench()
     if prev:
         prev_q = prev.get("queries", {})
