@@ -192,35 +192,39 @@ def main() -> None:
 
     # ---- `huge` workload mirror (BASELINE.md: 8 dims x 100 members + All,
     # 1M random records; reference: ~100k rec/s load, ~25k cell-q/s cold) ---
+    def build_huge_cube(n_records, db_name="huge"):
+        from tinyolap_spark import Database
+
+        hdb = Database(db_name, spark=spark)
+        hdims = []
+        for i in range(8):
+            d = hdb.add_dimension(f"h{i}").edit()
+            d.add_many("All", [f"m{j}" for j in range(100)])
+            d.commit()
+            hdims.append(d)
+        hcube = hdb.add_cube("huge", hdims)
+        # executor-side generation: random leaf addresses, random values
+        gen = spark.range(n_records)
+        cols = []
+        for i, d in enumerate(hdims):
+            leaf_ids = [m.index for m in d.leaf_members]
+            base, span = min(leaf_ids), len(leaf_ids)
+            cols.append(
+                (
+                    F.lit(base)
+                    + (F.xxhash64("id", F.lit(i)) % span + span) % span
+                ).cast("int").alias(hcube.dim_cols[i])
+            )
+        rows = gen.select(*cols, (F.rand(seed=1) * 100).alias("value"))
+        hcube.load_dataframe(rows, additive=True)
+        return hdb, hcube, hdims, hcube.fact.count()
+
     def huge_section():
-        from tinyolap_spark import Database, View as _View
+        from tinyolap_spark import View as _View
 
-        def huge_build():
-            hdb = Database("huge", spark=spark)
-            hdims = []
-            for i in range(8):
-                d = hdb.add_dimension(f"h{i}").edit()
-                d.add_many("All", [f"m{j}" for j in range(100)])
-                d.commit()
-                hdims.append(d)
-            hcube = hdb.add_cube("huge", hdims)
-            # executor-side generation: 1M random leaf addresses, value 1.0
-            gen = spark.range(1_000_000)
-            cols = []
-            for i, d in enumerate(hdims):
-                leaf_ids = [m.index for m in d.leaf_members]
-                base, span = min(leaf_ids), len(leaf_ids)
-                cols.append(
-                    (
-                        F.lit(base)
-                        + (F.xxhash64("id", F.lit(i)) % span + span) % span
-                    ).cast("int").alias(hcube.dim_cols[i])
-                )
-            rows = gen.select(*cols, (F.rand(seed=1) * 100).alias("value"))
-            hcube.load_dataframe(rows, additive=True)
-            return hdb, hcube, hdims, hcube.fact.count()
-
-        out = timed("huge_load_1m_records", huge_build)
+        out = timed(
+            "huge_load_1m_records", lambda: build_huge_cube(1_000_000)
+        )
         if out is None:
             return
         (hdb, hcube, hdims, hcells) = out
@@ -278,6 +282,164 @@ def main() -> None:
         hcube._fact.unpersist()
 
     guarded("huge_section", huge_section)
+
+    # ---- sf1 scale-up section (VERDICT r3 #3): demonstrate, not argue,
+    # that the plans scale.  A 10x dataset is DERIVED from the base sf dir
+    # (key-shifted fact copies; translate-variant document copies that
+    # preserve length distribution and dup-rate without making every copy a
+    # near-dup of its source) and the headline operators re-run on it.
+    # `scaling_*` in extra = t(10x data) / t(1x data); linear-or-better
+    # plans stay ~<=10.  Skippable via SPARK_GRAFT_SKIP_SF1=1; runs only at
+    # the driver's sf0.1 default so smoke runs at tiny sf stay fast. ------
+    def sf1_section():
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+        copies = 10
+
+        def prepare():
+            marker = os.path.join(sf1_dir, "_DONE")
+            if os.path.exists(marker):
+                return 0.0
+            from functools import reduce
+
+            from pyspark.sql import DataFrame as _DF
+
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            okey_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+            reduce(
+                _DF.unionByName,
+                [
+                    li.withColumn(
+                        "l_orderkey",
+                        F.col("l_orderkey") + F.lit(i * okey_span),
+                    )
+                    for i in range(copies)
+                ],
+            ).write.mode("overwrite").parquet(f"{sf1_dir}/lineitem.parquet")
+            reduce(
+                _DF.unionByName,
+                [
+                    orders.withColumn(
+                        "o_orderkey",
+                        F.col("o_orderkey") + F.lit(i * okey_span),
+                    )
+                    for i in range(copies)
+                ],
+            ).write.mode("overwrite").parquet(f"{sf1_dir}/orders.parquet")
+            for t in ["region", "nation", "customer", "supplier", "part"]:
+                spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
+                    "overwrite"
+                ).parquet(f"{sf1_dir}/{t}.parquet")
+            # documents: rotate the alphabet per copy so copies are NOT
+            # shingle-level near-dups of each other (keeps the LSH
+            # workload's dup-rate realistic at 10x)
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            az = "abcdefghijklmnopqrstuvwxyz"
+            did_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+            reduce(
+                _DF.unionByName,
+                [
+                    docs.withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(i * did_span)
+                    ).withColumn(
+                        "text",
+                        F.translate(F.col("text"), az, az[i:] + az[:i]),
+                    )
+                    for i in range(copies)
+                ],
+            ).write.mode("overwrite").parquet(f"{sf1_dir}/documents.parquet")
+            with open(marker, "w"):
+                pass
+
+        timed("sf1_prepare_scaleup", prepare)
+
+        def sf1_build():
+            sc1 = entry_mod._star(spark, sf1_dir)
+            return sc1, sc1.cube.fact.count()
+
+        out = timed("sf1_cube_bulk_load", sf1_build)
+        if out is None:
+            return
+        sc1, n_cells1 = out
+        extra["sf1_fact_cells"] = n_cells1
+        extra["sf1_lineitem_rows"] = li_rows * copies
+        if "sf1_cube_bulk_load" in timings:
+            extra["sf1_load_records_per_sec"] = round(
+                li_rows * copies / timings["sf1_cube_bulk_load"], 1
+            )
+
+        from tinyolap_spark import View as _View
+
+        years1 = [str(y) for y in sc1.years] + ["All Time"]
+
+        def sf1_view():
+            return _View(
+                sc1.cube,
+                filters=[("brand", "All Brands")],
+                rows=[("geo", [m.name for m in sc1.geo.members])],
+                columns=[
+                    ("calendar", years1),
+                    ("measures", ["quantity", "revenue"]),
+                ],
+            ).refresh()
+
+        timed("sf1_view_refresh", sf1_view)
+
+        q1 = entry_mod.queries()
+        timed(
+            "sf1_docs_minhash_pairs",
+            lambda: q1["docs_minhash_pairs"](spark, sf1_dir).collect(),
+        )
+        sc1.cube._fact.unpersist(blocking=True)
+
+        # huge at 10M records (10x the baseline workload's 1M)
+        out10 = timed(
+            "sf1_huge_load_10m_records",
+            lambda: build_huge_cube(10_000_000, db_name="huge10"),
+        )
+        if out10 is not None:
+            _, hcube10, _, hcells10 = out10
+            extra["sf1_huge_fact_cells"] = hcells10
+            extra["sf1_huge_load_records_per_sec"] = round(
+                10_000_000 / timings["sf1_huge_load_10m_records"], 1
+            )
+            hrng10 = random.Random(7)
+
+            def huge10_agg_reads():
+                hcube10._cache.clear()
+                addrs = []
+                for _ in range(100):
+                    addr = ["All"] * 8
+                    addr[hrng10.randrange(8)] = f"m{hrng10.randrange(100)}"
+                    addrs.append(tuple(addr))
+                return hcube10.get_many(addrs)
+
+            if (
+                timed("sf1_huge_agg_reads_100_batched", huge10_agg_reads)
+                is not None
+            ):
+                extra["sf1_huge_agg_reads_per_sec"] = round(
+                    100 / timings["sf1_huge_agg_reads_100_batched"], 1
+                )
+            hcube10._fact.unpersist(blocking=True)
+
+        for base, scaled in [
+            ("cube_bulk_load", "sf1_cube_bulk_load"),
+            ("view_refresh", "sf1_view_refresh"),
+            ("docs_minhash_pairs", "sf1_docs_minhash_pairs"),
+            ("huge_load_1m_records", "sf1_huge_load_10m_records"),
+            ("huge_agg_reads_100_batched", "sf1_huge_agg_reads_100_batched"),
+        ]:
+            if base in timings and scaled in timings and timings[base] > 0:
+                extra[f"scaling_{base}_10x"] = round(
+                    timings[scaled] / timings[base], 2
+                )
+
+    if (
+        os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
+        and abs(sf - 0.1) < 1e-9
+    ):
+        guarded("sf1_section", sf1_section)
 
     total = round(sum(timings.values()), 4)
     out = {
