@@ -26,37 +26,73 @@ from ..metadata import Dimension
 
 def dimension_from_level_file(
     name: str,
-    lines: Sequence[tuple[str, str]],
+    lines: "Sequence[tuple[str, ...]]",
     description: str = "",
+    style: str = "auto",
 ) -> Dimension:
-    """Build a dimension from (marker, member_name) rows.
+    """Build a dimension from (marker, member_name[, weight]) rows.
 
-    Markers: ``C`` = consolidated member at depth d (depth = number of
-    leading level digits if present, else nesting by order), ``N`` = leaf
-    under the most recent ``C``.  The simplified format here matches the
-    tutor sample's effective shape: a ``C`` opens a new parent; following
-    ``N`` rows are its children until the next ``C``.
+    Two dialects of the C/N marker format (reference
+    ``samples/tutor.py:78-105``):
+
+    - ``tutor`` — the real tutor TXT shape: ``C`` opens a consolidated
+      member, ``N`` declares a standalone member, and rows with an EMPTY
+      marker attach ``member`` to the most recent ``C`` with an optional
+      weight (``("", "Ist", "1")`` / ``("", "Plan", "-1")``).
+    - ``simple`` — the compact shape used by earlier fixtures: ``C`` opens
+      a parent and following ``N`` rows are its children.
+
+    ``style="auto"`` picks ``tutor`` when any empty-marker row is present.
     """
+    rows = [tuple(str(x) for x in r) for r in lines]
+    if style == "auto":
+        style = (
+            "tutor"
+            if any(not r[0].strip() for r in rows if len(r) >= 2)
+            else "simple"
+        )
     dim = Dimension(name, description)
     dim.edit()
     current_parent: Optional[str] = None
-    for marker, member in lines:
-        marker = marker.strip().upper()
-        member = member.strip()
+    for row in rows:
+        marker = row[0].strip().upper()
+        member = row[1].strip() if len(row) > 1 else ""
         if not member:
             continue
+        weight = float(row[2]) if len(row) > 2 and row[2].strip() else 1.0
         if marker == "C":
             dim.add_member(member)
             current_parent = member
         elif marker == "N":
-            if current_parent is None:
+            if style == "tutor" or current_parent is None:
                 dim.add_member(member)
             else:
                 dim.add_member(current_parent, [member])
+        elif marker == "":
+            if current_parent is None:
+                raise ValueError(
+                    f"child row {member!r} before any 'C' parent row"
+                )
+            dim.add_member(current_parent, [member], [weight])
         else:
             raise ValueError(f"unknown level marker {marker!r}")
     dim.commit()
     return dim
+
+
+def dimension_from_tutor_file(
+    name: str, path: str, encoding: str = "latin-1", description: str = ""
+) -> Dimension:
+    """Parse a tutor-style TXT dimension file (tab-separated C/N/child-
+    weight rows, classically latin-1 encoded) from local disk — metadata
+    files are driver-sized by definition."""
+    rows: list[tuple[str, ...]] = []
+    with open(path, encoding=encoding) as fh:
+        for raw in fh:
+            parts = [t.strip() for t in raw.rstrip("\n").split("\t")]
+            if len(parts) >= 2 and any(parts):
+                rows.append(tuple(parts))
+    return dimension_from_level_file(name, rows, description)
 
 
 def dimension_from_csv(
