@@ -1,0 +1,152 @@
+"""Regression tests for the two ADVICE r2 medium rule-engine bugs plus the
+executor-tier widening to aggregated feeder members (VERDICT r3 #5/#8).
+
+- a nested rule patterned on a DIFFERENT dimension than the one the
+  BASE_LEVEL rule reads must force the driver path (it can redefine the
+  base values the executor path would read raw);
+- a nested rule on another dimension that CANNOT overlap the queried
+  slice must NOT cost the executor path;
+- aggregated trigger/feeder members of the read dimension evaluate
+  executor-side via closure expansion;
+- data-dependent runtime reads of aggregated members (which the one-row
+  probe never saw) return correct rolled-up values, not None.
+"""
+
+import pytest
+
+from tinyolap_spark import Database, RuleScope
+
+
+def _regions_measures(spark, name):
+    db = Database(name, spark=spark)
+    regions = db.add_dimension("regions").edit()
+    regions.add_many("NS", ["North", "South"])
+    regions.add_many("Total", ["NS", "West"])
+    regions.commit()
+    measures = db.add_dimension("measures").edit()
+    measures.add_many("S1")
+    measures.add_many("S2")
+    measures.add_many("SalesTotal", ["S1", "S2"])
+    measures.add_many("Derived")
+    measures.commit()
+    cube = db.add_cube("c", [regions, measures])
+    cube.write_rows([
+        ("North", "S1", 10.0),
+        ("North", "S2", 5.0),
+        ("South", "S1", 20.0),
+        ("South", "S2", 1.0),
+        ("West", "S1", 100.0),
+    ])
+    return db, cube
+
+
+def test_nested_rule_on_other_dimension_forces_driver(spark):
+    """ADVICE r2 medium (cube.py:995): an ALL_LEVELS rule patterned on the
+    regions dimension redefines the base cells the Derived rule reads; the
+    executor path would read raw stored values and silently disagree."""
+    db, cube = _regions_measures(spark, "nested_xdim")
+
+    def north_fixed(c):
+        return 42.0
+
+    def derived(c):
+        return c["S1"] * 2.0
+
+    cube.register_rule(
+        north_fixed, trigger=["regions:North"], scope=RuleScope.ALL_LEVELS
+    )
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    # driver loop: North cell reads c["S1"] -> cube["North","S1"] -> the
+    # nested rule fires -> 42; South reads stored 20.
+    # NS Derived = 42*2 + 20*2 = 124 (executor path would say 60)
+    assert cube["NS", "Derived"] == pytest.approx(124.0)
+    assert cube._last_base_rule_path == "driver"
+
+
+def test_nested_rule_outside_slice_keeps_executor(spark):
+    """A nested rule on a leaf NOT under the queried rollup can never fire
+    for the evaluated slice — the executor path must survive."""
+    db, cube = _regions_measures(spark, "nested_outside")
+
+    def west_fixed(c):
+        return 9999.0
+
+    def derived(c):
+        return c["S1"] * 2.0
+
+    cube.register_rule(
+        west_fixed, trigger=["regions:West"], scope=RuleScope.ALL_LEVELS
+    )
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    # West is not under NS: slice = {North, South} only
+    assert cube["NS", "Derived"] == pytest.approx(10.0 * 2 + 20.0 * 2)
+    assert cube._last_base_rule_path == "executor"
+
+
+def test_aggregated_feeder_executor_path(spark):
+    """VERDICT r3 #8: an aggregated feeder/read member of the rule's
+    dimension evaluates executor-side — the closure expansion puts the
+    rolled-up value in the slice map."""
+    db, cube = _regions_measures(spark, "agg_feeder")
+
+    def derived(c):
+        return c["SalesTotal"] * 0.1
+
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:SalesTotal"],
+    )
+    # North SalesTotal=15, South=21 -> 1.5 + 2.1
+    assert cube["NS", "Derived"] == pytest.approx(3.6)
+    assert cube._last_base_rule_path == "executor"
+
+
+def test_data_dependent_aggregated_read_is_correct(spark):
+    """ADVICE r2 medium (cube.py:387): a runtime read of an aggregated
+    member the probe didn't sample must return the rolled-up value (was:
+    None off the leaf-only map -> silently wrong aggregate)."""
+    db, cube = _regions_measures(spark, "datadep_read")
+
+    def derived(c):
+        v = c["S1"]
+        if v is not None and v > 15.0:
+            return c["SalesTotal"]
+        return v if v is not None else 0.0
+
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    # North: S1=10 -> 10; South: S1=20>15 -> SalesTotal=21
+    assert cube["NS", "Derived"] == pytest.approx(31.0)
+
+
+def test_driver_and_executor_paths_agree_on_plain_rule(spark):
+    """Cross-check: the closure-expanded executor path and the driver loop
+    compute the same number for a rule both can run."""
+    db, cube = _regions_measures(spark, "paths_agree")
+
+    def derived(c):
+        return c["S1"] + 0.5 * c["S2"]
+
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    got_exec = cube["NS", "Derived"]
+    assert cube._last_base_rule_path == "executor"
+    cube._cache.clear()
+    from tinyolap_spark.rules import RuleDef  # noqa: F401
+    rdef = next(iter(cube.rules))
+    query_addr = [
+        cube.dimensions[0].member("NS").index,
+        cube.dimensions[1].member("S1").index,
+    ]
+    got_driver = cube._base_rule_driver_loop(rdef, query_addr)
+    assert got_exec == pytest.approx(got_driver)

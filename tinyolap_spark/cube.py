@@ -876,10 +876,11 @@ class Cube:
         Execution is two-tier (SURVEY §2.10/R6): a distributed path
         evaluates the rule executor-side over the feeder slice and
         aggregates in Spark — no driver collect of base rows — whenever a
-        one-row probe shows the rule only reads sibling leaf members of a
-        single dimension (the dominant measures-rule shape) with no nested
-        rules on the read addresses.  Anything else falls back to the
-        driver loop, which can re-enter the full cube.
+        one-row probe shows the rule only reads members of a single
+        dimension (the dominant measures-rule shape; aggregated members
+        are served by closure expansion) and no nested rule can fire on
+        any readable slice cell.  Anything else falls back to the driver
+        loop, which can re-enter the full cube.
         """
         self._flush()
         query_addr = list(idx_address)
@@ -954,10 +955,6 @@ class Cube:
             if rdef.feeder_idx_pattern
             else trigger_midx
         )
-        # leaf trigger/feeder only (aggregated feeders need rollup weights
-        # inside dim p — driver path handles those)
-        if pdim._defs[trigger_midx].level != 0 or pdim._defs[feeder_midx].level != 0:
-            return _FALLBACK
         # probe: one base row under the query address tells us which
         # dimensions the rule actually touches
         requested_full = {c: [query_addr[i]] for i, c in enumerate(self._cols)}
@@ -978,10 +975,14 @@ class Cube:
         read_pos = {pos for pos, _ in probed}
         if read_pos - {p}:
             return _FALLBACK  # reads cross dimensions — needs the cube
-        read_midxs = {midx for _, midx in probed} | {trigger_midx, feeder_midx}
-        if any(pdim._defs[m].level != 0 for m in read_midxs):
-            return _FALLBACK  # reads aggregated members of p
-        # nested rules on any readable (p, member) address -> driver path
+        # Nested rules that could fire on any readable cell -> driver path.
+        # A rule patterned on p itself can always be hit (reads on p are
+        # unconstrained at runtime).  A rule patterned on another dimension
+        # q fires on a read cell only if EVERY (q, m) of its pattern names
+        # a member a slice cell can carry: for q != p the slice's q-coord
+        # is a LEAF under query_addr[q], so aggregated members or leaves
+        # outside that rollup can never match (ADVICE r2 medium: a nested
+        # rule on a *different* dimension was silently bypassed here).
         for other in self.rules:
             if other is rdef:
                 continue
@@ -991,9 +992,25 @@ class Cube:
                 RuleScope.AGGREGATION_LEVEL,
             ):
                 continue
+            could_match = True
             for pos, midx in other.idx_pattern or []:
                 if pos == p:
                     return _FALLBACK
+                odim = self.dimensions[pos]
+                if odim._defs[midx].level != 0:
+                    could_match = False  # slice cells sit on leaves of q
+                    break
+                anc = query_addr[pos]
+                under = {
+                    leaf
+                    for leaf, a, _w in odim.closure_rows
+                    if a == anc
+                }
+                if midx not in under:
+                    could_match = False  # leaf outside the queried rollup
+                    break
+            if could_match:
+                return _FALLBACK
         p_col = self._cols[p]
         requested = {
             c: [query_addr[i]]
@@ -1008,11 +1025,31 @@ class Cube:
             if f"__w_{c}" in df.columns:
                 wprod = wprod * F.col(f"__w_{c}")
         rest_cols = [c for c in self._cols if c != p_col]
-        grouped = df.groupBy(*[F.col(c) for c in rest_cols]).agg(
+        # Expand dim p through its closure (broadcast join) so the per-cell
+        # value map carries AGGREGATED p-members too — correct rolled-up
+        # values for aggregated triggers/feeders and for data-dependent
+        # runtime reads the one-row probe never saw (ADVICE r2 medium:
+        # these previously read None off the leaf-only map).  Closure
+        # self-rows keep every base member in the map.
+        pcdf = engine.closure_df(self.spark, pdim).select(
+            F.col("member_id").alias("__m_p"),
+            F.col("ancestor_id").alias("__a_p"),
+            F.col("weight").alias("__w_p"),
+        )
+        dfp = df.join(
+            F.broadcast(pcdf), df[p_col] == F.col("__m_p"), "inner"
+        )
+        rolled = dfp.groupBy(
+            *[F.col(c) for c in rest_cols], F.col("__a_p")
+        ).agg(
+            F.sum(F.col("value") * F.col("__w_p")).alias("__pval"),
+            F.first(wprod).alias("__w0"),
+        )
+        grouped = rolled.groupBy(*[F.col(c) for c in rest_cols]).agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col(p_col), F.col("value")))
+                F.collect_list(F.struct(F.col("__a_p"), F.col("__pval")))
             ).alias("__vals"),
-            F.first(wprod).alias("__w"),
+            F.first(F.col("__w0")).alias("__w"),
         )
         # context shipped to executors: per-dim name->idx resolution and
         # idx->name maps (small metadata), matching Cell._resolve_modifier
