@@ -127,6 +127,32 @@ def test_data_dependent_aggregated_read_is_correct(spark):
     assert cube["NS", "Derived"] == pytest.approx(31.0)
 
 
+def test_driver_fallback_budget_raises(spark):
+    """VERDICT r3 #6: a cube-re-entering rule over a feeder slice above
+    the driver budget raises a descriptive error instead of collecting."""
+    from tinyolap_spark.metadata import TinyOlapError
+
+    db, cube = _regions_measures(spark, "budget_guard")
+
+    def xdim(c):
+        # cross-dimension read -> ineligible for the executor path
+        return c["S1"] + c["regions:West", "S1"]
+
+    cube.register_rule(
+        xdim, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    cube.base_rule_driver_budget = 1  # slice has 2 feeder rows under NS
+    with pytest.raises(TinyOlapError, match="base_rule_driver_budget"):
+        cube["NS", "Derived"]
+    cube.base_rule_driver_budget = 250_000
+    cube._cache.clear()
+    assert cube["NS", "Derived"] == pytest.approx(
+        (10.0 + 100.0) + (20.0 + 100.0)
+    )
+    assert cube._last_base_rule_path == "driver"
+
+
 def test_driver_and_executor_paths_agree_on_plain_rule(spark):
     """Cross-check: the closure-expanded executor path and the driver loop
     compute the same number for a rule both can run."""

@@ -47,6 +47,7 @@ from .metadata import (
     InvalidAddressError,
     InvalidCellWriteError,
     Member,
+    TinyOlapError,
 )
 from .rules import (
     CONTINUE,
@@ -894,12 +895,23 @@ class Cube:
         self._last_base_rule_path = "driver"
         return self._base_rule_driver_loop(rdef, query_addr)
 
+    #: Max feeder-slice rows the driver loop may collect.  The driver
+    #: fallback exists for rules needing full cube re-entry; collecting an
+    #: unbounded slice is the one way a rule read could OOM the driver at
+    #: 100 TB (VERDICT r2 #3).  Raise it consciously per cube if a model
+    #: genuinely needs a bigger driver-evaluated slice.
+    base_rule_driver_budget: int = 250_000
+
     def _base_rule_driver_loop(
         self, rdef: RuleDef, query_addr: list[int]
     ) -> Any:
         """Driver-side evaluation: collects the feeder slice and calls the
         rule per row with a full cube-backed Cell (supports arbitrary
-        cube re-entry, nested rules, multi-dimension reads)."""
+        cube re-entry, nested rules, multi-dimension reads).
+
+        The collect is budgeted: ``limit(budget + 1)`` bounds driver
+        memory up-front (no extra count job) and a slice above budget
+        raises instead of silently materializing."""
         requested = {c: [query_addr[i]] for i, c in enumerate(self._cols)}
         df, _ = engine._joined_rollup(
             self._fact, self.spark, self._dims_spec(), requested
@@ -908,10 +920,20 @@ class Cube:
         for c in self._cols:
             if f"__w_{c}" in df.columns:
                 wprod = wprod * F.col(f"__w_{c}")
+        budget = int(self.base_rule_driver_budget)
         rows = df.select(
             *[F.col(c) for c in self._cols], wprod.alias("__w_total"),
             F.col("value"),
-        ).collect()
+        ).limit(budget + 1).collect()
+        if len(rows) > budget:
+            raise TinyOlapError(
+                f"BASE_LEVEL rule '{getattr(rdef.function, '__name__', rdef)}'"
+                f" needs the driver fallback (cube re-entry / cross-dimension"
+                f" reads) over a feeder slice larger than"
+                f" base_rule_driver_budget={budget} rows. Restructure the"
+                f" rule to single-dimension reads (executor-eligible) or"
+                f" raise cube.base_rule_driver_budget explicitly."
+            )
         if not rows:
             return None
         total = 0.0
