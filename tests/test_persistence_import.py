@@ -47,6 +47,38 @@ def test_export_clone(spark, tmp_path):
     assert db3.cube("sales").cells_count == cube.cells_count
 
 
+def test_history_persists_through_save_open(spark, tmp_path):
+    """VERDICT r3 #10: undo depth survives save/open (reference
+    HistoryMode.PERSIST) — a pre-save write can be undone after reopen."""
+    db = Database("hist_db", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    cube["a"] = 1.0
+    cube["b"] = 2.0
+    cube["a"] = 10.0  # the write to undo after reopen
+    assert cube["All"] == pytest.approx(12.0)
+    p = str(tmp_path / "hist_saved")
+    db.save(p)
+    # in-session undo still correct after save-to-path (entries were
+    # re-pointed at the written version files)
+    assert db.history.can_undo
+
+    db2 = Database.open(p, spark=spark)
+    cube2 = db2.cube("c")
+    assert cube2["All"] == pytest.approx(12.0)
+    assert db2.history.can_undo
+    db2.history.undo()
+    assert cube2["a"] == pytest.approx(1.0)
+    assert cube2["All"] == pytest.approx(3.0)
+    db2.history.undo()
+    assert cube2["All"] == pytest.approx(1.0)
+    # redo returns to the saved state
+    db2.history.redo(2)
+    assert cube2["All"] == pytest.approx(12.0)
+
+
 def test_tutor_level_file_import(spark, tmp_path):
     """FIXTURES A5: unbalanced hierarchy from C/N marker rows incl.
     non-ASCII member names."""

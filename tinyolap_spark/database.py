@@ -37,11 +37,14 @@ class Database:
             raise TinyOlapError("no active SparkSession; pass spark=")
         self.dimensions: dict[str, Dimension] = {}
         self.cubes: dict[str, Cube] = {}
-        # session-scoped undo/redo over cube mutations (reference
-        # history.py; S7) — see tinyolap_spark/history.py
+        # undo/redo over cube mutations (reference history.py; S7) — see
+        # tinyolap_spark/history.py; save() persists the most recent
+        # `history_persist_depth` undo versions per cube (reference
+        # HistoryMode.PERSIST, storage/sqlite.py:208-291)
         from .history import History
 
         self.history = History()
+        self.history_persist_depth: int = 8
 
     # ------------------------------------------------------------- dims
     def add_dimension(self, name: str, description: str = "") -> Dimension:
@@ -210,8 +213,47 @@ class Database:
                 "salt": salt,
                 "check": check,
             }
-        with open(os.path.join(path, "database.json"), "w") as f:
-            json.dump(meta, f, indent=1)
+        # Persistent undo (reference PERSIST mode, storage/sqlite.py:208-291
+        # command log): each retained undo entry is a full fact VERSION —
+        # the Spark-native shape of a command log is table time travel, so
+        # save() materializes the most recent `history_persist_depth`
+        # versions per cube and open() restores the stack lazily.  Written
+        # BEFORE the fact overwrite (version plans may still read the
+        # destination parquet after an open-modify-save cycle), and the
+        # in-memory entry swaps to the written file so later in-session
+        # undo never replays a plan over overwritten data.
+        hist_meta: dict[str, list] = {}
+        for cube in self.cubes.values():
+            entries = [
+                (j, fact, pending)
+                for j, (c, fact, pending) in enumerate(self.history._undo)
+                if c is cube
+            ][-int(self.history_persist_depth):]
+            items = []
+            for i, (j, fact, pending) in enumerate(entries):
+                rel = os.path.join(
+                    "history", cube.name.lower(), f"v{i}.parquet"
+                )
+                self._enc_fact(cube, fact, key).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(path, rel))
+                reloaded = self._dec_fact(
+                    cube, self.spark.read.parquet(os.path.join(path, rel)),
+                    key,
+                )
+                self.history._undo[j] = (cube, reloaded, dict(pending))
+                items.append(
+                    {
+                        "file": rel,
+                        "pending": [
+                            [list(addr), v] for addr, v in pending.items()
+                        ],
+                    }
+                )
+            if items:
+                hist_meta[cube.name.lower()] = items
+        if hist_meta:
+            meta["history"] = hist_meta
         for cube in self.cubes.values():
             # Cut lineage before the overwrite: after open() the fact plan
             # still scans the destination parquet, and Spark refuses to
@@ -219,18 +261,7 @@ class Database:
             # to the same path is the reference's routine workflow).
             fact = cube.fact.localCheckpoint(eager=True)
             cube._replace_fact(fact, persist=False)
-            out = fact
-            if key is not None:
-                out = fact.select(
-                    *[F.col(c) for c in cube._cols],
-                    F.expr(
-                        f"aes_encrypt(cast(value as string), "
-                        f"unhex('{key}'), 'GCM')"
-                    ).alias("value_enc"),
-                    F.expr(
-                        f"aes_encrypt(value_str, unhex('{key}'), 'GCM')"
-                    ).alias("value_str_enc"),
-                )
+            out = self._enc_fact(cube, fact, key)
             writer = out.write.mode("overwrite")
             pcol = (partition_by or {}).get(cube.name.lower())
             if pcol:
@@ -238,6 +269,43 @@ class Database:
             writer.parquet(
                 os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
             )
+        with open(os.path.join(path, "database.json"), "w") as f:
+            json.dump(meta, f, indent=1, default=str)
+
+    def _enc_fact(self, cube, df, key):
+        """Encrypt the value columns for on-disk layout (no-op sans key)."""
+        from pyspark.sql import functions as F
+
+        if key is None:
+            return df
+        return df.select(
+            *[F.col(c) for c in cube._cols],
+            F.expr(
+                f"aes_encrypt(cast(value as string), "
+                f"unhex('{key}'), 'GCM')"
+            ).alias("value_enc"),
+            F.expr(
+                f"aes_encrypt(value_str, unhex('{key}'), 'GCM')"
+            ).alias("value_str_enc"),
+        )
+
+    def _dec_fact(self, cube, df, key):
+        """Inverse of :meth:`_enc_fact` (no-op sans key)."""
+        from pyspark.sql import functions as F
+
+        if key is None:
+            return df.select(*cube._schema.fieldNames())
+        return df.select(
+            *[F.col(c) for c in cube._cols],
+            F.expr(
+                f"cast(cast(aes_decrypt(value_enc, "
+                f"unhex('{key}'), 'GCM') as string) as double)"
+            ).alias("value"),
+            F.expr(
+                f"cast(aes_decrypt(value_str_enc, "
+                f"unhex('{key}'), 'GCM') as string)"
+            ).alias("value_str"),
+        )
 
     @classmethod
     def open(
@@ -279,25 +347,24 @@ class Database:
             )
             fpath = os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
             if os.path.exists(fpath):
-                from pyspark.sql import functions as F
-
                 df = db.spark.read.parquet(fpath)
-                if db._open_key is not None:
-                    k = db._open_key
-                    df = df.select(
-                        *[F.col(c) for c in cube._cols],
-                        F.expr(
-                            f"cast(cast(aes_decrypt(value_enc, "
-                            f"unhex('{k}'), 'GCM') as string) as double)"
-                        ).alias("value"),
-                        F.expr(
-                            f"cast(aes_decrypt(value_str_enc, "
-                            f"unhex('{k}'), 'GCM') as string)"
-                        ).alias("value_str"),
-                    )
+                df = db._dec_fact(cube, df, db._open_key)
                 cube._replace_fact(df.select(*cube._schema.fieldNames()))
             if cdata.get("rules"):
                 cube.load_rules_from_dicts(cdata["rules"])
+        # restore the persisted undo stack (lazy parquet reads; a version
+        # only materializes if the user actually undoes into it)
+        for cname, items in meta.get("history", {}).items():
+            cube = db.cubes.get(cname)
+            if cube is None:
+                continue
+            for item in items:
+                vdf = db.spark.read.parquet(os.path.join(path, item["file"]))
+                vdf = db._dec_fact(cube, vdf, db._open_key)
+                pending = {
+                    tuple(addr): v for addr, v in item.get("pending", [])
+                }
+                db.history._undo.append((cube, vdf, pending))
         return db
 
     def export(self, path: str) -> None:

