@@ -374,3 +374,84 @@ def test_reference_convenience_surface(tiny2):
     assert isinstance(cell.numeric_value, float)
     shifted = cell.alter("Feb")
     assert shifted.address[1] == "Feb" and cell.address[1] == "Jan"
+
+
+def test_graphql_surface(spark):
+    """Q6 (reference api/graphql/graphql_schema.py): the reference schema —
+    read/Cell, write mutation — executed by the stdlib GraphQL-subset
+    executor, both directly and over HTTP POST /graphql."""
+    import json
+    import urllib.request
+
+    from tinyolap_spark import Database
+    from tinyolap_spark.api import RestServer
+    from tinyolap_spark.graphql import GraphQLExecutor
+
+    db = Database("gqldb", spark=spark)
+    d1 = db.add_dimension("d1").edit()
+    d1.add_many("All", ["a", "b"])
+    d1.commit()
+    d2 = db.add_dimension("d2").edit()
+    d2.add_many("Total", ["x", "y"])
+    d2.commit()
+    cube = db.add_cube("c", [d1, d2])
+    cube.write_rows([("a", "x", 1.0), ("b", "y", 2.0)])
+
+    gx = GraphQLExecutor(db)
+    # read with alias, sub-selection, inline args
+    out = gx.execute(
+        'query { top: read(cube: "c", address: ["All", "Total"]) '
+        "{ cube address value } }"
+    )
+    assert out == {
+        "data": {
+            "top": {
+                "cube": "c",
+                "address": ["All", "Total"],
+                "value": 3.0,
+            }
+        }
+    }
+    # mutation with $variables, then read back
+    out = gx.execute(
+        "mutation W($v: Float!) { write(cube: \"c\", "
+        'address: ["a", "y"], value: $v) }',
+        variables={"v": 5.0},
+    )
+    assert out == {"data": {"write": True}}
+    out = gx.execute('{ read(cube: "c", address: ["All", "Total"]) { value } }')
+    assert out["data"]["read"]["value"] == 8.0
+    # catalog + databases root fields
+    out = gx.execute("{ databases catalog { id cubes { id } } }")
+    assert out["data"]["databases"] == ["gqldb"]
+    assert out["data"]["catalog"]["cubes"][0]["id"] == "c"
+    # random_read returns a well-formed Cell off a leaf address
+    out = gx.execute("{ random_read { cube address } }")
+    assert out["data"]["random_read"]["cube"] == "c"
+    assert len(out["data"]["random_read"]["address"]) == 2
+    # errors -> spec envelope
+    out = gx.execute('{ read(cube: "nope", address: ["a", "x"]) { value } }')
+    assert "errors" in out and "nope" in out["errors"][0]["message"]
+    out = gx.execute("query {{{")
+    assert "errors" in out
+
+    # over HTTP
+    srv = RestServer(db).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/graphql",
+            data=json.dumps(
+                {
+                    "query": 'query Q($a: [String!]) { read(cube: "c", '
+                    "address: $a) { value } }",
+                    "variables": {"a": ["b", "Total"]},
+                }
+            ).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out == {"data": {"read": {"value": 2.0}}}
+    finally:
+        srv.shutdown()

@@ -15,6 +15,9 @@ the engine deployable anywhere a Python driver runs:
 - ``PUT  /cells``       ``{database, cube, members, value}``   -> write
 - ``POST /query``       ``{database, sql}``  -> mini-SQL records
 - ``GET  /views?database=..&cube=..&rows=dim&columns=dim`` -> view dict
+- ``POST /graphql``     ``{query, variables}`` -> GraphQL envelope
+  (reference ``api/graphql/graphql_schema.py`` schema — see
+  :mod:`tinyolap_spark.graphql`)
 
 Mutations serialize through an RLock (the reference wraps writes in a
 writer lock, ``routers/cells.py:42-55``).  Intended for interactive /
@@ -127,6 +130,13 @@ class RestServer:
             with self._lock:
                 cube.set(tuple(body["members"]), body["value"])
             return {"ok": True}
+        if method == "POST" and path == "/graphql":
+            from .graphql import GraphQLExecutor
+
+            with self._lock:  # mutations serialize like PUT /cells
+                return GraphQLExecutor(self.databases).execute(
+                    body.get("query", ""), body.get("variables")
+                )
         if method == "POST" and path == "/query":
             from .sqlq import Query
 
