@@ -223,6 +223,11 @@ class Database:
         # in-memory entry swaps to the written file so later in-session
         # undo never replays a plan over overwritten data.
         hist_meta: dict[str, list] = {}
+        token = secrets.token_hex(4)  # unique per save: a version file is
+        # never overwritten in place, so a restored entry whose plan reads
+        # history/<cube>/v*.parquet can itself be re-persisted to the same
+        # directory (open -> modify -> save cycles); superseded files are
+        # garbage-collected below once nothing references them.
         for cube in self.cubes.values():
             entries = [
                 (j, fact, pending)
@@ -232,7 +237,7 @@ class Database:
             items = []
             for i, (j, fact, pending) in enumerate(entries):
                 rel = os.path.join(
-                    "history", cube.name.lower(), f"v{i}.parquet"
+                    "history", cube.name.lower(), f"v{i}-{token}.parquet"
                 )
                 self._enc_fact(cube, fact, key).write.mode(
                     "overwrite"
@@ -254,6 +259,7 @@ class Database:
                 hist_meta[cube.name.lower()] = items
         if hist_meta:
             meta["history"] = hist_meta
+        self._gc_history(path, hist_meta)
         for cube in self.cubes.values():
             # Cut lineage before the overwrite: after open() the fact plan
             # still scans the destination parquet, and Spark refuses to
@@ -271,6 +277,37 @@ class Database:
             )
         with open(os.path.join(path, "database.json"), "w") as f:
             json.dump(meta, f, indent=1, default=str)
+
+    def _gc_history(self, path: str, hist_meta: dict) -> None:
+        """Remove superseded history version files — everything under
+        ``<path>/history`` that neither the metadata just written nor any
+        live in-memory undo/redo entry still reads."""
+        from urllib.parse import urlparse
+
+        keep = {
+            os.path.abspath(os.path.join(path, item["file"]))
+            for items in hist_meta.values()
+            for item in items
+        }
+        for entry in self.history._undo + self.history._redo:
+            try:
+                for f in entry[1].inputFiles():
+                    keep.add(
+                        os.path.dirname(os.path.abspath(urlparse(f).path))
+                    )
+            except Exception:  # noqa: BLE001 — GC is best-effort
+                pass
+        root = os.path.join(path, "history")
+        if not os.path.isdir(root):
+            return
+        for cdir in os.listdir(root):
+            full = os.path.join(root, cdir)
+            if not os.path.isdir(full):
+                continue
+            for v in os.listdir(full):
+                target = os.path.abspath(os.path.join(full, v))
+                if target not in keep:
+                    shutil.rmtree(target, ignore_errors=True)
 
     def _enc_fact(self, cube, df, key):
         """Encrypt the value columns for on-disk layout (no-op sans key)."""
