@@ -316,13 +316,18 @@ class _SliceCell(_FloatOps):
 
     __slots__ = (
         "_p", "_rest_cols", "_rest", "_trigger_midx", "_vals",
-        "_dim_lookups", "_id_names", "_n_dims", "_p_col",
+        "_dim_lookups", "_id_names", "_n_dims", "_p_col", "_p_leaves",
     )
 
     def __init__(
         self, p, rest_cols, rest, trigger_midx, vals,
-        dim_lookups, id_names, n_dims, p_col,
+        dim_lookups, id_names, n_dims, p_col, p_leaves=None,
     ):
+        # p_leaves: in leaf-only slice mode (no closure expansion) the set
+        # of base member ids of dim p — a runtime read outside it means the
+        # map can't answer (aggregated member the probe never saw) and must
+        # raise _NonLocalRead -> driver fallback, never a silent None
+        self._p_leaves = p_leaves
         self._p = p
         self._rest_cols = rest_cols
         self._rest = rest
@@ -384,6 +389,8 @@ class _SliceCell(_FloatOps):
             pos, m = self._resolve(str(mod))
             if pos != self._p:
                 raise _NonLocalRead(str(mod))
+            if self._p_leaves is not None and m not in self._p_leaves:
+                raise _NonLocalRead(str(mod))  # aggregated, not in the map
             midx = m
         return self._vals.get(midx)
 
@@ -1047,32 +1054,55 @@ class Cube:
             if f"__w_{c}" in df.columns:
                 wprod = wprod * F.col(f"__w_{c}")
         rest_cols = [c for c in self._cols if c != p_col]
-        # Expand dim p through its closure (broadcast join) so the per-cell
-        # value map carries AGGREGATED p-members too — correct rolled-up
-        # values for aggregated triggers/feeders and for data-dependent
-        # runtime reads the one-row probe never saw (ADVICE r2 medium:
-        # these previously read None off the leaf-only map).  Closure
-        # self-rows keep every base member in the map.
-        pcdf = engine.closure_df(self.spark, pdim).select(
-            F.col("member_id").alias("__m_p"),
-            F.col("ancestor_id").alias("__a_p"),
-            F.col("weight").alias("__w_p"),
+        read_midxs = {m for _, m in probed} | {trigger_midx, feeder_midx}
+        needs_closure = any(
+            pdim._defs[m].level != 0 for m in read_midxs
         )
-        dfp = df.join(
-            F.broadcast(pcdf), df[p_col] == F.col("__m_p"), "inner"
-        )
-        rolled = dfp.groupBy(
-            *[F.col(c) for c in rest_cols], F.col("__a_p")
-        ).agg(
-            F.sum(F.col("value") * F.col("__w_p")).alias("__pval"),
-            F.first(wprod).alias("__w0"),
-        )
-        grouped = rolled.groupBy(*[F.col(c) for c in rest_cols]).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("__a_p"), F.col("__pval")))
-            ).alias("__vals"),
-            F.first(F.col("__w0")).alias("__w"),
-        )
+        p_leaves = None
+        if needs_closure:
+            # Expand dim p through its closure (broadcast join) so the
+            # per-cell value map carries AGGREGATED p-members too —
+            # correct rolled-up values for aggregated triggers/feeders
+            # and for data-dependent runtime reads the one-row probe
+            # never saw (ADVICE r2 medium: these previously read None off
+            # the leaf-only map).  Closure self-rows keep every base
+            # member in the map.  Costs one extra shuffle, so taken only
+            # when an aggregated member is actually in play.
+            pcdf = engine.closure_df(self.spark, pdim).select(
+                F.col("member_id").alias("__m_p"),
+                F.col("ancestor_id").alias("__a_p"),
+                F.col("weight").alias("__w_p"),
+            )
+            dfp = df.join(
+                F.broadcast(pcdf), df[p_col] == F.col("__m_p"), "inner"
+            )
+            rolled = dfp.groupBy(
+                *[F.col(c) for c in rest_cols], F.col("__a_p")
+            ).agg(
+                F.sum(F.col("value") * F.col("__w_p")).alias("__pval"),
+                F.first(wprod).alias("__w0"),
+            )
+            grouped = rolled.groupBy(*[F.col(c) for c in rest_cols]).agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(F.col("__a_p"), F.col("__pval"))
+                    )
+                ).alias("__vals"),
+                F.first(F.col("__w0")).alias("__w"),
+            )
+        else:
+            # leaf-only fast path: ONE shuffle; a runtime read of an
+            # aggregated member raises _NonLocalRead in _SliceCell via
+            # p_leaves -> driver fallback (correct, never silent)
+            p_leaves = frozenset(
+                i for i, d in pdim._defs.items() if d.level == 0
+            )
+            grouped = df.groupBy(*[F.col(c) for c in rest_cols]).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col(p_col), F.col("value")))
+                ).alias("__vals"),
+                F.first(wprod).alias("__w"),
+            )
         # context shipped to executors: per-dim name->idx resolution and
         # idx->name maps (small metadata), matching Cell._resolve_modifier
         dim_lookups = [
@@ -1099,7 +1129,7 @@ class Cube:
                     rest = [row[c] for c in rest_cols]
                     cell = _SliceCell(
                         p, rest_cols, rest, trigger_midx, vals,
-                        dim_lookups, id_names, n_dims, p_col,
+                        dim_lookups, id_names, n_dims, p_col, p_leaves,
                     )
                     err = None
                     try:
