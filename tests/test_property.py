@@ -167,3 +167,59 @@ def test_random_small_batches_hit_fast_paths(spark, seed):
                 assert g is not None and abs(g - want) < 1e-9 * max(
                     1, abs(want)
                 ), (q, g, want)
+
+
+@pytest.mark.parametrize("seed", [3, 21, 55])
+def test_random_rules_executor_driver_agree(spark, seed):
+    """Randomized differential check of the two BASE_LEVEL rule tiers:
+    random measures DAG + random single-dimension rule bodies (leaf and
+    aggregated reads) must produce identical aggregates from the executor
+    path and the driver loop."""
+    from tinyolap_spark import RuleScope
+
+    rng = random.Random(seed)
+    db = Database(f"rulprop{seed}", spark=spark)
+    dg, gleaves = random_dag_dimension(db, "geo", rng, n_leaves=6, n_mid=3)
+    dm = db.add_dimension("measures").edit()
+    base_measures = [f"m{i}" for i in range(4)]
+    for m in base_measures:
+        dm.add_many(m)
+    dm.add_many("mtot", base_measures[:3],
+                [rng.choice([1.0, 1.0, -1.0]) for _ in range(3)])
+    dm.add_many("derived")
+    dm.commit()
+    cube = db.add_cube("c", [dg, dm])
+
+    rows = []
+    for leaf in gleaves:
+        for m in base_measures:
+            if rng.random() < 0.8:
+                rows.append((leaf, m, float(rng.randrange(-20, 100))))
+    cube.write_rows(rows)
+
+    read_a, read_b = rng.sample(base_measures, 2)
+    agg_read = rng.random() < 0.5
+
+    def rule_fn(c, _a=read_a, _b=read_b, _agg=agg_read):
+        va = c[_a]
+        vb = c["mtot"] if _agg else c[_b]
+        return (va or 0.0) + 2.0 * (vb or 0.0)
+
+    cube.register_rule(
+        rule_fn, trigger=["measures:derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=[f"measures:{read_a}"],
+    )
+    rdef = next(iter(cube.rules))
+    targets = [m for m in dg.members if not m.is_leaf][:4]
+    for member in targets:
+        cube._cache.clear()
+        got = cube[member.name, "derived"]
+        path = cube._last_base_rule_path
+        cube._cache.clear()
+        want = cube._base_rule_driver_loop(
+            rdef, [member.index, dm.member(read_a).index]
+        )
+        if got is None or want is None:
+            assert got == want, (member.name, path)
+        else:
+            assert got == pytest.approx(want), (member.name, path)
