@@ -245,6 +245,11 @@ class Member:
     def __repr__(self) -> str:  # pragma: no cover
         return f"Member({self._dim.name}:{self.name})"
 
+    def __str__(self) -> str:
+        # reference member.py: str(member) is the member NAME — rules
+        # build modifiers like "years:" + str(prev_year) with it
+        return self.name
+
     def __eq__(self, other: object) -> bool:
         return (
             isinstance(other, Member)
