@@ -11,6 +11,7 @@ golden cell values — additive aggregates at several levels plus the
 semantics.  The test rebuilds the same model here and must reproduce
 every golden."""
 
+import gzip
 import json
 import os
 
@@ -19,13 +20,13 @@ import pytest
 from tinyolap_spark import Database, RuleScope, rule
 
 FIXTURE = os.path.join(
-    os.path.dirname(__file__), "fixtures", "enterprise_model.json"
+    os.path.dirname(__file__), "fixtures", "enterprise_model.json.gz"
 )
 
 
 @pytest.fixture(scope="module")
 def enterprise(spark):
-    with open(FIXTURE) as f:
+    with gzip.open(FIXTURE, "rt") as f:
         fx = json.load(f)
     db = Database("enterprise_port", spark=spark)
     dims = []
@@ -80,7 +81,7 @@ def enterprise_pnl(spark):
     Actual - Plan via +1/-1 edges) and the reference's seven datatype
     variance rules incl. YEAR-SHIFT reads (`c.member("years").previous`,
     `samples/enterprise_model/model.py:686-749`)."""
-    with open(FIXTURE) as f:
+    with gzip.open(FIXTURE, "rt") as f:
         fx = json.load(f)["pnl"]
     db = Database("enterprise_pnl_port", spark=spark)
     dims = []
