@@ -190,6 +190,74 @@ def main() -> None:
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect())
 
+    # ---- rule-cell reads (BASELINE.md mirrors tests/test_cube.py:98-139:
+    # base/aggregated/rule-cell read loops).  A 100k-row feeder slice
+    # evaluates Sales = Quantity x Price through the EXECUTOR rule tier
+    # (no driver collect), then per-key aggregated rule cells read batched.
+    def rules_section():
+        import pandas as pd
+
+        from tinyolap_spark import Database
+        from tinyolap_spark.rules import RuleScope
+
+        rdb = Database("bench_rules", spark=spark)
+        keys = rdb.add_dimension("keys").edit()
+        nkeys = 100_000
+        keys.add_many("AllKeys", [f"k{i}" for i in range(nkeys)])
+        keys.commit()
+        measures = rdb.add_dimension("measures").edit()
+        for m in ["Quantity", "Price", "Sales"]:
+            measures.add_many(m)
+        measures.commit()
+        rcube = rdb.add_cube("rb", [keys, measures])
+        kid = {m.name: m.index for m in keys.leaf_members}
+        qidx = measures.member("Quantity").index
+        pidx = measures.member("Price").index
+        rows = []
+        for i in range(nkeys):  # one row per cell: 200k stored cells
+            rows.append((kid[f"k{i}"], qidx, float(i % 10), None))
+            rows.append((kid[f"k{i}"], pidx, 2.0, None))
+        pdf = pd.DataFrame(
+            rows, columns=["keys", "measures", "value", "value_str"]
+        )
+        rcube.load_dataframe(
+            spark.createDataFrame(pdf, schema=rcube._schema),
+            assume_unique=True,
+        )
+
+        def sales_rule(c):
+            q = c["Quantity"]
+            p = c["Price"]
+            if q is not None and p is not None:
+                return q * p
+
+        rcube.register_rule(
+            sales_rule, trigger=["measures:Sales"],
+            scope=RuleScope.BASE_LEVEL, feeder=["measures:Quantity"],
+        )
+
+        def top_rule_cell():
+            rcube._cache.clear()
+            return rcube["AllKeys", "Sales"]
+
+        if timed("rule_agg_cell_100k_feeder", top_rule_cell) is not None:
+            extra["rule_path"] = rcube._last_base_rule_path
+
+        def rule_cells_batched():
+            rcube._cache.clear()
+            return rcube.get_many(
+                [(f"k{i}", "Sales") for i in range(0, nkeys, 200)]
+            )
+
+        n = len(range(0, nkeys, 200))
+        if timed(f"rule_cells_{n}_batched", rule_cells_batched) is not None:
+            extra["rule_cells_per_sec"] = round(
+                n / timings[f"rule_cells_{n}_batched"], 1
+            )
+        rcube._fact.unpersist(blocking=True)
+
+    guarded("rules_section", rules_section)
+
     # ---- `huge` workload mirror (BASELINE.md: 8 dims x 100 members + All,
     # 1M random records; reference: ~100k rec/s load, ~25k cell-q/s cold) ---
     def build_huge_cube(n_records, db_name="huge"):

@@ -176,3 +176,42 @@ def test_driver_and_executor_paths_agree_on_plain_rule(spark):
     ]
     got_driver = cube._base_rule_driver_loop(rdef, query_addr)
     assert got_exec == pytest.approx(got_driver)
+
+
+def test_get_many_rule_cells_batched_reads(spark, monkeypatch):
+    """Rule-read prefetch: N base-level rule cells in one get_many must
+    warm the cache with O(1) base_lookup batches, not O(N x reads) point
+    jobs, and still produce correct values."""
+    from tinyolap_spark import engine
+
+    db, cube = _regions_measures(spark, "prefetch_rules")
+
+    def derived(c):
+        s1 = c["S1"]
+        s2 = c["S2"]
+        return (s1 or 0.0) + 10.0 * (s2 or 0.0)
+
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    calls = {"n": 0}
+    orig = engine.base_lookup
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(engine, "base_lookup", counting)
+    cube._cache.clear()
+    got = cube.get_many(
+        [("North", "Derived"), ("South", "Derived"), ("West", "Derived")]
+    )
+    assert got == [
+        pytest.approx(10.0 + 10.0 * 5.0),
+        pytest.approx(20.0 + 10.0 * 1.0),
+        pytest.approx(100.0),
+    ]
+    # probe (<= 2 reads for the first cell) + one batched prefetch —
+    # NOT two point reads per cell
+    assert calls["n"] <= 3, calls["n"]

@@ -779,6 +779,71 @@ class Cube:
             )
             for i, addr in aggs.items():
                 self._cache[addr] = vals2[i]
+        self._prefetch_rule_reads(idx_addresses)
+
+    def _prefetch_rule_reads(
+        self, idx_addresses: Sequence[tuple[int, ...]]
+    ) -> None:
+        """Warm the cache for BASE-LEVEL rule cells in a batch.
+
+        A batch of N rule cells would otherwise evaluate lazily, each
+        rule read (``c["Quantity"]``) being its own point-read Spark job —
+        O(N x reads) jobs.  Instead: probe each distinct rule ONCE to
+        learn its read set; when the reads stay on the rule's single
+        trigger dimension and hit only leaf members, batch-fetch every
+        (read-member x requested rest-address) cell in ONE job, caching
+        misses as None (negative cache) so evaluation never goes back to
+        Spark.  Cross-dimension / aggregated / data-dependent reads fall
+        back to the lazy per-cell path unchanged.
+        """
+        if not self.caching:
+            return
+        by_rule: dict[int, list[tuple[int, ...]]] = {}
+        rdefs: dict[int, RuleDef] = {}
+        for addr in dict.fromkeys(idx_addresses):
+            if addr in self._cache or self._super_level(addr) != 0:
+                continue
+            rdef = self.rules.match(
+                addr, (RuleScope.ALL_LEVELS, RuleScope.BASE_LEVEL)
+            )
+            if rdef is None or rdef.expression is not None:
+                continue
+            pattern = rdef.trigger_idx_pattern or rdef.idx_pattern
+            if len({pos for pos, _ in pattern or []}) != 1:
+                continue
+            key = id(rdef)
+            rdefs[key] = rdef
+            by_rule.setdefault(key, []).append(addr)
+        for key, addrs in by_rule.items():
+            rdef = rdefs[key]
+            pattern = rdef.trigger_idx_pattern or rdef.idx_pattern
+            p = next(iter({pos for pos, _ in pattern}))
+            pdim = self.dimensions[p]
+            probed: list[tuple[int, int]] = []
+            try:
+                _ProbeCell(self, addrs[0], probed).run(rdef.function)
+            except Exception:  # noqa: BLE001 — probe best-effort
+                pass
+            if not probed or {pos for pos, _ in probed} - {p}:
+                continue  # cross-dim or opaque — lazy path handles it
+            read_members = {m for _, m in probed}
+            if any(pdim._defs[m].level != 0 for m in read_members):
+                continue  # aggregated reads — lazy path handles it
+            want: dict[int, tuple[int, ...]] = {}
+            for addr in addrs:
+                for m in read_members:
+                    ra = list(addr)
+                    ra[p] = m
+                    rat = tuple(ra)
+                    if rat not in self._cache and rat not in self._pending:
+                        want[len(want)] = rat
+            if not want:
+                continue
+            vals = engine.base_lookup(
+                self._fact, self.spark, self._cols, want
+            )
+            for i, rat in want.items():
+                self._cache[rat] = vals[i]
 
     def _get_idx(self, idx_address: tuple[int, ...], bypass_rules: bool = False) -> Any:
         self.counter_cell_requests += 1
