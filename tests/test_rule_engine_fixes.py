@@ -215,3 +215,38 @@ def test_get_many_rule_cells_batched_reads(spark, monkeypatch):
     # probe (<= 2 reads for the first cell) + one batched prefetch —
     # NOT two point reads per cell
     assert calls["n"] <= 3, calls["n"]
+
+
+def test_get_many_aggregated_rule_cells_one_pass(spark, monkeypatch):
+    """N aggregated addresses dispatched to the same BASE_LEVEL rule must
+    evaluate in ONE batched distributed pass (cache-served afterwards),
+    not one _base_rule_distributed job per address — and values must match
+    the per-address path."""
+    db, cube = _regions_measures(spark, "batch_agg_rules")
+
+    def derived(c):
+        return c["S1"] + 0.5 * c["S2"]
+
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    targets = [("NS", "Derived"), ("Total", "Derived"), ("West", "Derived")]
+    # per-address ground truth first (through the single-address path)
+    expected = []
+    for t in targets:
+        cube._cache.clear()
+        expected.append(cube[t])
+
+    calls = {"n": 0}
+    orig = cube._base_rule_distributed
+
+    def counting(rdef, query_addr):
+        calls["n"] += 1
+        return orig(rdef, query_addr)
+
+    monkeypatch.setattr(cube, "_base_rule_distributed", counting)
+    cube._cache.clear()
+    got = cube.get_many(targets)
+    assert got == [pytest.approx(e) for e in expected]
+    assert calls["n"] == 0, "batch must not fall back to per-address jobs"

@@ -779,7 +779,42 @@ class Cube:
             )
             for i, addr in aggs.items():
                 self._cache[addr] = vals2[i]
+        if self.caching:
+            self._prefetch_agg_rule_cells(idx_addresses)
         self._prefetch_rule_reads(idx_addresses)
+
+    def _prefetch_agg_rule_cells(
+        self, idx_addresses: Sequence[tuple[int, ...]]
+    ) -> None:
+        """Batch-evaluate AGGREGATED addresses dispatched to the same
+        BASE_LEVEL rule (one distributed pass instead of one per address);
+        results land in the cell cache, which `_aggregate_base_rule`
+        consults first.  Dispatch precedence is preserved: only addresses
+        whose first match IS the BASE_LEVEL rule participate."""
+        by_rule: dict[int, list[tuple[int, ...]]] = {}
+        rdefs: dict[int, RuleDef] = {}
+        for addr in dict.fromkeys(idx_addresses):
+            if addr in self._cache or self._super_level(addr) == 0:
+                continue
+            if self.rules.match(addr, (RuleScope.ALL_LEVELS,)) is not None:
+                continue
+            if (
+                self.rules.match(addr, (RuleScope.AGGREGATION_LEVEL,))
+                is not None
+            ):
+                continue
+            rdef = self.rules.match(addr, (RuleScope.BASE_LEVEL,))
+            if rdef is None or rdef.expression is not None:
+                continue
+            rdefs[id(rdef)] = rdef
+            by_rule.setdefault(id(rdef), []).append(addr)
+        for key, addrs in by_rule.items():
+            if len(addrs) < 2:
+                continue  # single address: the per-address path is fine
+            res = self._aggregate_base_rule_many(rdefs[key], addrs)
+            if res is not None:
+                self.counter_aggregations += len(addrs)
+                self._cache.update(res)
 
     def _prefetch_rule_reads(
         self, idx_addresses: Sequence[tuple[int, ...]]
@@ -955,6 +990,9 @@ class Cube:
         any readable slice cell.  Anything else falls back to the driver
         loop, which can re-enter the full cube.
         """
+        if self.caching and idx_address in self._cache:
+            self.counter_cache_hits += 1
+            return self._cache[idx_address]
         self._flush()
         query_addr = list(idx_address)
         if rdef.feeder:
@@ -963,9 +1001,245 @@ class Cube:
         dist = self._base_rule_distributed(rdef, query_addr)
         if dist is not _FALLBACK:
             self._last_base_rule_path = "executor"
+            if self.caching:
+                self._cache[idx_address] = dist
             return dist
         self._last_base_rule_path = "driver"
-        return self._base_rule_driver_loop(rdef, query_addr)
+        v = self._base_rule_driver_loop(rdef, query_addr)
+        if self.caching:
+            self._cache[idx_address] = v
+        return v
+
+    def _aggregate_base_rule_many(
+        self, rdef: RuleDef, idx_addresses: "list[tuple[int, ...]]"
+    ) -> "Optional[dict[tuple[int, ...], Any]]":
+        """Batched executor evaluation of MANY aggregated addresses sharing
+        one BASE_LEVEL rule — ONE rule-evaluation pass + ONE rollup job,
+        instead of one distributed job per address (the shape a view grid
+        or a get_many batch over rule measures produces).
+
+        Plan: the fact slice (dim p unfiltered) closure-fans-out the rest
+        dims to every requested ancestor (`_joined_rollup` with the UNION
+        of requested ids), groups per (rest-leaf, ancestor-combo) building
+        the per-cell {p-member: value} map, one ``mapInPandas`` pass calls
+        the rule, and a final hash aggregate sums weighted results per
+        ancestor-combo.  Returns {address: value}, or ``None`` when the
+        batch is ineligible (caller falls back to per-address paths).
+        Eligibility mirrors `_base_rule_distributed`'s leaf fast path and
+        is checked against EVERY address's rollup for the nested-rule
+        guard.
+        """
+        pattern = rdef.trigger_idx_pattern or rdef.idx_pattern
+        positions = {pos for pos, _ in pattern or []}
+        if rdef.feeder_idx_pattern:
+            positions |= {pos for pos, _ in rdef.feeder_idx_pattern}
+        if len(positions) != 1:
+            return None
+        p = next(iter(positions))
+        pdim = self.dimensions[p]
+        trigger_midx = dict(pattern)[p]
+        feeder_midx = (
+            dict(rdef.feeder_idx_pattern)[p]
+            if rdef.feeder_idx_pattern
+            else trigger_midx
+        )
+        if (
+            pdim._defs[trigger_midx].level != 0
+            or pdim._defs[feeder_midx].level != 0
+        ):
+            return None  # aggregated feeder: per-address closure path
+        self._flush()
+        qaddrs = []
+        for addr in idx_addresses:
+            qa = list(addr)
+            if rdef.feeder:
+                for pos, midx in rdef.feeder_idx_pattern:
+                    qa[pos] = midx
+            qaddrs.append(qa)
+        # probe: first address with a sample row tells us the read set
+        probed: list[tuple[int, int]] = []
+        sample_found = False
+        for qa in qaddrs:
+            requested_full = {
+                c: [qa[i]] for i, c in enumerate(self._cols)
+            }
+            sdf, _ = engine._joined_rollup(
+                self._fact, self.spark, self._dims_spec(), requested_full
+            )
+            sample = sdf.select(*self._cols).limit(1).collect()
+            if sample:
+                sample_found = True
+                trigger_idx = [sample[0][c] for c in self._cols]
+                for pos, midx in pattern:
+                    trigger_idx[pos] = midx
+                try:
+                    _ProbeCell(self, tuple(trigger_idx), probed).run(
+                        rdef.function
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+                break
+        if not sample_found:
+            return {tuple(a): None for a in idx_addresses}
+        if not probed or {pos for pos, _ in probed} - {p}:
+            return None  # cross-dim / opaque reads
+        read_midxs = {m for _, m in probed} | {trigger_midx, feeder_midx}
+        if any(pdim._defs[m].level != 0 for m in read_midxs):
+            return None  # aggregated reads: per-address closure path
+        # nested-rule guard over EVERY address's rollup
+        for other in self.rules:
+            if other is rdef:
+                continue
+            if other.scope not in (
+                RuleScope.ALL_LEVELS,
+                RuleScope.BASE_LEVEL,
+                RuleScope.AGGREGATION_LEVEL,
+            ):
+                continue
+            for qa in qaddrs:
+                could_match = True
+                for pos, midx in other.idx_pattern or []:
+                    if pos == p:
+                        return None
+                    odim = self.dimensions[pos]
+                    if odim._defs[midx].level != 0:
+                        could_match = False
+                        break
+                    under = {
+                        leaf
+                        for leaf, a, _w in odim.closure_rows
+                        if a == qa[pos]
+                    }
+                    if midx not in under:
+                        could_match = False
+                        break
+                if could_match:
+                    return None
+        p_col = self._cols[p]
+        rest_cols = [c for c in self._cols if c != p_col]
+        rest_pos = [i for i, c in enumerate(self._cols) if c != p_col]
+        requested = {
+            c: sorted({qa[i] for qa in qaddrs})
+            for i, c in enumerate(self._cols)
+            if c != p_col
+        }
+        df, _ = engine._joined_rollup(
+            self._fact, self.spark, self._dims_spec(), requested
+        )
+        wprod = F.lit(1.0)
+        for c in rest_cols:
+            if f"__w_{c}" in df.columns:
+                wprod = wprod * F.col(f"__w_{c}")
+        anc_cols = [f"__a_{c}" for c in rest_cols]
+        grouped = df.groupBy(
+            *[F.col(c) for c in rest_cols + anc_cols]
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(p_col), F.col("value")))
+            ).alias("__vals"),
+            F.first(wprod).alias("__w"),
+        )
+        p_leaves = frozenset(
+            i for i, d in pdim._defs.items() if d.level == 0
+        )
+        dim_lookups = [
+            ({k: v for k, v in dim._lookup.items()}, dim.name.lower())
+            for dim in self.dimensions
+        ]
+        id_names = [
+            {d.idx: d.name for d in dim._iter_defs()}
+            for dim in self.dimensions
+        ]
+        fn = rdef.function
+        n_dims = len(self._cols)
+
+        def run(batches):
+            import pandas as pd
+
+            from tinyolap_spark.rules import CONTINUE as _CONT
+            from tinyolap_spark.rules import map_rule_error as _map_err
+
+            for pdf in batches:
+                out = {c: [] for c in anc_cols}
+                out_v, out_w, out_err = [], [], []
+                for row in pdf.to_dict("records"):
+                    vals = row["__vals"] or {}
+                    rest = [row[c] for c in rest_cols]
+                    cell = _SliceCell(
+                        p, rest_cols, rest, trigger_midx, vals,
+                        dim_lookups, id_names, n_dims, p_col, p_leaves,
+                    )
+                    err = None
+                    v = None
+                    try:
+                        v = fn(cell)
+                    except _NonLocalRead:
+                        err = "__nonlocal__"
+                    except Exception as exc:  # noqa: BLE001
+                        err = _map_err(exc)
+                    if err is None:
+                        if v is _CONT:
+                            v = vals.get(feeder_midx)
+                        if isinstance(v, bool) or not isinstance(
+                            v, (int, float)
+                        ):
+                            v = None
+                    for c in anc_cols:
+                        out[c].append(row[c])
+                    out_v.append(float(v) if v is not None else None)
+                    out_w.append(row["__w"])
+                    out_err.append(err)
+                out_pdf = pd.DataFrame(out)
+                out_pdf["v"] = pd.Series(out_v, dtype="float64")
+                out_pdf["w"] = pd.Series(out_w, dtype="float64")
+                out_pdf["err"] = pd.Series(out_err, dtype="object")
+                yield out_pdf
+
+        evald = grouped.where(
+            F.map_contains_key(F.col("__vals"), F.lit(int(feeder_midx)))
+        )
+        schema = (
+            ", ".join(f"{c} int" for c in anc_cols)
+            + ", v double, w double, err string"
+        )
+        try:
+            rows = (
+                evald.mapInPandas(run, schema=schema)
+                .groupBy(*[F.col(c) for c in anc_cols])
+                .agg(
+                    F.sum(F.col("v") * F.col("w")).alias("total"),
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("err").alias("err"),
+                    F.max(
+                        F.coalesce(
+                            F.col("err") == F.lit("__nonlocal__"),
+                            F.lit(False),
+                        )
+                    ).alias("nonloc"),
+                )
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — unpicklable rule etc.
+            return None
+        by_combo: dict[tuple[int, ...], Any] = {}
+        for r in rows:
+            if r["nonloc"]:
+                return None  # runtime read escaped the slice: fall back
+            combo = tuple(int(r[c]) for c in anc_cols)
+            if r["err"] is not None:
+                by_combo[combo] = r["err"]
+            elif r["n"] == 0:
+                by_combo[combo] = None
+            else:
+                by_combo[combo] = (
+                    r["total"] if r["total"] is not None else 0.0
+                )
+        out: dict[tuple[int, ...], Any] = {}
+        for addr, qa in zip(idx_addresses, qaddrs):
+            combo = tuple(qa[i] for i in rest_pos)
+            out[tuple(addr)] = by_combo.get(combo)
+        self._last_base_rule_path = "executor"
+        return out
 
     #: Max feeder-slice rows the driver loop may collect.  The driver
     #: fallback exists for rules needing full cube re-entry; collecting an
