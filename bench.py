@@ -202,8 +202,14 @@ def main() -> None:
 
         rdb = Database("bench_rules", spark=spark)
         keys = rdb.add_dimension("keys").edit()
-        nkeys = 100_000
-        keys.add_many("AllKeys", [f"k{i}" for i in range(nkeys)])
+        ngroups, per_group = 100, 1000
+        nkeys = ngroups * per_group
+        for gi in range(ngroups):
+            keys.add_many(
+                f"grp{gi}",
+                [f"k{gi * per_group + i}" for i in range(per_group)],
+            )
+        keys.add_many("AllKeys", [f"grp{gi}" for gi in range(ngroups)])
         keys.commit()
         measures = rdb.add_dimension("measures").edit()
         for m in ["Quantity", "Price", "Sales"]:
@@ -253,6 +259,22 @@ def main() -> None:
         if timed(f"rule_cells_{n}_batched", rule_cells_batched) is not None:
             extra["rule_cells_per_sec"] = round(
                 n / timings[f"rule_cells_{n}_batched"], 1
+            )
+
+        def agg_rule_cells_batched():
+            rcube._cache.clear()
+            return rcube.get_many(
+                [(f"grp{gi}", "Sales") for gi in range(ngroups)]
+            )
+
+        if (
+            timed(
+                f"rule_agg_cells_{ngroups}_batched", agg_rule_cells_batched
+            )
+            is not None
+        ):
+            extra["rule_agg_cells_per_sec"] = round(
+                ngroups / timings[f"rule_agg_cells_{ngroups}_batched"], 1
             )
         rcube._fact.unpersist(blocking=True)
 
