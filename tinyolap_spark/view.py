@@ -162,9 +162,13 @@ class View:
         )
         has_rules = len(cube.rules) > 0
         if has_rules:
-            # batch-prefetch operands of expression rules across the whole
-            # grid: all rule cells then evaluate with ZERO extra jobs
+            # batch-prefetch across the whole grid so rule cells evaluate
+            # with (near) zero extra jobs: expression-rule operands via the
+            # plain prefetch; opaque rule cells via the batched aggregated
+            # evaluation + rule-read prefetch (cache-warming — the loop's
+            # _get_idx then serves from cache)
             operand_addrs = []
+            rule_cell_addrs = []
             for rpos in self.row_axis.positions:
                 for cpos in self.col_axis.positions:
                     addr = list(base_addr)
@@ -173,14 +177,21 @@ class View:
                     for p, m in zip(self.col_axis.dims, cpos):
                         addr[p] = m
                     rdef = cube.rules.match(tuple(addr), rule_scopes)
-                    if rdef is not None and rdef.expression is not None:
+                    if rdef is None:
+                        continue
+                    if rdef.expression is not None:
                         operand_addrs.extend(
                             cube._expression_operand_addrs(
                                 rdef, tuple(addr)
                             ).values()
                         )
+                    else:
+                        rule_cell_addrs.append(tuple(addr))
             if operand_addrs:
                 cube._prefetch(operand_addrs)
+            if rule_cell_addrs and cube.caching:
+                cube._prefetch_agg_rule_cells(rule_cell_addrs)
+                cube._prefetch_rule_reads(rule_cell_addrs)
         for rpos in self.row_axis.positions:
             for cpos in self.col_axis.positions:
                 addr = list(base_addr)
