@@ -392,7 +392,7 @@ def test_base_rule_executor_path_large_feeder(spark):
     )
     expected = sum((i % 10) * 2.0 for i in range(100_000))
     assert cube["AllKeys", "Sales"] == pytest.approx(expected)
-    assert cube._last_base_rule_path == "executor"
+    assert cube._last_base_rule_path == "compiled"
     # CONTINUE falls through to the feeder row's stored value
     def passthrough(c):
         if c["Price"] is None:

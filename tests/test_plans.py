@@ -157,7 +157,7 @@ def test_executor_rule_leaf_path_single_shuffle(spark):
 
     got = cube["All", "Sales"]
     assert got == pytest.approx(sum(i * 2.0 for i in range(50)))
-    assert cube._last_base_rule_path == "executor"
+    assert cube._last_base_rule_path == "compiled"
     # plan shape: re-run the distributed evaluation and inspect the final
     # job's executed plan through the SQL listener is heavyweight; instead
     # assert the structural invariant the engine promises — the fact never

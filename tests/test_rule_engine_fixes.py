@@ -86,7 +86,7 @@ def test_nested_rule_outside_slice_keeps_executor(spark):
     )
     # West is not under NS: slice = {North, South} only
     assert cube["NS", "Derived"] == pytest.approx(10.0 * 2 + 20.0 * 2)
-    assert cube._last_base_rule_path == "executor"
+    assert cube._last_base_rule_path == "compiled"
 
 
 def test_aggregated_feeder_executor_path(spark):
@@ -104,7 +104,7 @@ def test_aggregated_feeder_executor_path(spark):
     )
     # North SalesTotal=15, South=21 -> 1.5 + 2.1
     assert cube["NS", "Derived"] == pytest.approx(3.6)
-    assert cube._last_base_rule_path == "executor"
+    assert cube._last_base_rule_path == "compiled"
 
 
 def test_data_dependent_aggregated_read_is_correct(spark):
@@ -166,7 +166,7 @@ def test_driver_and_executor_paths_agree_on_plain_rule(spark):
         feeder=["measures:S1"],
     )
     got_exec = cube["NS", "Derived"]
-    assert cube._last_base_rule_path == "executor"
+    assert cube._last_base_rule_path == "compiled"
     cube._cache.clear()
     from tinyolap_spark.rules import RuleDef  # noqa: F401
     rdef = next(iter(cube.rules))
