@@ -90,3 +90,116 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert len(df.columns) >= 1
+
+
+# ---------------------------------------------------------------------------
+# scaled-up spot oracle (VERDICT r4 #6): bench proves SPEED on the 10x
+# derived dataset; this block proves CORRECTNESS there too.  The dataset
+# is derived exactly like bench.py's sf1 section (key-shifted fact
+# copies, alphabet-rotated document copies) and cached under /tmp.
+# ---------------------------------------------------------------------------
+
+SF10X_DIR = os.environ.get(
+    "PARITY_SF10X_DIR",
+    f"/tmp/spark_graft_parity10x_{os.path.basename(SF_DIR.rstrip('/'))}",
+)
+
+SF10X_QUERIES = [
+    "cube_region_year_revenue",
+    "sql_top_nations",
+    "sql_pricing_summary",
+    "docs_exact_dedup",
+]
+
+
+def _prepare_10x(spark, src, dst, copies=10):
+    marker = os.path.join(dst, "_DONE")
+    if os.path.exists(marker):
+        return
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    okey_span = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    reduce(
+        _DF.unionByName,
+        [
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_span)
+            )
+            for i in range(copies)
+        ],
+    ).write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+    reduce(
+        _DF.unionByName,
+        [
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_span)
+            )
+            for i in range(copies)
+        ],
+    ).write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    az = "abcdefghijklmnopqrstuvwxyz"
+    did_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reduce(
+        _DF.unionByName,
+        [
+            docs.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(i * did_span)
+            ).withColumn(
+                "text", F.translate(F.col("text"), az, az[i:] + az[:i])
+            )
+            for i in range(copies)
+        ],
+    ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    with open(marker, "w"):
+        pass
+
+
+@pytest.fixture(scope="module")
+def ddb10x(spark):
+    _prepare_10x(spark, SF_DIR, SF10X_DIR)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{SF10X_DIR}/{t}.parquet"
+        if os.path.isdir(path):  # Spark writes parquet as a directory
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SF10X_QUERIES)
+def test_sf10x_query_matches_oracle(spark, ddb10x, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF10X_DIR)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = list(sdf.columns)
+    res = ddb10x.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    s_rows, s_cols = normalize(spark_rows, spark_cols)
+    d_rows, d_cols = normalize(duck_rows, duck_cols)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    for a, b in zip(s_rows, d_rows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert x == pytest.approx(y, rel=1e-9, abs=1e-9), (
+                    f"{name}: {a} vs {b}"
+                )
+            else:
+                assert x == y, f"{name}: {a} vs {b}"
