@@ -256,3 +256,89 @@ def test_encrypted_save_open_roundtrip(spark, tmp_path):
         Database.open(path, spark=spark)
     with _pytest.raises(TinyOlapError, match="password"):
         Database.open(path, spark=spark, password="wrong")
+
+
+def test_history_cross_cube_order_and_redo_persist(spark, tmp_path):
+    """ADVICE r4: History is one global LIFO — save/open must preserve
+    cross-cube interleaving (undo after reopen reverts the SAME cube the
+    in-session undo would have) and must not drop the redo stack."""
+    db = Database("hist4", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    c1 = db.add_cube("c1", [d])
+    c2 = db.add_cube("c2", [d])
+    # interleaved writes: c1, c2, c1 — the last mutation is on c1
+    c1[("a",)] = 1.0
+    c2[("a",)] = 5.0
+    c1[("b",)] = 2.0
+    # one undo pre-save puts an entry on the redo stack
+    db.history.undo()
+    assert c1[("All",)] == pytest.approx(1.0)
+    assert db.history.can_redo
+    p = str(tmp_path / "hist_order")
+    db.save(p)
+
+    db2 = Database.open(p, spark=spark)
+    k1, k2 = db2.cube("c1"), db2.cube("c2")
+    assert k1[("All",)] == pytest.approx(1.0)
+    assert k2[("All",)] == pytest.approx(5.0)
+    # redo survived the round trip and re-applies the c1 write
+    assert db2.history.can_redo
+    db2.history.redo()
+    assert k1[("All",)] == pytest.approx(3.0)
+    # now undo twice: first reverts the c1 'b' write, THEN the c2 write —
+    # the interleaved global order, not per-cube grouping
+    db2.history.undo()
+    assert k1[("All",)] == pytest.approx(1.0)
+    assert k2[("All",)] == pytest.approx(5.0)
+    db2.history.undo()
+    assert k2[("All",)] == pytest.approx(0.0) or k2[("All",)] is None
+    assert k1[("All",)] == pytest.approx(1.0)
+
+
+def test_gc_history_fails_closed(spark, tmp_path):
+    """ADVICE r4 (medium): if live history entries cannot be enumerated,
+    _gc_history must delete NOTHING — a referenced version file must
+    survive so a later undo() can still read it."""
+    db = Database("hist5", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    cube[("a",)] = 1.0
+    cube[("a",)] = 2.0
+    p = str(tmp_path / "hist_gc")
+    db.save(p)
+    hist_root = os.path.join(p, "history", "c")
+    before = set(os.listdir(hist_root))
+    assert before  # versions were written
+
+    class _Boom:
+        def inputFiles(self):
+            raise RuntimeError("plan walk failed")
+
+    # simulate an entry whose plan cannot be enumerated
+    db.history._undo.append((cube, _Boom(), {}))
+    db._gc_history(p, {})  # empty meta: everything is a delete candidate
+    assert set(os.listdir(hist_root)) == before  # fail closed: kept all
+    db.history._undo.pop()
+
+
+def test_history_pending_value_validated_at_save(spark, tmp_path):
+    """ADVICE r4: a non-JSON-serializable pending cell value fails loudly
+    at save() instead of being silently stringified."""
+    from tinyolap_spark import TinyOlapError
+
+    db = Database("hist6", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a"])
+    d.commit()
+    cube = db.add_cube("c", [d])
+    cube[("a",)] = 1.0
+    cube[("a",)] = 2.0  # capture makes the pending snapshot persistable
+    # poison the captured pending snapshot with a non-serializable value
+    c, fact, pending = db.history._undo[-1]
+    db.history._undo[-1] = (c, fact, {(0,): object()})
+    with pytest.raises(TinyOlapError, match="non-persistable"):
+        db.save(str(tmp_path / "hist_bad"))

@@ -223,43 +223,59 @@ class Database:
         # in-memory entry swaps to the written file so later in-session
         # undo never replays a plan over overwritten data.
         hist_meta: dict[str, list] = {}
+        redo_meta: dict[str, list] = {}
         token = secrets.token_hex(4)  # unique per save: a version file is
         # never overwritten in place, so a restored entry whose plan reads
         # history/<cube>/v*.parquet can itself be re-persisted to the same
         # directory (open -> modify -> save cycles); superseded files are
         # garbage-collected below once nothing references them.
         for cube in self.cubes.values():
-            entries = [
-                (j, fact, pending)
-                for j, (c, fact, pending) in enumerate(self.history._undo)
-                if c is cube
-            ][-int(self.history_persist_depth):]
-            items = []
-            for i, (j, fact, pending) in enumerate(entries):
-                rel = os.path.join(
-                    "history", cube.name.lower(), f"v{i}-{token}.parquet"
-                )
-                self._enc_fact(cube, fact, key).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(path, rel))
-                reloaded = self._dec_fact(
-                    cube, self.spark.read.parquet(os.path.join(path, rel)),
-                    key,
-                )
-                self.history._undo[j] = (cube, reloaded, dict(pending))
-                items.append(
-                    {
-                        "file": rel,
-                        "pending": [
-                            [list(addr), v] for addr, v in pending.items()
-                        ],
-                    }
-                )
-            if items:
-                hist_meta[cube.name.lower()] = items
+            for prefix, stack, out_meta in (
+                ("v", self.history._undo, hist_meta),
+                ("r", self.history._redo, redo_meta),
+            ):
+                entries = [
+                    (j, fact, pending)
+                    for j, (c, fact, pending) in enumerate(stack)
+                    if c is cube
+                ][-int(self.history_persist_depth):]
+                items = []
+                for i, (j, fact, pending) in enumerate(entries):
+                    self._validate_pending(cube, pending)
+                    rel = os.path.join(
+                        "history",
+                        cube.name.lower(),
+                        f"{prefix}{i}-{token}.parquet",
+                    )
+                    self._enc_fact(cube, fact, key).write.mode(
+                        "overwrite"
+                    ).parquet(os.path.join(path, rel))
+                    reloaded = self._dec_fact(
+                        cube,
+                        self.spark.read.parquet(os.path.join(path, rel)),
+                        key,
+                    )
+                    stack[j] = (cube, reloaded, dict(pending))
+                    items.append(
+                        {
+                            "file": rel,
+                            # global LIFO position within its stack — open()
+                            # re-appends entries in seq order so cross-cube
+                            # interleaving survives the round trip (the
+                            # reference command log preserves global order)
+                            "seq": j,
+                            "pending": [
+                                [list(addr), v] for addr, v in pending.items()
+                            ],
+                        }
+                    )
+                if items:
+                    out_meta[cube.name.lower()] = items
         if hist_meta:
             meta["history"] = hist_meta
-        self._gc_history(path, hist_meta)
+        if redo_meta:
+            meta["history_redo"] = redo_meta
+        self._gc_history(path, hist_meta, redo_meta)
         for cube in self.cubes.values():
             # Cut lineage before the overwrite: after open() the fact plan
             # still scans the destination parquet, and Spark refuses to
@@ -275,28 +291,52 @@ class Database:
             writer.parquet(
                 os.path.join(path, "cubes", f"{cube.name.lower()}.parquet")
             )
+        # pending cell values were validated eagerly above (_validate_pending)
+        # so an unserializable value raises at save() instead of being
+        # silently stringified and restored with a changed type; default=str
+        # remains only for incidental metadata (e.g. datetime attributes).
         with open(os.path.join(path, "database.json"), "w") as f:
             json.dump(meta, f, indent=1, default=str)
 
-    def _gc_history(self, path: str, hist_meta: dict) -> None:
+    @staticmethod
+    def _validate_pending(cube, pending: dict) -> None:
+        """Persisted history pending values must round-trip JSON exactly
+        (float/int/str/bool/None); anything else fails loudly at save()."""
+        for addr, v in pending.items():
+            if v is not None and not isinstance(v, (int, float, str, bool)):
+                raise TinyOlapError(
+                    f"cube '{cube.name}': pending cell value at {addr} has "
+                    f"non-persistable type {type(v).__name__} "
+                    f"(float/int/str/bool/None only)"
+                )
+
+    def _gc_history(self, path: str, *metas: dict) -> None:
         """Remove superseded history version files — everything under
         ``<path>/history`` that neither the metadata just written nor any
-        live in-memory undo/redo entry still reads."""
-        from urllib.parse import urlparse
+        live in-memory undo/redo entry still reads.
+
+        Fails CLOSED: if the live entries cannot be enumerated (an
+        ``inputFiles()`` plan walk raises), nothing is deleted — a stale
+        version file is harmless, deleting one still referenced by a live
+        undo entry breaks a later ``undo()``.
+        """
+        from urllib.parse import unquote, urlparse
 
         keep = {
             os.path.abspath(os.path.join(path, item["file"]))
+            for hist_meta in metas
             for items in hist_meta.values()
             for item in items
         }
-        for entry in self.history._undo + self.history._redo:
-            try:
+        try:
+            for entry in self.history._undo + self.history._redo:
                 for f in entry[1].inputFiles():
-                    keep.add(
-                        os.path.dirname(os.path.abspath(urlparse(f).path))
-                    )
-            except Exception:  # noqa: BLE001 — GC is best-effort
-                pass
+                    # file URIs percent-encode specials; unquote before
+                    # comparing against the os.path-built keep entries
+                    p = unquote(urlparse(f).path)
+                    keep.add(os.path.dirname(os.path.abspath(p)))
+        except Exception:  # noqa: BLE001 — fail closed, skip GC entirely
+            return
         root = os.path.join(path, "history")
         if not os.path.isdir(root):
             return
@@ -389,19 +429,32 @@ class Database:
                 cube._replace_fact(df.select(*cube._schema.fieldNames()))
             if cdata.get("rules"):
                 cube.load_rules_from_dicts(cdata["rules"])
-        # restore the persisted undo stack (lazy parquet reads; a version
-        # only materializes if the user actually undoes into it)
-        for cname, items in meta.get("history", {}).items():
-            cube = db.cubes.get(cname)
-            if cube is None:
-                continue
-            for item in items:
+        # restore the persisted undo AND redo stacks (lazy parquet reads; a
+        # version only materializes if the user actually undoes into it).
+        # Entries re-append in global `seq` order so cross-cube interleaving
+        # survives the round trip — History is one global LIFO, not per-cube.
+        def _restore(meta_key: str, stack: list) -> None:
+            gathered = []
+            fallback = 0
+            for cname, items in meta.get(meta_key, {}).items():
+                cube = db.cubes.get(cname)
+                if cube is None:
+                    continue
+                for item in items:
+                    seq = item.get("seq", fallback)  # pre-seq saves: file order
+                    fallback = max(fallback, seq) + 1
+                    gathered.append((seq, cube, item))
+            gathered.sort(key=lambda t: t[0])
+            for _seq, cube, item in gathered:
                 vdf = db.spark.read.parquet(os.path.join(path, item["file"]))
                 vdf = db._dec_fact(cube, vdf, db._open_key)
                 pending = {
                     tuple(addr): v for addr, v in item.get("pending", [])
                 }
-                db.history._undo.append((cube, vdf, pending))
+                stack.append((cube, vdf, pending))
+
+        _restore("history", db.history._undo)
+        _restore("history_redo", db.history._redo)
         return db
 
     def export(self, path: str) -> None:
