@@ -250,3 +250,52 @@ def test_get_many_aggregated_rule_cells_one_pass(spark, monkeypatch):
     got = cube.get_many(targets)
     assert got == [pytest.approx(e) for e in expected]
     assert calls["n"] == 0, "batch must not fall back to per-address jobs"
+
+
+def test_get_many_scattered_addresses_prune_combos(spark):
+    """ADVICE r4: N unrelated aggregated rule addresses over k dims must
+    not aggregate the full cross-product of the per-dim ancestor unions —
+    the requested-combo semi-join prunes to exactly the asked combos, and
+    values must still match the per-address path."""
+    db = Database("combo_prune", spark=spark)
+    regions = db.add_dimension("regions").edit()
+    regions.add_many("NS", ["North", "South"])
+    regions.add_many("Total", ["NS", "West"])
+    regions.commit()
+    products = db.add_dimension("products").edit()
+    products.add_many("AllP", ["P1", "P2", "P3"])
+    products.commit()
+    measures = db.add_dimension("measures").edit()
+    measures.add_many("S1")
+    measures.add_many("S2")
+    measures.add_many("Derived")
+    measures.commit()
+    cube = db.add_cube("c", [regions, products, measures])
+    rows = []
+    for r in ("North", "South", "West"):
+        for p in ("P1", "P2", "P3"):
+            rows.append((r, p, "S1", 10.0 * (len(r) + len(p))))
+            rows.append((r, p, "S2", 2.0))
+    cube.write_rows(rows)
+
+    def derived(c):
+        return c["S1"] + 0.5 * c["S2"]
+
+    cube.register_rule(
+        derived, trigger=["measures:Derived"], scope=RuleScope.BASE_LEVEL,
+        feeder=["measures:S1"],
+    )
+    # scattered: per-dim union is {NS,Total,West} x {P1,P2,AllP} = 9 combos
+    # for only 3 requested addresses — the prune keeps exactly these 3
+    targets = [
+        ("NS", "P1", "Derived"),
+        ("Total", "P2", "Derived"),
+        ("West", "AllP", "Derived"),
+    ]
+    expected = []
+    for t in targets:
+        cube._cache.clear()
+        expected.append(cube[t])
+    cube._cache.clear()
+    got = cube.get_many(targets)
+    assert got == [pytest.approx(e) for e in expected]
