@@ -29,6 +29,7 @@ from .view import View
 from .slice import Slice
 from .server import Server
 from .history import History
+from .users import User, UserCollection, UserRole, NotAuthorizedError
 
 __version__ = "0.1.0"
 
@@ -45,6 +46,10 @@ __all__ = [
     "Slice",
     "Server",
     "History",
+    "User",
+    "UserCollection",
+    "UserRole",
+    "NotAuthorizedError",
     "rule",
     "RuleScope",
     "RuleError",

@@ -36,6 +36,10 @@ from urllib.parse import parse_qs, urlparse
 from .database import Database
 
 
+class AuthenticationError(Exception):
+    """Missing or invalid HTTP Basic credentials (maps to 401)."""
+
+
 class RestServer:
     """``RestServer({"mydb": db}).start()`` -> serving on ``port``."""
 
@@ -44,10 +48,16 @@ class RestServer:
         databases: "dict[str, Database] | Database",
         host: str = "127.0.0.1",
         port: int = 0,
+        auth: bool = False,
     ):
+        """``auth=True`` gates every endpoint with HTTP Basic credentials
+        checked against the target database's user registry (reference
+        users.py/authorization.py roles): read endpoints need READER,
+        ``PUT /cells`` and GraphQL mutations need WRITER."""
         if isinstance(databases, Database):
             databases = {databases.name: databases}
         self.databases = {k.lower(): v for k, v in databases.items()}
+        self.auth = auth
         self._lock = threading.RLock()
         outer = self
 
@@ -68,11 +78,29 @@ class RestServer:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def _route(self, method: str) -> None:
+                from .users import NotAuthorizedError
+
                 try:
                     url = urlparse(self.path)
-                    out = outer._dispatch(method, url.path, parse_qs(url.query),
-                                          self._body() if method != "GET" else {})
+                    query = parse_qs(url.query)
+                    body = self._body() if method != "GET" else {}
+                    if outer.auth:
+                        outer._check_auth(
+                            method, url.path, query, body,
+                            self.headers.get("Authorization"),
+                        )
+                    out = outer._dispatch(method, url.path, query, body)
                     self._send(200, out)
+                except AuthenticationError as e:
+                    self.send_response(401)
+                    self.send_header("WWW-Authenticate", 'Basic realm="tinyolap"')
+                    body = json.dumps({"detail": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except NotAuthorizedError as e:
+                    self._send(403, {"detail": str(e)})
                 except KeyError as e:
                     self._send(404, {"detail": f"not found: {e}"})
                 except Exception as e:  # noqa: BLE001 — error envelope
@@ -103,6 +131,56 @@ class RestServer:
         self._httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+
+    # ---------------------------------------------------------------- auth
+    def _check_auth(
+        self, method: str, path: str, query: dict, body: dict, header
+    ) -> None:
+        """HTTP Basic -> user lookup in the TARGET database's registry ->
+        role gate.  Read endpoints need ``read``; ``PUT /cells`` and
+        GraphQL ``mutation`` operations need ``write`` (reference role
+        semantics, authorization.py:14-38)."""
+        import base64 as _b64
+
+        if not header or not header.startswith("Basic "):
+            raise AuthenticationError("missing credentials")
+        try:
+            raw = _b64.b64decode(header[6:]).decode()
+            username, _, password = raw.partition(":")
+        except Exception:  # noqa: BLE001
+            raise AuthenticationError("malformed credentials") from None
+        action = "read"
+        if method == "PUT" and path == "/cells":
+            action = "write"
+        elif path == "/graphql":
+            # per GraphQL spec a mutation requires the keyword; shorthand
+            # operations are always queries
+            if str(body.get("query", "")).lstrip().startswith("mutation"):
+                action = "write"
+        # resolve target databases: the named one, or all for db-less paths
+        name = body.get("database") or (query.get("database") or [None])[0]
+        targets = (
+            [self._db(name)] if name else list(self.databases.values())
+        )
+        user = None
+        for db in targets:
+            user = db.users.authenticate(username, password or None)
+            if user is not None:
+                break
+        if user is None:
+            raise AuthenticationError("unknown user or wrong password")
+        if name:
+            targets[0].require(user, action)
+            return
+        # db-less endpoints (/databases, /graphql with the db named inside
+        # the operation): the user needs the action on some database; the
+        # common single-db deployment degrades to an exact check
+        from .users import NotAuthorizedError
+
+        if not any(db.authorize(user, action) for db in targets):
+            raise NotAuthorizedError(
+                f"user '{username}' is not authorized for action '{action}'"
+            )
 
     # ------------------------------------------------------------ dispatch
     def _db(self, name: str) -> Database:

@@ -45,6 +45,12 @@ class Database:
 
         self.history = History()
         self.history_persist_depth: int = 8
+        # user registry + role-based authorization (reference users.py:19-29,
+        # authorization.py:9-69) — driver-side metadata, enforced at the
+        # public entry points (require()) and by the REST/GraphQL layer
+        from .users import UserCollection
+
+        self.users = UserCollection()
 
     # ------------------------------------------------------------- dims
     def add_dimension(self, name: str, description: str = "") -> Dimension:
@@ -133,6 +139,27 @@ class Database:
         else:
             raise TinyOlapError("cell write needs ('cube', m1, ..., mN)")
 
+    # -------------------------------------------------------- authorization
+    def authorize(self, user: "str | object", action: str) -> bool:
+        """Can ``user`` (a name or User) perform ``action`` — one of
+        ``read`` / ``write`` / ``model`` / ``admin``?  Unknown users can
+        do nothing."""
+        if isinstance(user, str):
+            user = self.users.get(user)
+        return user is not None and user.can(action)
+
+    def require(self, user: "str | object", action: str) -> None:
+        """Raise :class:`~tinyolap_spark.users.NotAuthorizedError` unless
+        :meth:`authorize` passes (reference role docstrings,
+        ``authorization.py:14-38``)."""
+        from .users import NotAuthorizedError
+
+        if not self.authorize(user, action):
+            name = user if isinstance(user, str) else getattr(user, "name", user)
+            raise NotAuthorizedError(
+                f"user '{name}' is not authorized for action '{action}'"
+            )
+
     def purge_orphans(self, dim: Dimension) -> None:
         """After a dimension edit removed members, delete fact rows that
         reference them (reference ``database.py:634-645`` →
@@ -195,6 +222,7 @@ class Database:
             "name": self.name,
             "dimensions": [d.to_dict() for d in self.dimensions.values()],
             "cubes": [c.to_dict() for c in self.cubes.values()],
+            "users": self.users.to_list(),
         }
         key = None
         if password is not None:
@@ -413,6 +441,10 @@ class Database:
             if got != cls._CHECK_TOKEN:
                 raise TinyOlapError("wrong password")
             db._open_key = key
+        if meta.get("users"):
+            from .users import UserCollection
+
+            db.users = UserCollection.from_list(meta["users"])
         for ddata in meta["dimensions"]:
             dim = Dimension.from_dict(ddata)
             db.dimensions[dim.name.lower()] = dim
