@@ -30,6 +30,7 @@ from .slice import Slice
 from .server import Server
 from .history import History
 from .users import User, UserCollection, UserRole, NotAuthorizedError
+from .comments import CellCommentPost, CellComments, CubeComments
 
 __version__ = "0.1.0"
 
@@ -50,6 +51,9 @@ __all__ = [
     "UserCollection",
     "UserRole",
     "NotAuthorizedError",
+    "CellCommentPost",
+    "CellComments",
+    "CubeComments",
     "rule",
     "RuleScope",
     "RuleError",

@@ -456,6 +456,10 @@ class Cube:
         self._last_base_rule_path: Optional[str] = None
         # database-level undo/redo (set by Database.add_cube)
         self._history = None
+        # per-cell comment threads (reference comments.py:75-111)
+        from .comments import CubeComments
+
+        self.comments = CubeComments(self)
         # stats (reference cube.py:118-127)
         self.counter_cell_requests = 0
         self.counter_aggregations = 0
@@ -1802,13 +1806,16 @@ class Cube:
         return self.cells_count
 
     def to_dict(self) -> dict:
-        return {
+        out = {
             "name": self.name,
             "description": self.description,
             "dimensions": [d.name for d in self.dimensions],
             "columns": self._cols,
             "rules": self._rules_to_dicts(),
         }
+        if len(self.comments):
+            out["comments"] = self.comments.to_list()
+        return out
 
     def _rules_to_dicts(self) -> list[dict]:
         """Rule source persistence (reference ``codemanager.py``:

@@ -461,6 +461,8 @@ class Database:
                 cube._replace_fact(df.select(*cube._schema.fieldNames()))
             if cdata.get("rules"):
                 cube.load_rules_from_dicts(cdata["rules"])
+            if cdata.get("comments"):
+                cube.comments.load_list(cdata["comments"])
         # restore the persisted undo AND redo stacks (lazy parquet reads; a
         # version only materializes if the user actually undoes into it).
         # Entries re-append in global `seq` order so cross-cube interleaving
