@@ -31,6 +31,7 @@ from .server import Server
 from .history import History
 from .users import User, UserCollection, UserRole, NotAuthorizedError
 from .comments import CellCommentPost, CellComments, CubeComments
+from .tinypandas import TinyPandas, from_pandas
 
 __version__ = "0.1.0"
 
@@ -54,6 +55,8 @@ __all__ = [
     "CellCommentPost",
     "CellComments",
     "CubeComments",
+    "TinyPandas",
+    "from_pandas",
     "rule",
     "RuleScope",
     "RuleError",

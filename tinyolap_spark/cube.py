@@ -1805,6 +1805,14 @@ class Cube:
     def __len__(self) -> int:
         return self.cells_count
 
+    def to_pandas(self):
+        """Base rows as a pandas DataFrame with member names (reference
+        ``tools/tinypandas.py:36-44``; collects — interactive use only,
+        the distributed twin is ``TinyPandas.to_spark_df``)."""
+        from .tinypandas import TinyPandas
+
+        return TinyPandas.to_df(self)
+
     def to_dict(self) -> dict:
         out = {
             "name": self.name,

@@ -112,6 +112,28 @@ class Database:
         cube_name, *members = address
         self.cube(cube_name).set(tuple(members), value)
 
+    @classmethod
+    def from_pandas(
+        cls,
+        df,
+        name: str = "tiny",
+        cube_name: str = "data",
+        spark: Optional[SparkSession] = None,
+    ) -> "Database":
+        """Build a database from a pandas/Spark DataFrame — dimensions
+        inferred from non-numeric columns (reference
+        ``tools/tinypandas.py:25-34``; see :mod:`tinyolap_spark.tinypandas`)."""
+        from .tinypandas import TinyPandas
+
+        return TinyPandas.to_tiny_database(df, name, cube_name, spark)
+
+    def add_cube_from_df(self, df, cube_name: str) -> Cube:
+        """Add a DataFrame as a new cube with ``[cube_name]_[col]``
+        dimensions (reference ``tools/tinypandas.py:46-56``)."""
+        from .tinypandas import TinyPandas
+
+        return TinyPandas.database_add_df(self, df, cube_name)
+
     def clone(self, name: Optional[str] = None) -> "Database":
         """Deep copy via a temp save/open round trip (reference
         ``Database.clone``; DataFrame immutability makes the fact copies
