@@ -518,6 +518,58 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_attribution(spark, sf_dir):
+    """Last-touch AS-OF attribution: each purchase credited to the most
+    recent preceding click of the same user within 30 min — the as-of-join
+    shape as ONE user-partitioned running window, no self-join
+    (`tinyolap_spark/pipeline/events.py`)."""
+    from tinyolap_spark.pipeline.events import last_touch_attribution
+
+    ev = _raw(spark, sf_dir, "events")
+    return last_touch_attribution(ev, "purchase", "click", 1800)
+
+
+def _q_events_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: integer JSON prop from the `props`
+    string via get_json_object (JVM, codegen), bucketed rollup."""
+    from tinyolap_spark.pipeline.events import json_prop_rollup
+
+    ev = _raw(spark, sf_dir, "events")
+    return json_prop_rollup(ev, "$.k", 10)
+
+
+def _q_docs_pii_scrub(spark, sf_dir):
+    """PII redaction: typed-placeholder scrub + per-type match counts.
+    The corpus is clean, so deterministic synthetic PII is appended per
+    doc inside the query — the oracle applies the IDENTICAL patterns, so
+    the value-hash proves replacement semantics match engine-for-engine."""
+    from tinyolap_spark.pipeline.text import pii_counts, scrub_pii
+
+    docs = _raw(spark, sf_dir, "documents")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    counts = pii_counts("text")
+    return (
+        salted.where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            scrub_pii("text").alias("scrubbed"),
+            *[c.cast("int").alias(f"n_{k}") for k, c in counts.items()],
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_cube_attr_filter(spark, sf_dir):
     """Attribute-driven member selection: nations whose `region` attribute
     is ASIA, then revenue per nation (SURVEY §2 P8/P10/J4)."""
@@ -1025,7 +1077,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": _q_events_hourly_stream,
         "events_cube_stream_ingest": _q_events_cube_stream_ingest,
         "sql_salted_region_qty": _q_sql_salted_region_qty,
+        "events_attribution": _q_events_attribution,
+        "events_props_rollup": _q_events_props_rollup,
+        "docs_pii_scrub": _q_docs_pii_scrub,
     }
+
+
+def _pii_scrub_oracle() -> str:
+    """DuckDB twin of _q_docs_pii_scrub, built from the SAME PII_PATTERNS
+    (Java-regex/RE2 common subset — no lookaround), so a hash match proves
+    replacement semantics agree engine-for-engine."""
+    from tinyolap_spark.pipeline.text import PII_PATTERNS
+
+    scrub = "text"
+    for name, p in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{p}', '<{name.upper()}>', 'g')"
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{name}"
+        for name, p in PII_PATTERNS
+    )
+    return (
+        "WITH salted AS ("
+        "  SELECT doc_id, text || ' contact user' || "
+        "    CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' || "
+        "    CAST(doc_id % 200 AS VARCHAR) || ' ssn 123-45-' || "
+        "    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text "
+        "  FROM documents WHERE doc_id < 50) "
+        f"SELECT doc_id, {scrub} AS scrubbed, {count_cols} "
+        "FROM salted ORDER BY doc_id"
+    )
 
 
 def _lang_markers_sql() -> dict[str, str]:
@@ -1426,4 +1506,32 @@ def oracle_sql() -> dict[str, str]:
             "    FROM events) a) b "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "events_attribution": (
+            "SELECT user_id, COUNT(*) AS n_target, "
+            "CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_attributed, "
+            "SUM(CASE WHEN attributed THEN ROUND(value * 100, 0) "
+            "ELSE 0 END) / 100 AS attributed_value FROM ("
+            "  SELECT user_id, event_type, value, "
+            "    last_src IS NOT NULL AND "
+            "    epoch_ns(ts) // 1000000000 - "
+            "    epoch_ns(last_src) // 1000000000 <= 1800 AS attributed "
+            "  FROM ("
+            "    SELECT user_id, event_type, value, ts, "
+            "      MAX(CASE WHEN event_type = 'click' THEN ts END) OVER ("
+            "        PARTITION BY user_id ORDER BY ts, event_id "
+            "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "      AS last_src FROM events) a) b "
+            "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+        ),
+        "events_props_rollup": (
+            "SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) / 10) * 10 AS BIGINT) AS bucket, "
+            "COUNT(*) AS n_events, "
+            "SUM(ROUND(value * 100, 0)) / 100 AS total_value "
+            "FROM events "
+            "WHERE json_extract_string(props, '$.k') IS NOT NULL "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "docs_pii_scrub": _pii_scrub_oracle(),
     }

@@ -1,0 +1,110 @@
+"""Event-stream batch operators (`pipeline/events.py`) and PII scrubbing
+(`pipeline/text.py`): correctness on hand-built fixtures + plan shape
+(single shuffle, no Python in the hot path)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyolap_spark.pipeline.events import (
+    json_prop_rollup,
+    last_touch_attribution,
+    with_last_touch,
+)
+from tinyolap_spark.pipeline.text import PII_PATTERNS, pii_counts, scrub_pii
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+def test_last_touch_attribution_semantics(spark):
+    T = datetime
+    rows = [
+        # user 1: click -> purchase 10 min later (attributed)
+        (1, T(2024, 1, 1, 10, 0), 1, "click", 0.0, "{}"),
+        (2, T(2024, 1, 1, 10, 10), 1, "purchase", 50.0, "{}"),
+        # user 1: second purchase 40 min after the click (NOT attributed)
+        (3, T(2024, 1, 1, 10, 40, 1), 1, "purchase", 30.0, "{}"),
+        # user 2: purchase with no prior click (NOT attributed; a later
+        # click must not attribute retroactively)
+        (4, T(2024, 1, 1, 9, 0), 2, "purchase", 20.0, "{}"),
+        (5, T(2024, 1, 1, 9, 30), 2, "click", 0.0, "{}"),
+        # user 3: click after purchase same ts, higher event_id -> excluded
+        (6, T(2024, 1, 1, 8, 0), 3, "purchase", 10.0, "{}"),
+        (7, T(2024, 1, 1, 8, 0), 3, "click", 0.0, "{}"),
+    ]
+    out = last_touch_attribution(
+        _events(spark, rows), "purchase", "click", 1800
+    ).collect()
+    got = {r["user_id"]: (r["n_target"], r["n_attributed"],
+                          r["attributed_value"]) for r in out}
+    assert got[1] == (2, 1, 50.0)
+    assert got[2] == (1, 0, 0.0)
+    assert got[3] == (1, 0, 0.0)
+
+
+def test_with_last_touch_never_self_matches(spark):
+    T = datetime
+    rows = [(1, T(2024, 1, 1), 1, "purchase", 5.0, "{}")]
+    out = with_last_touch(_events(spark, rows), "purchase", "purchase")
+    assert out.collect()[0]["last_source_ts"] is not None  # current row IS
+    # ... included in the frame when types coincide — callers use distinct
+    # source/target types; document the frame with the distinct-type case:
+    rows2 = [(1, T(2024, 1, 1), 1, "purchase", 5.0, "{}")]
+    out2 = with_last_touch(_events(spark, rows2), "purchase", "click")
+    assert out2.collect()[0]["last_source_ts"] is None
+
+
+def test_attribution_plan_single_shuffle_no_python(spark):
+    ev = _events(
+        spark, [(1, datetime(2024, 1, 1), 1, "click", 0.0, "{}")]
+    )
+    plan = (
+        last_touch_attribution(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one exchange for the user window; the groupBy on user_id reuses it
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_json_prop_rollup(spark):
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "view", 1.0, '{"k": 5}'),
+        (2, datetime(2024, 1, 1), 1, "view", 2.0, '{"k": 14}'),
+        (3, datetime(2024, 1, 1), 2, "view", 3.0, '{"k": 15}'),
+        (4, datetime(2024, 1, 1), 2, "view", 4.0, '{"nope": 1}'),
+    ]
+    out = {r["bucket"]: (r["n_events"], r["total_value"])
+           for r in json_prop_rollup(_events(spark, rows)).collect()}
+    assert out == {0: (1, 1.0), 10: (2, 5.0)}
+
+
+def test_scrub_pii_replaces_each_type(spark):
+    text = (
+        "mail a.user+tag@sub.example.co.uk, ssn 123-45-6789, "
+        "card 4111 1111 1111 1111, ip 192.168.0.254, tel +1 415-555-0134."
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        scrub_pii("text").alias("s"),
+        *[c.alias(f"n_{k}") for k, c in pii_counts("text").items()],
+    ).collect()[0]
+    s = row["s"]
+    for name, _ in PII_PATTERNS:
+        assert f"<{name.upper()}>" in s, (name, s)
+    assert "example.co.uk" not in s and "6789" not in s
+    assert "4111" not in s and "192.168" not in s and "555-0134" not in s
+    assert (row["n_email"], row["n_ssn"], row["n_credit_card"],
+            row["n_ipv4"], row["n_phone"]) == (1, 1, 1, 1, 1)
+
+
+def test_scrub_pii_clean_text_untouched(spark):
+    clean = "a perfectly ordinary sentence with numbers like 42 and 2024."
+    df = spark.createDataFrame([(clean,)], "text string")
+    assert df.select(scrub_pii("text").alias("s")).collect()[0]["s"] == clean

@@ -1,0 +1,110 @@
+"""Event-stream batch operators: as-of attribution and semi-structured
+property extraction.
+
+Beyond-reference pipeline operators (the reference has no event-log
+surface; the brief's training-data mandate does).  Both are pure
+DataFrame/window compositions — no UDFs, whole-stage codegen end to end:
+
+- **Last-touch attribution** is the classic AS-OF JOIN shape: for each
+  target event, the most recent PRIOR source event of the same user.
+  Spark has no ASOF JOIN operator; the scalable composition is a running
+  conditional ``max`` over a user-partitioned time-ordered window — one
+  shuffle on ``user_id``, no self-join, no range explosion.  At 100 TB
+  the window state is one timestamp per partition row — constant memory,
+  skew-bounded by the busiest single user (salt the window's partition
+  key if one user dominates).
+- **JSON prop extraction** uses ``get_json_object`` (JVM, codegen) —
+  the 100 TB answer to "my props column is a JSON string": extract and
+  aggregate without ever materializing a parsed struct column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_last_touch(
+    events: DataFrame,
+    target_type: str = "purchase",
+    source_type: str = "click",
+) -> DataFrame:
+    """Target events annotated with ``last_source_ts`` — the most recent
+    preceding ``source_type`` timestamp of the same user (NULL when the
+    user never produced one before the target).
+
+    The frame includes the current row, which is safe: the current row is
+    a target, never a source, so it cannot self-match.  Ties on ``ts``
+    break deterministically by ``event_id``.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src_ts = F.max(
+        F.when(F.col("event_type") == source_type, F.col("ts"))
+    ).over(w)
+    return events.withColumn("last_source_ts", src_ts).where(
+        F.col("event_type") == target_type
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    target_type: str = "purchase",
+    source_type: str = "click",
+    max_gap_sec: int = 1800,
+) -> DataFrame:
+    """Per-user attribution summary: how many ``target_type`` events were
+    preceded by a ``source_type`` event within ``max_gap_sec``, and the
+    attributed value (cents-exact sum).
+
+    Columns: ``user_id, n_target, n_attributed, attributed_value``.
+    """
+    t = with_last_touch(events, target_type, source_type)
+    gap = F.col("ts").cast("long") - F.col("last_source_ts").cast("long")
+    attributed = F.col("last_source_ts").isNotNull() & (gap <= max_gap_sec)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_target"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+            (
+                F.sum(
+                    F.when(
+                        attributed, F.round(F.col("value") * 100, 0)
+                    ).otherwise(F.lit(0.0))
+                )
+                / 100
+            ).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def json_prop_rollup(
+    events: DataFrame,
+    json_path: str = "$.k",
+    bucket_size: int = 10,
+) -> DataFrame:
+    """Extract an integer JSON property from the ``props`` string column
+    and roll it up into fixed-width buckets: event count + cents-exact
+    value sum per bucket.
+
+    Columns: ``bucket, n_events, total_value``.
+    """
+    prop = F.get_json_object(F.col("props"), json_path).cast("long")
+    bucket = F.floor(prop / bucket_size) * bucket_size
+    return (
+        events.withColumn("bucket", bucket)
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0)) / 100).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -116,6 +116,38 @@ def fingerprint(text_col: str = "text", ngram: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+# PII patterns — deliberately restricted to syntax BOTH Java regex and
+# RE2-family engines support (no lookaround, no backreferences), so the
+# exact same pattern runs in Spark, DuckDB, Hyperscan-style scanners and
+# the test oracle.  Order matters: longer/more-specific first so e.g. an
+# email is not half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("credit_card", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+[0-9]{1,3}[ -]?[0-9]{2,4}[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}\b"),
+]
+
+
+def scrub_pii(text_col: str = "text") -> Column:
+    """Replace PII spans with typed placeholders (``<EMAIL>``, ``<SSN>``,
+    ...) — the standard pre-training redaction pass.  Pure chained
+    ``regexp_replace``: JVM-side, codegen, one corpus scan, no shuffle."""
+    out = F.col(text_col)
+    for name, pattern in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text_col: str = "text") -> dict[str, Column]:
+    """Per-type PII match counts for one document (audit/reporting)."""
+    return {
+        name: F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), 0))
+        for name, p in PII_PATTERNS
+    }
+
+
 def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach language, quality and token features to a corpus."""
     cols = quality_features(text_col)
