@@ -221,6 +221,8 @@ def main() -> None:
         "docs_quality_histogram",
         "emb_topk_cosine",
         "events_sessionize",
+        "events_attribution",
+        "docs_pii_scrub",
     ]:
         reps = 2 if name == "docs_minhash_pairs" else 1
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=reps)
