@@ -155,3 +155,63 @@ def test_dedup_stream_bounded_state(spark, tmp_path):
     got = spark.table("dedup_out").count()
     want = spark.read.parquet(src).dropDuplicates(["event_id"]).count()
     assert got == want == 500
+
+
+def test_attribution_stream_stateful(spark, tmp_path):
+    """Streaming last-touch attribution (applyInPandasWithState): per-user
+    last-click state carries ACROSS micro-batches; purchases attribute iff
+    a click preceded them within the gap; state is one long per user."""
+    import time
+    from datetime import datetime as T
+
+    from tinyolap_spark.streaming import ingest
+
+    src = str(tmp_path / "attr_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    batch1 = [
+        (1, T(2024, 1, 1, 10, 0), 1, "click", 0.0, "{}"),
+        (2, T(2024, 1, 1, 10, 5), 2, "purchase", 20.0, "{}"),  # no click
+        (3, T(2024, 1, 1, 10, 6), 1, "view", 0.0, "{}"),  # filtered out
+    ]
+    batch2 = [
+        # user 1's click came in the PREVIOUS batch -> state carry-over
+        (4, T(2024, 1, 1, 10, 20), 1, "purchase", 50.0, "{}"),
+        # 40 min after the click -> outside the 30-min gap
+        (5, T(2024, 1, 1, 10, 41), 1, "purchase", 30.0, "{}"),
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    time.sleep(1.1)  # file-source orders by modification time
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = ingest.attribution_stream(stream, "purchase", "click", 1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["event_id"]: (r["user_id"], r["value"], r["attributed"])
+        for r in spark.sql("SELECT * FROM attr_stream").collect()
+    }
+    assert rows == {
+        2: (2, 20.0, False),   # never clicked
+        4: (1, 50.0, True),    # click state survived the batch boundary
+        5: (1, 30.0, False),   # gap exceeded
+    }

@@ -191,6 +191,93 @@ def running_totals_stream(
     )
 
 
+def attribution_stream(
+    stream: DataFrame,
+    target_type: str = "purchase",
+    source_type: str = "click",
+    max_gap_sec: int = 1800,
+    ts_col: str = "ts",
+    timeout_minutes: "int | None" = None,
+) -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of
+    ``pipeline.events.last_touch_attribution`` via
+    ``applyInPandasWithState``.
+
+    State per user is ONE long (the latest source-event time seen), so
+    state is bounded by user cardinality regardless of event volume;
+    ``timeout_minutes`` evicts idle users (same caveat as
+    :func:`running_totals_stream`: an armed timeout keeps ``availableNow``
+    runs alive).  Rows process in event-time order WITHIN a micro-batch
+    and in arrival order ACROSS batches — the processing-time
+    approximation of the batch operator: a source that arrives after a
+    later-batch target does not attribute it retroactively.  Non-
+    source/target rows are filtered before the stateful operator so
+    state updates touch only relevant events.
+
+    Emits one row per target event:
+    ``user_id, event_id, ts_sec, value, attributed``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, ts_sec long, value double, "
+        "attributed boolean"
+    )
+    state_schema = "last_src long"
+
+    ev = stream.where(
+        F.col("event_type").isin([source_type, target_type])
+    ).withColumn("ts_sec", F.col(ts_col).cast("long"))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_src = state.get[0] if state.exists else None
+        out: dict[str, list] = {
+            "user_id": [], "event_id": [], "ts_sec": [],
+            "value": [], "attributed": [],
+        }
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_sec", "event_id"])
+            for r in pdf.itertuples(index=False):
+                ts_sec = int(r.ts_sec)
+                if r.event_type == source_type:
+                    last_src = (
+                        ts_sec if last_src is None else max(last_src, ts_sec)
+                    )
+                else:  # target
+                    attributed = (
+                        last_src is not None
+                        and ts_sec - last_src <= max_gap_sec
+                    )
+                    out["user_id"].append(int(key[0]))
+                    out["event_id"].append(int(r.event_id))
+                    out["ts_sec"].append(ts_sec)
+                    out["value"].append(float(r.value))
+                    out["attributed"].append(bool(attributed))
+        if last_src is not None:
+            state.update((int(last_src),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if out["user_id"]:
+            yield pd.DataFrame(out)
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap: str = "30 minutes",
