@@ -427,10 +427,15 @@ def main() -> None:
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
         copies = 10
 
+        _PREP_VERSION = "v2"  # bump when prepare() derives new tables
+
         def prepare():
             marker = os.path.join(sf1_dir, "_DONE")
             if os.path.exists(marker):
-                return 0.0
+                with open(marker) as f:
+                    if f.read().strip() == _PREP_VERSION:
+                        return 0.0
+                # stale layout from an older prepare(): regenerate
             from functools import reduce
 
             from pyspark.sql import DataFrame as _DF
@@ -480,8 +485,26 @@ def main() -> None:
                     for i in range(copies)
                 ],
             ).write.mode("overwrite").parquet(f"{sf1_dir}/documents.parquet")
-            with open(marker, "w"):
-                pass
+            # events: shift user_id + event_id per copy — 10x users, same
+            # per-user history, so the windowed as-of attribution scales on
+            # the partition-count axis (the realistic growth axis), not by
+            # inflating one user's window state
+            evs = spark.read.parquet(f"{sf_dir}/events.parquet")
+            uid_span = evs.agg(F.max("user_id")).collect()[0][0] + 1
+            eid_span = evs.agg(F.max("event_id")).collect()[0][0] + 1
+            reduce(
+                _DF.unionByName,
+                [
+                    evs.withColumn(
+                        "user_id", F.col("user_id") + F.lit(i * uid_span)
+                    ).withColumn(
+                        "event_id", F.col("event_id") + F.lit(i * eid_span)
+                    )
+                    for i in range(copies)
+                ],
+            ).write.mode("overwrite").parquet(f"{sf1_dir}/events.parquet")
+            with open(marker, "w") as f:
+                f.write(_PREP_VERSION)
 
         timed("sf1_prepare_scaleup", prepare)
 
@@ -526,6 +549,11 @@ def main() -> None:
         timed(
             "sf1_docs_minhash_pairs",
             lambda: q1["docs_minhash_pairs"](spark, sf1_dir).collect(),
+            reps=2,
+        )
+        timed(
+            "sf1_events_attribution",
+            lambda: q1["events_attribution"](spark, sf1_dir).collect(),
             reps=2,
         )
         sc1.cube._fact.unpersist(blocking=True)
@@ -573,6 +601,7 @@ def main() -> None:
             ("cube_bulk_load", "sf1_cube_bulk_load"),
             ("view_refresh", "sf1_view_refresh"),
             ("docs_minhash_pairs", "sf1_docs_minhash_pairs"),
+            ("events_attribution", "sf1_events_attribution"),
             ("huge_load_1m_records", "sf1_huge_load_10m_records"),
             ("huge_agg_reads_100_batched", "sf1_huge_agg_reads_100_batched"),
         ]:
