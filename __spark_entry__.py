@@ -570,6 +570,38 @@ def _q_docs_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_docs_vocab_topk(spark, sf_dir):
+    """Vocabulary top-k (tokenizer prep): whitespace word count, the
+    canonical map-side-combine aggregate; deterministic tie-break."""
+    from tinyolap_spark.pipeline.text import vocab_topk
+
+    return vocab_topk(_raw(spark, sf_dir, "documents"), "text", 20)
+
+
+def _q_docs_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split via hash bucketing
+    (`pipeline/sampling.py`) — per-split doc count and id-sum.  Uses the
+    portable LCG hash so the DuckDB oracle computes IDENTICAL buckets
+    (production default is xxhash64; the mechanics are the same)."""
+    from tinyolap_spark.pipeline.sampling import portable_lcg_bucket, split
+
+    docs = _raw(spark, sf_dir, "documents")
+    out = split(
+        docs,
+        [0.8, 0.1, 0.1],
+        names=["train", "val", "test"],
+        hash_col=portable_lcg_bucket("doc_id"),
+    )
+    return (
+        out.groupBy(F.col("__split").alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
+
+
 def _q_cube_attr_filter(spark, sf_dir):
     """Attribute-driven member selection: nations whose `region` attribute
     is ASIA, then revenue per nation (SURVEY §2 P8/P10/J4)."""
@@ -1080,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _q_events_attribution,
         "events_props_rollup": _q_events_props_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_vocab_topk": _q_docs_vocab_topk,
+        "docs_split_counts": _q_docs_split_counts,
     }
 
 
@@ -1534,4 +1568,21 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "docs_pii_scrub": _pii_scrub_oracle(),
+        "docs_vocab_topk": (
+            "SELECT token, COUNT(*) AS n FROM ("
+            "  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) "
+            "  AS token FROM documents) t "
+            "WHERE len(token) > 0 "
+            "GROUP BY 1 ORDER BY n DESC, token LIMIT 20"
+        ),
+        "docs_split_counts": (
+            "SELECT CASE WHEN b < 800000 THEN 'train' "
+            "WHEN b < 900000 THEN 'val' ELSE 'test' END AS split, "
+            "COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+            "FROM ("
+            "  SELECT doc_id, "
+            "  ((((doc_id % 1000003) * 1103515245 + 12345) % 2147483648) "
+            "   % 1000000) AS b FROM documents) t "
+            "GROUP BY 1 ORDER BY 1"
+        ),
     }

@@ -1,0 +1,95 @@
+"""Deterministic sampling / splits (`pipeline/sampling.py`): same rows on
+every run, disjoint+exhaustive splits, per-stratum rates, no shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyolap_spark.pipeline.sampling import (
+    deterministic_sample,
+    portable_lcg_bucket,
+    split,
+    stratified_sample,
+)
+from tinyolap_spark.pipeline.text import vocab_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_sample_is_deterministic_and_sized(docs):
+    a = deterministic_sample(docs, 0.1, "doc_id")
+    b = deterministic_sample(docs, 0.1, "doc_id")
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a == ids_b  # same rows every run — no RNG state
+    assert 0.07 * 10_000 < len(ids_a) < 0.13 * 10_000
+    # nested: a 20% sample contains the 10% sample (prefix property)
+    ids_20 = {r["doc_id"] for r in
+              deterministic_sample(docs, 0.2, "doc_id").collect()}
+    assert ids_a <= ids_20
+
+
+def test_split_disjoint_exhaustive_stable(docs):
+    out = split(docs, [0.8, 0.1, 0.1], names=["train", "val", "test"])
+    counts = {r["__split"]: r["n"] for r in
+              out.groupBy("__split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10_000  # exhaustive
+    assert 0.75 < counts["train"] / 10_000 < 0.85
+    assert 0.07 < counts["val"] / 10_000 < 0.13
+    # a key never migrates when more rows are added (prefix stability)
+    first = dict(
+        split(docs.where("doc_id < 5000"), [0.8, 0.1, 0.1],
+              names=["train", "val", "test"])
+        .select("doc_id", "__split").collect()
+    )
+    full = dict(out.select("doc_id", "__split").collect())
+    assert all(full[k] == v for k, v in first.items())
+    with pytest.raises(ValueError, match="sum to 1"):
+        split(docs, [0.5, 0.1])
+
+
+def test_stratified_rates(docs):
+    out = stratified_sample(
+        docs, {"en": 0.05, "de": 1.0}, strata_col="lang"
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["de"] == 2000  # rare stratum kept whole
+    assert 0.02 * 8000 < got["en"] < 0.08 * 8000
+
+
+def test_sampling_plan_is_narrow(docs):
+    plan = (
+        deterministic_sample(docs, 0.1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure filter: no shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_portable_bucket_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r["b"] for r in
+           df.select("doc_id", portable_lcg_bucket().alias("b")).collect()}
+    want = dict(duckdb.connect().execute(
+        "SELECT i, ((((i % 1000003) * 1103515245 + 12345) % 2147483648) "
+        "% 1000000) FROM range(1000) t(i)"
+    ).fetchall())
+    assert got == want
+
+
+def test_vocab_topk_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat the hat"), (2, "THE cat  runs")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, "text", 3).collect()
+    assert [(r["token"], r["n"]) for r in rows] == [
+        ("the", 3), ("cat", 2), ("hat", 1),
+    ]

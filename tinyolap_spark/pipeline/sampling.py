@@ -1,0 +1,103 @@
+"""Deterministic sampling and dataset splits for training pipelines.
+
+Random sampling is the wrong tool for training data: re-runs must select
+the SAME rows (resumable pipelines, reproducible ablations), membership
+must be decidable per-row without global state, and train/val/test must
+stay disjoint under re-partitioning.  The standard answer is HASH
+BUCKETING: ``bucket = hash(key) % D``, a row is sampled iff its bucket
+falls below the rate.  Narrow (no shuffle), deterministic, and stable
+under any re-ordering of the input — exactly what a 100 TB corpus scan
+needs.
+
+The default hash is Spark's ``xxhash64`` (JVM, codegen).  A
+``hash_col`` override lets callers substitute any integer expression —
+the oracle queries use a portable LCG so DuckDB computes the identical
+buckets; production keeps xxhash64.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(
+    key_col: str = "doc_id", hash_col: Optional[Column] = None
+) -> Column:
+    """Stable bucket in ``[0, 1e6)`` for a key column."""
+    h = F.xxhash64(F.col(key_col)) if hash_col is None else hash_col
+    return F.pmod(h, F.lit(_BUCKETS))
+
+
+def portable_lcg_bucket(key_col: str = "doc_id") -> Column:
+    """Engine-portable bucket: a 31-bit LCG over the key, expressible in
+    any SQL dialect with 64-bit integer arithmetic (used by the DuckDB
+    oracle twin; ``hash(key)`` differs between engines, plain arithmetic
+    does not).  The key is reduced mod a prime first so the multiply
+    never overflows 64-bit for any BIGINT key."""
+    k = F.col(key_col) % F.lit(1_000_003)
+    return ((k * F.lit(1_103_515_245) + F.lit(12_345)) % F.lit(2_147_483_648)) % F.lit(
+        _BUCKETS
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    hash_col: Optional[Column] = None,
+) -> DataFrame:
+    """Keep ~``rate`` of rows, decided per-row by hash bucket — same rows
+    on every run, no RNG state, no shuffle."""
+    return df.where(hash_bucket(key_col, hash_col) < int(rate * _BUCKETS))
+
+
+def split(
+    df: DataFrame,
+    fractions: Sequence[float],
+    key_col: str = "doc_id",
+    names: Optional[Sequence[str]] = None,
+    hash_col: Optional[Column] = None,
+) -> DataFrame:
+    """Disjoint train/val/test split as a ``__split`` label column.
+
+    ``fractions`` must sum to 1.  Buckets partition the hash space into
+    contiguous ranges, so the splits are exactly disjoint and exhaustive,
+    and stay stable when rows are added (a key never migrates)."""
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    names = list(names or [f"split_{i}" for i in range(len(fractions))])
+    if len(names) != len(fractions):
+        raise ValueError("names/fractions length mismatch")
+    b = hash_bucket(key_col, hash_col)
+    hi = 0.0
+    expr = F.lit(names[-1])  # last split takes the remainder range
+    cases = []
+    for name, frac in zip(names[:-1], fractions[:-1]):
+        hi += frac
+        cases.append((int(hi * _BUCKETS), name))
+    for bound, name in reversed(cases):
+        expr = F.when(b < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("__split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    hash_col: Optional[Column] = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. keep 100% of rare
+    languages and 5% of English.  One narrow scan: the rate lookup is a
+    CASE expression, membership is the same hash-bucket test."""
+    b = hash_bucket(key_col, hash_col)
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.where(b < (rate * _BUCKETS).cast("long"))

@@ -116,6 +116,24 @@ def fingerprint(text_col: str = "text", ngram: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+def vocab_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by frequency — the
+    tokenizer-prep word count.  The canonical map-side-combine shape:
+    partial counts per partition, ONE shuffle of (token, partial_n),
+    deterministic tie-break by token so top-k is stable."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), r"\s+"))
+    return (
+        docs.select(toks.alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
 # PII patterns — deliberately restricted to syntax BOTH Java regex and
 # RE2-family engines support (no lookaround, no backreferences), so the
 # exact same pattern runs in Spark, DuckDB, Hyperscan-style scanners and
