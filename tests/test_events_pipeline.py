@@ -108,3 +108,15 @@ def test_scrub_pii_clean_text_untouched(spark):
     clean = "a perfectly ordinary sentence with numbers like 42 and 2024."
     df = spark.createDataFrame([(clean,)], "text string")
     assert df.select(scrub_pii("text").alias("s")).collect()[0]["s"] == clean
+
+
+def test_same_source_target_rejected(spark):
+    """Code-review regression: identical source/target types would
+    self-attribute every event (window frame includes the current row)."""
+    from tinyolap_spark.streaming.ingest import attribution_stream
+
+    ev = _events(spark, [(1, datetime(2024, 1, 1), 1, "click", 0.0, "{}")])
+    with pytest.raises(ValueError, match="must differ"):
+        last_touch_attribution(ev, "click", "click")
+    with pytest.raises(ValueError, match="must differ"):
+        attribution_stream(ev, "click", "click")

@@ -93,3 +93,13 @@ def test_vocab_topk_counts(spark):
     assert [(r["token"], r["n"]) for r in rows] == [
         ("the", 3), ("cat", 2), ("hat", 1),
     ]
+
+
+def test_negative_keys_bucket_in_range(spark):
+    """Code-review regression: sign-preserving % would emit negative
+    buckets for negative keys, silently breaking rates and splits."""
+    df = spark.range(-500, 0).select(F.col("id").alias("doc_id"))
+    rows = df.select(portable_lcg_bucket().alias("b")).collect()
+    assert all(0 <= r["b"] < 1_000_000 for r in rows)
+    n = deterministic_sample(df, 0.01, hash_col=portable_lcg_bucket()).count()
+    assert n < 100  # a 1% sample must not keep ~all negative-key rows

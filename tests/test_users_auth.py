@@ -174,3 +174,76 @@ def test_rest_auth_role_gates(spark):
         assert st == 200 and out["data"]["read"]["value"] == 11.0
     finally:
         srv.shutdown()
+
+
+def test_rest_auth_hardening(spark):
+    """Code-review regressions: (1) a leading GraphQL comment must not
+    disguise a mutation; (2) random_write is a QUERY field that writes —
+    readers get 403; (3) passwordless accounts are refused over HTTP;
+    (4) db-less GraphQL needs the action on EVERY database (no cross-db
+    escalation)."""
+    from tinyolap_spark.api import RestServer
+
+    def _mkdb(name):
+        db = Database(name, spark=spark)
+        d = db.add_dimension("d").edit()
+        d.add_many("All", ["a", "b"])
+        d.commit()
+        cube = db.add_cube("c", [d])
+        cube.write_rows([("a", 1.0), ("b", 2.0)])
+        return db, cube
+
+    dba, cube_a = _mkdb("dba")
+    dbb, cube_b = _mkdb("dbb")
+    dba.users.add("viewer", "vpw", role="reader")
+    dbb.users.add("bob", "bpw", role="writer")  # writer ONLY in dbb
+    dba.users.add("bob", "bpw", role="reader")  # reader in dba
+    dbb.users.add("mallory", "mpw", role="writer")  # NO account in dba
+
+    srv = RestServer({"dba": dba, "dbb": dbb}, auth=True).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        # (1) leading comment must still classify as a write
+        sneaky = {"query": '#x\nmutation { write(db: "dba", cube: "c", '
+                           'address: ["a"], value: 999.0) }'}
+        st, _ = _call(base, "POST", "/graphql", sneaky, creds=("viewer", "vpw"))
+        assert st == 403
+        assert cube_a[("a",)] == 1.0
+        # (2) random_write through a plain query -> still a write action
+        rw = {"query": '{ random_write(db: "dba") { value } }'}
+        st, _ = _call(base, "POST", "/graphql", rw, creds=("viewer", "vpw"))
+        assert st == 403
+        # (3) the default passwordless admin is refused over HTTP
+        st, _ = _call(base, "GET", "/catalog", creds=("admin", ""))
+        assert st == 401
+        # (4) bob (writer only in dbb) cannot write into dba via a db-less
+        # GraphQL document
+        st, _ = _call(base, "POST", "/graphql", sneaky, creds=("bob", "bpw"))
+        assert st == 403
+        assert cube_a[("a",)] == 1.0
+        # (4b) membership-scoped authorize: mallory has NO account in dba —
+        # her dbb writer role must carry nothing there (authorize
+        # re-resolves by name per database, not by User object)
+        st, _ = _call(base, "POST", "/graphql",
+                      {"query": 'mutation { write(db: "dba", cube: "c", '
+                                'address: ["a"], value: 666.0) }'},
+                      creds=("mallory", "mpw"))
+        assert st == 403
+        assert not dba.authorize(dbb.users["mallory"], "read")
+        assert cube_a[("a",)] == 1.0
+        # but a parameterized READ with variables still classifies as read
+        q = {"query": 'query R($c: String!) { read(db: "dba", cube: $c, '
+                      'address: ["All"]) { value } }', "variables": {"c": "c"}}
+        st, out = _call(base, "POST", "/graphql", q, creds=("bob", "bpw"))
+        assert st == 200 and out["data"]["read"]["value"] == 3.0
+    finally:
+        srv.shutdown()
+
+
+def test_user_rename_rekeys_lookup():
+    coll = UserCollection()
+    u = coll.add("alice", "pw", role="reader")
+    u.rename("bob")
+    assert coll.get("bob") is u          # lazily re-keyed
+    assert coll.authenticate("bob", "pw") is u
+    assert coll.get("alice") is None

@@ -153,31 +153,50 @@ class RestServer:
         if method == "PUT" and path == "/cells":
             action = "write"
         elif path == "/graphql":
-            # per GraphQL spec a mutation requires the keyword; shorthand
-            # operations are always queries
-            if str(body.get("query", "")).lstrip().startswith("mutation"):
-                action = "write"
-        # resolve target databases: the named one, or all for db-less paths
+            # parse-based classification (the real tokenizer): a mutation
+            # OR any mutating field (random_write is a query-root field
+            # that writes) requires "write"; unparseable docs fail closed
+            from .graphql import required_action
+
+            action = required_action(
+                str(body.get("query", "")), body.get("variables")
+            )
+        # resolve target databases.  /catalog without ?database serves the
+        # FIRST registered db (mirror _dispatch's default), so gate that
+        # exact db, not "any".
         name = body.get("database") or (query.get("database") or [None])[0]
+        if name is None and path == "/catalog":
+            name = next(iter(self.databases))
         targets = (
             [self._db(name)] if name else list(self.databases.values())
         )
         user = None
         for db in targets:
-            user = db.users.authenticate(username, password or None)
-            if user is not None:
+            u = db.users.authenticate(username, password or None)
+            # the HTTP surface refuses passwordless accounts (the default
+            # 'admin' ships without a password — accepting it would make
+            # auth=True a no-op out of the box); set a password to use a
+            # user over HTTP
+            if u is not None and u.password is not None:
+                user = u
                 break
         if user is None:
             raise AuthenticationError("unknown user or wrong password")
         if name:
             targets[0].require(user, action)
             return
-        # db-less endpoints (/databases, /graphql with the db named inside
-        # the operation): the user needs the action on some database; the
-        # common single-db deployment degrades to an exact check
+        # db-less paths: /databases (read-only listing) needs read on SOME
+        # db; /graphql can target ANY db inside the document, so it needs
+        # the action on EVERY db (fail closed — cross-db escalation
+        # otherwise: write rights on dbB must not write into dbA)
         from .users import NotAuthorizedError
 
-        if not any(db.authorize(user, action) for db in targets):
+        ok = (
+            all(db.authorize(user, action) for db in targets)
+            if path == "/graphql"
+            else any(db.authorize(user, action) for db in targets)
+        )
+        if not ok:
             raise NotAuthorizedError(
                 f"user '{username}' is not authorized for action '{action}'"
             )

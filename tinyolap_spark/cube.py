@@ -1438,7 +1438,12 @@ class Cube:
             )
             sample = sample_df.select(*self._cols).limit(1).collect()
             if not sample:
-                return None  # empty feeder slice (reference: empty cell)
+                # empty feeder slice (reference: empty cell) — resolved
+                # HERE, so stamp the path: the caller trusts the callee to
+                # set it and a stale "compiled"/"driver" from a previous
+                # query would misattribute this result
+                self._last_base_rule_path = "executor"
+                return None
             trigger_idx = [sample[0][c] for c in self._cols]
             for pos, midx in pattern:
                 trigger_idx[pos] = midx

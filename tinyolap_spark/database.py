@@ -164,11 +164,16 @@ class Database:
     # -------------------------------------------------------- authorization
     def authorize(self, user: "str | object", action: str) -> bool:
         """Can ``user`` (a name or User) perform ``action`` — one of
-        ``read`` / ``write`` / ``model`` / ``admin``?  Unknown users can
-        do nothing."""
-        if isinstance(user, str):
-            user = self.users.get(user)
-        return user is not None and user.can(action)
+        ``read`` / ``write`` / ``model`` / ``admin``?
+
+        Authorization is MEMBERSHIP-scoped: the user is always re-resolved
+        by name in THIS database's registry, so a User object taken from
+        another database's registry carries no rights here (a writer in
+        dbB must not write into dbA), and unknown users can do nothing.
+        """
+        name = user if isinstance(user, str) else getattr(user, "name", None)
+        u = self.users.get(name) if name is not None else None
+        return u is not None and u.can(action)
 
     def require(self, user: "str | object", action: str) -> None:
         """Raise :class:`~tinyolap_spark.users.NotAuthorizedError` unless

@@ -206,6 +206,38 @@ class _Parser:
 # ---------------------------------------------------------------------------
 
 
+# fields that mutate data regardless of operation kind (random_write is a
+# QUERY root field in the reference schema but performs a cube write)
+_MUTATING_FIELDS = frozenset({"write", "random_write"})
+
+
+def required_action(query: str, variables: "Optional[dict]" = None) -> str:
+    """Authorization class of a GraphQL document: ``"write"`` if it is a
+    mutation OR selects any mutating field, else ``"read"``.
+
+    Parses with the REAL tokenizer/parser — a leading comment or exotic
+    whitespace cannot disguise a mutation the way a string-prefix check
+    could.  Unparseable documents classify as ``"write"`` (fail closed;
+    the executor will reject them with a parse error anyway).
+    """
+    try:
+        op = _Parser(query, variables).parse()
+    except Exception:  # noqa: BLE001 — fail closed
+        return "write"
+    if op.kind == "mutation":
+        return "write"
+
+    def walk(fields) -> bool:
+        for f in fields:
+            if f.name in _MUTATING_FIELDS:
+                return True
+            if f.selection and walk(f.selection):
+                return True
+        return False
+
+    return "write" if walk(op.fields) else "read"
+
+
 class GraphQLExecutor:
     """Executes the reference schema against a database registry."""
 

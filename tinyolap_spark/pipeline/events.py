@@ -33,10 +33,16 @@ def with_last_touch(
     preceding ``source_type`` timestamp of the same user (NULL when the
     user never produced one before the target).
 
-    The frame includes the current row, which is safe: the current row is
-    a target, never a source, so it cannot self-match.  Ties on ``ts``
-    break deterministically by ``event_id``.
+    The frame includes the current row, which is safe BECAUSE the current
+    row is a target, never a source — so identical types would self-match
+    and are rejected.  Ties on ``ts`` break deterministically by
+    ``event_id``.
     """
+    if target_type == source_type:
+        raise ValueError(
+            "target_type and source_type must differ (identical types "
+            "would self-attribute every event)"
+        )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -38,10 +38,14 @@ def portable_lcg_bucket(key_col: str = "doc_id") -> Column:
     any SQL dialect with 64-bit integer arithmetic (used by the DuckDB
     oracle twin; ``hash(key)`` differs between engines, plain arithmetic
     does not).  The key is reduced mod a prime first so the multiply
-    never overflows 64-bit for any BIGINT key."""
-    k = F.col(key_col) % F.lit(1_000_003)
-    return ((k * F.lit(1_103_515_245) + F.lit(12_345)) % F.lit(2_147_483_648)) % F.lit(
-        _BUCKETS
+    never overflows 64-bit for any BIGINT key.  Uses ``pmod`` so NEGATIVE
+    keys still land in ``[0, 1e6)`` (sign-preserving ``%`` would emit
+    negative buckets and break rate/split semantics); a SQL twin for
+    negative keys must spell ``((x % m) + m) % m``."""
+    k = F.pmod(F.col(key_col), F.lit(1_000_003))
+    return F.pmod(
+        F.pmod(k * F.lit(1_103_515_245) + F.lit(12_345), F.lit(2_147_483_648)),
+        F.lit(_BUCKETS),
     )
 
 

@@ -219,6 +219,11 @@ def attribution_stream(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if target_type == source_type:
+        raise ValueError(
+            "target_type and source_type must differ (identical types "
+            "would route every row to the source branch and emit nothing)"
+        )
     out_schema = (
         "user_id long, event_id long, ts_sec long, value double, "
         "attributed boolean"
@@ -240,8 +245,18 @@ def attribution_stream(
             "user_id": [], "event_id": [], "ts_sec": [],
             "value": [], "attributed": [],
         }
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_sec", "event_id"])
+        # event-time ordering must span ALL Arrow chunks of the group —
+        # a >maxRecordsPerBatch user arrives as multiple pdfs in arbitrary
+        # order, so sort the concatenation, not each chunk (memory bound:
+        # one user's rows in one micro-batch)
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            pdf = whole.sort_values(["ts_sec", "event_id"])
             for r in pdf.itertuples(index=False):
                 ts_sec = int(r.ts_sec)
                 if r.event_type == source_type:

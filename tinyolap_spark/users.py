@@ -186,7 +186,19 @@ class UserCollection:
         del self._users[key]
 
     def get(self, name: str) -> Optional[User]:
-        return self._users.get(name.lower())
+        u = self._users.get(name.lower())
+        if u is not None:
+            return u
+        # a User.rename() leaves the dict keyed by the old name (the
+        # reference's rename mutates the object only); re-key lazily so
+        # lookups by either the live name work and persistence (which
+        # re-keys by u.name) agrees with in-session behavior
+        for key, cand in list(self._users.items()):
+            if cand.name.lower() == name.lower():
+                del self._users[key]
+                self._users[cand.name.lower()] = cand
+                return cand
+        return None
 
     def authenticate(
         self, name: str, password: Optional[str] = None
