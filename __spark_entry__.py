@@ -602,6 +602,27 @@ def _q_docs_split_counts(spark, sf_dir):
     )
 
 
+def _q_docs_boilerplate(spark, sf_dir):
+    """Boilerplate-line removal (CCNet-style cleaning): lines occurring in
+    >= 3 distinct docs are dropped, the rest reassemble in order.  The
+    corpus is single-line, so a shared header + per-group footer is
+    salted in deterministically; the oracle salts identically."""
+    from tinyolap_spark.pipeline.text import remove_boilerplate
+
+    docs = _raw(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HEADER-COMMON\n"),
+            F.col("text"),
+            F.lit("\nFOOTER-"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    out = remove_boilerplate(salted, min_docs=3)
+    return out.where(F.col("doc_id") < 30).orderBy("doc_id")
+
+
 def _q_cube_attr_filter(spark, sf_dir):
     """Attribute-driven member selection: nations whose `region` attribute
     is ASIA, then revenue per nation (SURVEY §2 P8/P10/J4)."""
@@ -1114,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_split_counts": _q_docs_split_counts,
+        "docs_boilerplate": _q_docs_boilerplate,
     }
 
 
@@ -1568,6 +1590,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "docs_pii_scrub": _pii_scrub_oracle(),
+        "docs_boilerplate": (
+            "WITH salted AS ("
+            "  SELECT doc_id, 'HEADER-COMMON' || chr(10) || text || "
+            "chr(10) || 'FOOTER-' || CAST(doc_id % 5 AS VARCHAR) AS text "
+            "  FROM documents), "
+            "split AS ("
+            "  SELECT doc_id, string_split(text, chr(10)) AS ls "
+            "  FROM salted), "
+            "lines AS ("
+            "  SELECT doc_id, i AS pos, ls[i] AS line "
+            "  FROM split, LATERAL unnest(range(1, len(ls) + 1)) AS u(i)), "
+            "boiler AS ("
+            "  SELECT line FROM lines GROUP BY line "
+            "  HAVING COUNT(DISTINCT doc_id) >= 3) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text "
+            "FROM lines WHERE line NOT IN (SELECT line FROM boiler) "
+            "AND doc_id < 30 GROUP BY doc_id ORDER BY doc_id"
+        ),
         "docs_vocab_topk": (
             "SELECT token, COUNT(*) AS n FROM ("
             "  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) "

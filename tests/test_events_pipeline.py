@@ -120,3 +120,28 @@ def test_same_source_target_rejected(spark):
         last_touch_attribution(ev, "click", "click")
     with pytest.raises(ValueError, match="must differ"):
         attribution_stream(ev, "click", "click")
+
+
+def test_remove_boilerplate_semantics(spark):
+    """Lines in >= min_docs distinct docs drop everywhere; survivors keep
+    original order; a doc left with no lines disappears (fully
+    boilerplate); duplicate lines WITHIN one doc don't count twice."""
+    from tinyolap_spark.pipeline.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEAD\nalpha\nbeta\nHEAD\nFOOT"),  # HEAD twice in one doc
+            (2, "HEAD\ngamma\nFOOT"),
+            (3, "HEAD\ndelta\nFOOT"),
+            (4, "HEAD\nFOOT"),                      # only boilerplate
+            (5, "alpha\nepsilon"),                  # alpha in 2 docs only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate(docs, min_docs=3).collect()}
+    assert out[1] == "alpha\nbeta"      # order kept, HEAD/FOOT dropped
+    assert out[2] == "gamma"
+    assert out[3] == "delta"
+    assert 4 not in out                 # fully-boilerplate doc vanishes
+    assert out[5] == "alpha\nepsilon"   # 2 < min_docs: alpha survives

@@ -116,6 +116,57 @@ def fingerprint(text_col: str = "text", ngram: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+def remove_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 3,
+    line_sep: str = "\n",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate-line removal (the CCNet/common-crawl cleaning pass):
+    a LINE that occurs in ``min_docs`` or more distinct documents is
+    boilerplate (headers, footers, nav chrome) and is dropped from every
+    document; remaining lines re-assemble in original order.
+
+    Plan shape: explode to (doc, line-position, line-hash) → distinct-doc
+    count per hash (map-side partial agg) → broadcast-or-shuffle join of
+    the (small) boilerplate hash set back → re-aggregate with
+    ``sort_array`` over (position, line) structs so reassembly is exact
+    and deterministic.  Hashes (xxhash64) travel through the shuffle, not
+    line text — at 100 TB the join key set is the distinct-line space,
+    pruned to only hashes that crossed the threshold.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__h", F.xxhash64(F.col("__line")))
+    boiler = (
+        lines.groupBy("__h")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") >= min_docs)
+        .select("__h")
+    )
+    kept = lines.join(boiler, on="__h", how="left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("__pos"), F.col("__line"))
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                line_sep,
+            ).alias(text_col)
+        )
+    )
+
+
 def vocab_topk(
     docs: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:
