@@ -6,4 +6,11 @@ pandas UDFs where Python is unavoidable, and documented partitioning
 strategies.  See each module's docstring for the scale analysis.
 """
 
-from . import dedup, similarity, text, multimodal  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    events,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
