@@ -50,13 +50,13 @@ def test_last_touch_attribution_semantics(spark):
 
 def test_with_last_touch_never_self_matches(spark):
     T = datetime
+    # identical types would self-match (frame includes the current row) —
+    # rejected up front since the hardening pass
     rows = [(1, T(2024, 1, 1), 1, "purchase", 5.0, "{}")]
-    out = with_last_touch(_events(spark, rows), "purchase", "purchase")
-    assert out.collect()[0]["last_source_ts"] is not None  # current row IS
-    # ... included in the frame when types coincide — callers use distinct
-    # source/target types; document the frame with the distinct-type case:
-    rows2 = [(1, T(2024, 1, 1), 1, "purchase", 5.0, "{}")]
-    out2 = with_last_touch(_events(spark, rows2), "purchase", "click")
+    with pytest.raises(ValueError, match="must differ"):
+        with_last_touch(_events(spark, rows), "purchase", "purchase")
+    # distinct types: a lone target has no source to match
+    out2 = with_last_touch(_events(spark, rows), "purchase", "click")
     assert out2.collect()[0]["last_source_ts"] is None
 
 
