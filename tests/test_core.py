@@ -125,8 +125,18 @@ def test_address_errors(tiny):
     db, cube, rows = tiny
     with pytest.raises(InvalidAddressError):
         cube["2021", "Jan", "Nowhere", "coupe", "Sales"]
+    # a PARTIAL address is not an error: it addresses an Area (reference
+    # cube.py:282-287 — ``cube["Plan"]`` is the Plan slice)
+    from tinyolap_spark import Area
+
+    area = cube["2021", "Jan", "North", "coupe"]
+    assert isinstance(area, Area)
+    # ...but an unknown member inside a partial address still raises
     with pytest.raises(InvalidAddressError):
-        cube["2021", "Jan", "North", "coupe"]
+        cube["2021", "Jan", "Nowhere", "coupe"]
+    # an overlong address raises too
+    with pytest.raises(InvalidAddressError):
+        cube["2021", "Jan", "North", "coupe", "Sales", "extra"]
 
 
 def test_fractional_weights_average(spark):

@@ -259,6 +259,18 @@ class Cell(_FloatOps):
     def __setitem__(self, modifiers, value) -> None:
         self._cube._set_idx(self._shifted(modifiers), value)
 
+    def __getattr__(self, name):
+        # attr-style member shift: ``c.Plan == c["Plan"]`` (reference
+        # ``cell.py`` attribute resolution; samples/tesla.py:16 uses it).
+        # __getattr__ only fires for names not found normally, so the
+        # real API surface is never shadowed.
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
     # reference-compat surface (cell.py public API)
     @property
     def numeric_value(self) -> float:
@@ -410,7 +422,15 @@ class _SliceCell(_FloatOps):
         return tuple(out)
 
     def __getattr__(self, name):
-        raise _NonLocalRead(name)
+        # attr-style member shift, mirroring Cell.__getattr__ — keeps
+        # ``c.Plan``-style rules on the executor fast path; reads that
+        # leave the slice still raise _NonLocalRead via __getitem__
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
 
 
 class Cube:
@@ -617,7 +637,25 @@ class Cube:
     def __setitem__(self, address, value) -> None:
         if not isinstance(address, tuple):
             address = (address,)
+        if len(address) < len(self.dimensions):
+            # partial address -> area write (reference cube.py:289-294:
+            # ``cube["Plan"] = 500`` sets every EXISTING Plan cell;
+            # ``cube["Plan", "2023"] = cube["Plan", "2022"] * 1.5`` copies)
+            target = self.area(*address)
+            if isinstance(value, (Area, AreaTransform)):
+                target.assign_from(value)
+            else:
+                target.set_value(value)
+            return
         self.set(address, value)
+
+    def __delitem__(self, address) -> None:
+        if not isinstance(address, tuple):
+            address = (address,)
+        if len(address) < len(self.dimensions):
+            self.area(*address).clear()  # reference cube.py:296-301
+            return
+        self.set(address, None)
 
     def delete(self, address: Sequence) -> None:
         self.set(address, None)
@@ -746,6 +784,10 @@ class Cube:
     def __getitem__(self, address) -> Any:
         if not isinstance(address, tuple):
             address = (address,)
+        if len(address) < len(self.dimensions):
+            # partial address -> Area (reference cube.py:282-287:
+            # ``cube["Plan"]`` addresses the whole Plan slice)
+            return self.area(*address)
         return self.get(address)
 
     def get_many(self, addresses: Sequence[Sequence]) -> list[Any]:

@@ -473,8 +473,25 @@ class Dimension:
         """Add a member, optionally with (weighted) children.
 
         Mirrors reference ``Dimension.add_many`` (``dimension.py:2144-2155``):
-        ``add_member('Profit', ['Sales', 'Cost'], [1.0, -1.0])``.
+        ``add_member('Profit', ['Sales', 'Cost'], [1.0, -1.0])``.  As in
+        the reference, ``name`` may be an ITERABLE of names — each added
+        as a plain member (``add_many(["Actual", "Plan"])``), optionally
+        with a parallel ``children``/``weights`` list per member.
         """
+        if isinstance(name, (list, tuple, set)) or (
+            not isinstance(name, str) and hasattr(name, "__iter__")
+        ):
+            names = list(name)
+            kids = children if children is not None else [None] * len(names)
+            wts = weights if weights is not None else [None] * len(names)
+            if len(kids) != len(names) or len(wts) != len(names):
+                raise DimensionEditError(
+                    "children/weights must parallel the member name list"
+                )
+            return [
+                self.add_member(n, c, w)
+                for n, c, w in zip(names, kids, wts)
+            ]
         self._require_edit()
         idx = self._add_or_get(name)
         if description:
