@@ -184,6 +184,17 @@ class _FloatOps:
         return self._f() >= o
 
 
+class _BypassSentinel:
+    """Marker modifier: read raw stored values, skipping rules (reference
+    ``cell.py:42-51`` — ``c["temperature", c.BYPASS_RULES]``)."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "BYPASS_RULES"
+
+
+BYPASS_RULES = _BypassSentinel()
+
+
 class Cell(_FloatOps):
     """Cursor at one cube address, handed to rules
     (reference ``cell.py:17``, member resolution ``cell.py:251-331``).
@@ -200,6 +211,9 @@ class Cell(_FloatOps):
     """
 
     __slots__ = ("_cube", "_idx_address", "bypass_rules")
+
+    #: modifier sentinel (reference ``c.BYPASS_RULES``)
+    BYPASS_RULES = BYPASS_RULES
 
     def __init__(self, cube: "Cube", idx_address: tuple[int, ...], bypass_rules: bool = False):
         self._cube = cube
@@ -252,8 +266,17 @@ class Cell(_FloatOps):
         raise KeyError(f"member '{mod}' not found in any dimension")
 
     def __getitem__(self, modifiers) -> Any:
+        if not isinstance(modifiers, tuple):
+            modifiers = (modifiers,)
+        bypass = self.bypass_rules
+        mods = []
+        for m in modifiers:
+            if isinstance(m, _BypassSentinel):
+                bypass = True  # c["temperature", c.BYPASS_RULES]
+            else:
+                mods.append(m)
         return self._cube._get_idx(
-            self._shifted(modifiers), bypass_rules=self.bypass_rules
+            self._shifted(tuple(mods)), bypass_rules=bypass
         )
 
     def __setitem__(self, modifiers, value) -> None:
@@ -393,11 +416,16 @@ class _SliceCell(_FloatOps):
                 return pos, lk[key]
         raise KeyError(f"member '{mod}' not found in any dimension")
 
+    #: slice values ARE raw base values, so bypass is inherently satisfied
+    BYPASS_RULES = BYPASS_RULES
+
     def __getitem__(self, modifiers):
         if isinstance(modifiers, str):
             modifiers = (modifiers,)
         midx = self._trigger_midx
         for mod in modifiers:
+            if isinstance(mod, _BypassSentinel):
+                continue  # raw-value read is the slice's only mode
             pos, m = self._resolve(str(mod))
             if pos != self._p:
                 raise _NonLocalRead(str(mod))
@@ -423,14 +451,16 @@ class _SliceCell(_FloatOps):
 
     def __getattr__(self, name):
         # attr-style member shift, mirroring Cell.__getattr__ — keeps
-        # ``c.Plan``-style rules on the executor fast path; reads that
-        # leave the slice still raise _NonLocalRead via __getitem__
+        # ``c.Plan``-style rules on the executor fast path.  An UNKNOWN
+        # name falls back to the driver (_NonLocalRead), where the full
+        # Cell surface decides whether it is a real error — classifying
+        # it here would turn reference-API attribute uses into #ERR!.
         if name.startswith("_"):
             raise AttributeError(name)
         try:
             return self[name]
         except KeyError:
-            raise AttributeError(name) from None
+            raise _NonLocalRead(name) from None
 
 
 class Cube:

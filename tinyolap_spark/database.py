@@ -52,6 +52,11 @@ class Database:
 
         self.users = UserCollection()
 
+    def rename(self, new_name: str) -> None:
+        """Rename the database (reference ``database.rename``; exercised
+        by ``samples/tiny42.py:46``)."""
+        self.name = new_name
+
     # ------------------------------------------------------------- dims
     def add_dimension(self, name: str, description: str = "") -> Dimension:
         key = name.lower()

@@ -493,6 +493,8 @@ class Dimension:
                 for n, c, w in zip(names, kids, wts)
             ]
         self._require_edit()
+        if isinstance(children, str):
+            children = [children]  # reference: a scalar child string
         idx = self._add_or_get(name)
         if description:
             self._defs[idx].description = description
@@ -511,7 +513,12 @@ class Dimension:
     # reference-compatible aliases
     add_many = add_member
 
-    def remove_member(self, name: str) -> None:
+    def remove_member(self, name: "str | Sequence[str]") -> None:
+        if not isinstance(name, str):
+            # reference accepts an iterable (samples/tiny42.py:109)
+            for n in list(name):
+                self.remove_member(n)
+            return
         self._require_edit()
         m = self.member(name)
         idx = m.index
