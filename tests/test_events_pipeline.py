@@ -145,3 +145,52 @@ def test_remove_boilerplate_semantics(spark):
     assert out[3] == "delta"
     assert 4 not in out                 # fully-boilerplate doc vanishes
     assert out[5] == "alpha\nepsilon"   # 2 < min_docs: alpha survives
+
+
+def test_attribution_matches_bruteforce_random(spark):
+    """Randomized differential check (seeded): last_touch_attribution over
+    2000 random events must equal a brute-force per-user Python replay —
+    ties, gap edges, missing sources and interleavings included."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for eid in range(2000):
+        rows.append((
+            eid,
+            base + timedelta(seconds=rng.randrange(0, 7200)),
+            rng.randrange(1, 40),
+            rng.choice(["click", "purchase", "view"]),
+            round(rng.uniform(0, 100), 2),
+            "{}",
+        ))
+    ev = _events(spark, rows)
+    got = {r["user_id"]: (r["n_target"], r["n_attributed"],
+                          r["attributed_value"])
+           for r in last_touch_attribution(ev, "purchase", "click", 600)
+           .collect()}
+
+    # brute force: replay per user in (ts, event_id) order
+    expected = {}
+    by_user = {}
+    for eid, ts, uid, et, val, _ in rows:
+        by_user.setdefault(uid, []).append((ts, eid, et, val))
+    for uid, events in by_user.items():
+        last_click = None
+        n_t = n_a = 0
+        cents = 0
+        for ts, eid, et, val in sorted(events):
+            if et == "click":
+                last_click = ts if last_click is None else max(last_click, ts)
+            elif et == "purchase":
+                n_t += 1
+                if last_click is not None and (
+                    int(ts.timestamp()) - int(last_click.timestamp()) <= 600
+                ):
+                    n_a += 1
+                    cents += round(val * 100)
+        if n_t:
+            expected[uid] = (n_t, n_a, pytest.approx(cents / 100))
+    assert got == expected
