@@ -109,13 +109,20 @@ SF10X_QUERIES = [
     "sql_top_nations",
     "sql_pricing_summary",
     "docs_exact_dedup",
+    "events_attribution",
+    "docs_split_counts",
 ]
+
+_PREP10X_VERSION = "v2"  # bump when _prepare_10x derives new tables
 
 
 def _prepare_10x(spark, src, dst, copies=10):
     marker = os.path.join(dst, "_DONE")
     if os.path.exists(marker):
-        return
+        with open(marker) as f:
+            if f.read().strip() == _PREP10X_VERSION:
+                return
+        # stale layout from an older prepare: regenerate
     from functools import reduce
 
     from pyspark.sql import DataFrame as _DF
@@ -160,8 +167,27 @@ def _prepare_10x(spark, src, dst, copies=10):
             for i in range(copies)
         ],
     ).write.mode("overwrite").parquet(f"{dst}/documents.parquet")
-    with open(marker, "w"):
-        pass
+    # events: 10x users with unchanged per-user history (bench.py's sf1
+    # derivation) — the windowed as-of operator's realistic growth axis
+    from tinyolap_spark.streaming.ingest import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    evs = normalize_events(spark.read.parquet(f"{src}/events.parquet"))
+    uid_span = evs.agg(F.max("user_id")).collect()[0][0] + 1
+    eid_span = evs.agg(F.max("event_id")).collect()[0][0] + 1
+    reduce(
+        _DF.unionByName,
+        [
+            evs.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * uid_span)
+            ).withColumn(
+                "event_id", F.col("event_id") + F.lit(i * eid_span)
+            )
+            for i in range(copies)
+        ],
+    ).write.mode("overwrite").parquet(f"{dst}/events.parquet")
+    with open(marker, "w") as f:
+        f.write(_PREP10X_VERSION)
 
 
 @pytest.fixture(scope="module")
