@@ -194,3 +194,18 @@ def test_attribution_matches_bruteforce_random(spark):
         if n_t:
             expected[uid] = (n_t, n_a, pytest.approx(cents / 100))
     assert got == expected
+
+
+def test_remove_boilerplate_literal_separator(spark):
+    """Review regression: a separator with regex metacharacters ('|')
+    must be treated literally in BOTH split and rejoin."""
+    from tinyolap_spark.pipeline.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "HEAD|alpha|beta"), (2, "HEAD|gamma"), (3, "HEAD|delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate(docs, min_docs=3, line_sep="|")
+           .collect()}
+    assert out == {1: "alpha|beta", 2: "gamma", 3: "delta"}

@@ -173,8 +173,10 @@ def _prepare_10x(spark, src, dst, copies=10):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     evs = normalize_events(spark.read.parquet(f"{src}/events.parquet"))
-    uid_span = evs.agg(F.max("user_id")).collect()[0][0] + 1
-    eid_span = evs.agg(F.max("event_id")).collect()[0][0] + 1
+    spans = evs.agg(
+        F.max("user_id").alias("u"), F.max("event_id").alias("e")
+    ).collect()[0]
+    uid_span, eid_span = spans["u"] + 1, spans["e"] + 1
     reduce(
         _DF.unionByName,
         [

@@ -12,9 +12,17 @@ from pyspark.sql import functions as F
 from tinyolap_spark.pipeline import dedup, sampling, text
 
 
+import os
+
+RECIPE_SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+
+
 @pytest.fixture(scope="module")
 def corpus(spark):
-    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = f"{RECIPE_SF_DIR}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"no documents fixture at {path}")
+    return spark.read.parquet(path)
 
 
 def test_full_preprocessing_recipe(spark, corpus):

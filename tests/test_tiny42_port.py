@@ -116,3 +116,76 @@ def test_tiny42_consolidation_workflow(spark):
     assert target["Total", "Total", "count"] == 5.0
     # per-timestamp machine aggregate (sensors aggregated, time leaf)
     assert target["m_0001", "t2", "temperature"] == pytest.approx(30.0)
+
+
+def test_bypass_rules_never_aliases_cell_cache(spark):
+    """Review regression: the cell cache stores RULE values for
+    rule-matched addresses — a BYPASS_RULES read must neither consume
+    nor poison it, in either read order."""
+    from tinyolap_spark.cube import BYPASS_RULES
+
+    db = Database("bypass_cache", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    d.commit()
+    m = db.add_dimension("m").edit()
+    m.add_many("Qty")
+    m.add_many("Sales")
+    m.commit()
+    cube = db.add_cube("c", [d, m])
+    cube.write_rows([
+        ("a", "Qty", 2.0), ("b", "Qty", 3.0),
+        ("a", "Sales", 999.0), ("b", "Sales", 999.0),  # raw stored values
+    ])
+
+    def sales(c):
+        return c["Qty"] * 10.0
+
+    cube.register_rule(
+        sales, trigger=["m:Sales"], scope=RuleScope.BASE_LEVEL,
+        feeder=["m:Qty"],
+    )
+    # rule first, then bypass: raw aggregate, not the cached rule value
+    assert cube["All", "Sales"] == pytest.approx(50.0)
+    raw = cube.cell("All", "Sales")[BYPASS_RULES]
+    assert raw == pytest.approx(1998.0)
+    # bypass first, then rule: rule value, not the raw read
+    cube._cache.clear()
+    assert cube.cell("All", "Sales")[BYPASS_RULES] == pytest.approx(1998.0)
+    assert cube["All", "Sales"] == pytest.approx(50.0)
+
+
+def test_remove_member_accepts_member_object(spark):
+    db = Database("rm_member", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many("All", ["a", "b"])
+    m = d.member("a")
+    d.remove_member(m)  # Member object, not a name
+    d.commit()
+    assert not d.member_exists("a") and d.member_exists("b")
+
+
+def test_server_registry_follows_rename(spark):
+    from tinyolap_spark import Server, TinyOlapError
+
+    srv = Server(spark=spark)
+    db = srv.create_database("olddb")
+    srv.create_database("taken")
+    db.rename("newdb")
+    assert "newdb" in srv and "olddb" not in srv
+    assert srv["newdb"] is db
+    with pytest.raises(TinyOlapError, match="already exists"):
+        db.rename("taken")
+    assert db.name == "newdb"  # rolled back on collision
+    with pytest.raises(TinyOlapError, match="invalid"):
+        db.rename("")
+    srv.delete_database("newdb")
+    assert "newdb" not in srv
+
+
+def test_add_many_set_is_deterministic(spark):
+    db = Database("set_det", spark=spark)
+    d = db.add_dimension("d").edit()
+    d.add_many({"zeta", "alpha", "mid"})  # set input -> sorted order
+    d.commit()
+    assert [m.name for m in d.members] == ["alpha", "mid", "zeta"]

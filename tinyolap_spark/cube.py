@@ -978,7 +978,7 @@ class Cube:
                     v = self._run_rule(rdef, idx_address)
                     if v is not CONTINUE:
                         return v
-            return self._read_base(idx_address)
+            return self._read_base(idx_address, use_cache=not bypass_rules)
         # aggregated
         if not bypass_rules:
             rdef = self.rules.match(idx_address, (RuleScope.AGGREGATION_LEVEL,))
@@ -989,7 +989,11 @@ class Cube:
             rdef = self.rules.match(idx_address, (RuleScope.BASE_LEVEL,))
             if rdef is not None:
                 return self._aggregate_base_rule(rdef, idx_address)
-        return self._read_aggregate(idx_address)
+        # BYPASS reads must not touch the cell cache: for rule-matched
+        # addresses the cache holds the RULE value, so a bypass read
+        # consulting it would return the rule value (and a bypass read
+        # populating it would poison later rule reads with raw values)
+        return self._read_aggregate(idx_address, use_cache=not bypass_rules)
 
     def _run_rule(self, rdef: RuleDef, idx_address: tuple[int, ...]) -> Any:
         self.counter_rule_requests += 1
@@ -1021,11 +1025,13 @@ class Cube:
         values = {ref: self._get_idx(a) for ref, a in addrs.items()}
         return eval_expression(rdef.expression, values)
 
-    def _read_base(self, idx_address: tuple[int, ...]) -> Any:
+    def _read_base(
+        self, idx_address: tuple[int, ...], use_cache: bool = True
+    ) -> Any:
         if idx_address in self._pending:
             v = self._pending[idx_address]
             return v
-        if self.caching and idx_address in self._cache:
+        if use_cache and self.caching and idx_address in self._cache:
             self.counter_cache_hits += 1
             return self._cache[idx_address]
         self._flush()
@@ -1033,12 +1039,14 @@ class Cube:
             self._fact, self.spark, self._cols, {0: idx_address}
         )
         v = vals[0]
-        if self.caching:
+        if use_cache and self.caching:
             self._cache[idx_address] = v
         return v
 
-    def _read_aggregate(self, idx_address: tuple[int, ...]) -> Any:
-        if self.caching and idx_address in self._cache:
+    def _read_aggregate(
+        self, idx_address: tuple[int, ...], use_cache: bool = True
+    ) -> Any:
+        if use_cache and self.caching and idx_address in self._cache:
             self.counter_cache_hits += 1
             return self._cache[idx_address]
         self._flush()
@@ -1047,7 +1055,7 @@ class Cube:
             self._fact, self.spark, self._dims_spec(), {0: idx_address}
         )
         v = vals[0]
-        if self.caching:
+        if use_cache and self.caching:
             self._cache[idx_address] = v
         return v
 

@@ -54,8 +54,24 @@ class Database:
 
     def rename(self, new_name: str) -> None:
         """Rename the database (reference ``database.rename``; exercised
-        by ``samples/tiny42.py:46``)."""
+        by ``samples/tiny42.py:46``).  Rejects empty/control-character
+        names (reference ``database.py:247-250`` validates too) and
+        re-keys any Server registry this database is attached to."""
+        if (
+            not new_name
+            or not new_name.strip()
+            or any(c in new_name for c in "\t\n\r")
+        ):
+            raise TinyOlapError(f"invalid database name {new_name!r}")
+        old = self.name
         self.name = new_name
+        server = getattr(self, "_server", None)
+        if server is not None:
+            try:
+                server._rekey(old, self)
+            except TinyOlapError:
+                self.name = old  # name collision in the registry: roll back
+                raise
 
     # ------------------------------------------------------------- dims
     def add_dimension(self, name: str, description: str = "") -> Dimension:

@@ -478,10 +478,13 @@ class Dimension:
         as a plain member (``add_many(["Actual", "Plan"])``), optionally
         with a parallel ``children``/``weights`` list per member.
         """
-        if isinstance(name, (list, tuple, set)) or (
-            not isinstance(name, str) and hasattr(name, "__iter__")
-        ):
+        if not isinstance(name, (str, Member)) and hasattr(name, "__iter__"):
             names = list(name)
+            if isinstance(name, (set, frozenset)):
+                # set iteration order is hash-seed dependent; member
+                # ordinals (and thus fact ids / persisted layout) must be
+                # deterministic, so sort
+                names = sorted(names)
             kids = children if children is not None else [None] * len(names)
             wts = weights if weights is not None else [None] * len(names)
             if len(kids) != len(names) or len(wts) != len(names):
@@ -489,7 +492,7 @@ class Dimension:
                     "children/weights must parallel the member name list"
                 )
             return [
-                self.add_member(n, c, w)
+                self.add_member(n, c, w, description)
                 for n, c, w in zip(names, kids, wts)
             ]
         self._require_edit()
@@ -513,8 +516,8 @@ class Dimension:
     # reference-compatible aliases
     add_many = add_member
 
-    def remove_member(self, name: "str | Sequence[str]") -> None:
-        if not isinstance(name, str):
+    def remove_member(self, name: "str | Member | Sequence") -> None:
+        if not isinstance(name, (str, Member)):
             # reference accepts an iterable (samples/tiny42.py:109)
             for n in list(name):
                 self.remove_member(n)

@@ -135,12 +135,21 @@ def remove_boilerplate(
     and deterministic.  Hashes (xxhash64) travel through the shuffle, not
     line text — at 100 TB the join key set is the distinct-line space,
     pruned to only hashes that crossed the threshold.
+
+    Returns ONLY ``(id_col, text_col)`` — other columns do not survive
+    the reassembly aggregate; join them back on ``id_col`` if needed
+    (re-carrying them through the explode/groupBy would widen the
+    shuffle for every caller that does not want them).
+    ``line_sep`` is treated as a LITERAL separator for both split and
+    rejoin (escaped before the regex-based split).
     """
+    import re as _re
+
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(line_sep))
+        ).alias("__pos", "__line"),
     ).withColumn("__h", F.xxhash64(F.col("__line")))
     boiler = (
         lines.groupBy("__h")

@@ -22,6 +22,7 @@ class Server:
             raise TinyOlapError(f"database '{name}' already exists")
         db = Database(name, spark=self.spark)
         self._databases[key] = db
+        db._server = self
         return db
 
     def add_database(self, db: Database) -> Database:
@@ -29,7 +30,17 @@ class Server:
         if key in self._databases:
             raise TinyOlapError(f"database '{db.name}' already exists")
         self._databases[key] = db
+        db._server = self  # rename() re-keys the registry through this
         return db
+
+    def _rekey(self, old_name: str, db: Database) -> None:
+        """Called by Database.rename so the registry key follows the name
+        (otherwise lookups/"in"/delete desync after a rename)."""
+        new_key = db.name.lower()
+        if new_key in self._databases and self._databases[new_key] is not db:
+            raise TinyOlapError(f"database '{db.name}' already exists")
+        self._databases.pop(old_name.lower(), None)
+        self._databases[new_key] = db
 
     def open_database(self, path: str, name: Optional[str] = None) -> Database:
         db = Database.open(path, spark=self.spark)
