@@ -623,6 +623,67 @@ def _q_docs_boilerplate(spark, sf_dir):
     return out.where(F.col("doc_id") < 30).orderBy("doc_id")
 
 
+def _q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (`pipeline/decontam.py`): the benchmark
+    is an 8-token window lifted verbatim from every 97th document, so
+    those documents MUST flag; the n-gram join is hash-compressed with
+    exact string verify (no collision false-positives)."""
+    from tinyolap_spark.pipeline.decontam import contamination
+
+    docs = _raw(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: F.length(x) > 0
+    )
+    bench = (
+        docs.where((F.col("doc_id") % 97 == 3) & (F.size(toks) >= 10))
+        .select(F.array_join(F.slice(toks, 3, 8), " ").alias("text"))
+    )
+    rep = contamination(docs, bench, n=8)
+    return rep.select(
+        "doc_id",
+        "n_contaminated",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+def _q_docs_repetition(spark, sf_dir):
+    """Within-doc repetition signals (Gopher quality rules): duplicate
+    lines are salted onto every 7th document (the corpus is single-line),
+    the most-frequent 2-gram count comes from the real text.  All-integer
+    outputs so the cross-engine hash is exact."""
+    from tinyolap_spark.pipeline.text import repetition_features
+
+    docs = _raw(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("DUP-LINE\n"), F.col("text"), F.lit("\nDUP-LINE")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    feats = repetition_features("text", ngram=2)
+    return (
+        salted.where(F.col("doc_id") < 200)
+        .select("doc_id", *[c.alias(n) for n, c in feats.items()])
+        .orderBy("doc_id")
+    )
+
+
+def _q_emb_kmeans_profile(spark, sf_dir):
+    """Distributed k-means (full-corpus Lloyd's, `pipeline/clustering.py`):
+    per-cluster sizes after 4 iterations from the seeded deterministic
+    init.  Iterative — no single-statement SQL oracle; correctness is
+    covered by the numpy-differential test
+    (`test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd`)."""
+    from tinyolap_spark.pipeline.clustering import cluster_profile, kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42)
+    return cluster_profile(res)
+
+
 def _q_cube_attr_filter(spark, sf_dir):
     """Attribute-driven member selection: nations whose `region` attribute
     is ASIA, then revenue per nation (SURVEY §2 P8/P10/J4)."""
@@ -1136,6 +1197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_split_counts": _q_docs_split_counts,
         "docs_boilerplate": _q_docs_boilerplate,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_repetition": _q_docs_repetition,
+        "emb_kmeans_profile": _q_emb_kmeans_profile,
     }
 
 
@@ -1625,4 +1689,57 @@ def oracle_sql() -> dict[str, str]:
             "   % 1000000) AS b FROM documents) t "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "docs_decontaminate": (
+            "WITH toks AS ("
+            "  SELECT doc_id, list_filter("
+            "    string_split_regex(lower(text), '\\s+'),"
+            "    x -> len(x) > 0) AS t FROM documents), "
+            "bench AS ("
+            "  SELECT DISTINCT array_to_string(t[3:10], ' ') AS g "
+            "  FROM toks WHERE doc_id % 97 = 3 AND len(t) >= 10), "
+            "grams AS ("
+            "  SELECT DISTINCT doc_id, g FROM ("
+            "    SELECT doc_id, unnest(CASE WHEN len(t) >= 8 "
+            "      THEN list_transform(range(1, len(t) - 6), "
+            "           i -> array_to_string(t[i:i+7], ' ')) "
+            "      ELSE [] END) AS g FROM toks) e), "
+            "hits AS ("
+            "  SELECT doc_id, COUNT(*) AS n FROM grams "
+            "  JOIN bench USING (g) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "  CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated, "
+            "  CAST(coalesce(h.n, 0) >= 1 AS INT) AS contaminated "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) "
+            "ORDER BY d.doc_id"
+        ),
+        "docs_repetition": (
+            "WITH salted AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "    THEN 'DUP-LINE' || chr(10) || text || chr(10) || 'DUP-LINE' "
+            "    ELSE text END AS text "
+            "  FROM documents WHERE doc_id < 200), "
+            "f AS ("
+            "  SELECT doc_id, string_split(text, chr(10)) AS lines, "
+            "    list_filter(string_split_regex(lower(text), '\\s+'), "
+            "      x -> len(x) > 0) AS t FROM salted), "
+            "g AS ("
+            "  SELECT doc_id, lines, CASE WHEN len(t) >= 2 "
+            "    THEN list_transform(range(1, len(t)), "
+            "         i -> array_to_string(t[i:i+1], ' ')) "
+            "    ELSE [] END AS grams FROM f) "
+            "SELECT doc_id, "
+            "  CAST(len(lines) AS INT) AS n_lines, "
+            "  CAST(len(list_distinct(lines)) AS INT) AS n_distinct_lines, "
+            "  CAST(len(grams) AS INT) AS n_ngrams, "
+            "  CAST(CASE WHEN len(grams) = 0 THEN 0 "
+            "    ELSE list_max(list_transform(list_distinct(grams), "
+            "         d -> len(list_filter(grams, x -> x = d)))) "
+            "    END AS INT) AS top_ngram_count "
+            "FROM g ORDER BY doc_id"
+        ),
+        # emb_kmeans_profile: intentionally no oracle — Lloyd's algorithm
+        # is iterative (4 chained argmin/mean passes), not expressible as
+        # one ANSI-SQL statement; differential correctness vs a pure-numpy
+        # mirror is asserted in
+        # tests/test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd.
     }

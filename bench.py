@@ -223,6 +223,8 @@ def main() -> None:
         "events_sessionize",
         "events_attribution",
         "docs_pii_scrub",
+        "docs_decontaminate",
+        "emb_kmeans_profile",
     ]:
         reps = 2 if name == "docs_minhash_pairs" else 1
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=reps)

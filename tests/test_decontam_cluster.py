@@ -1,0 +1,197 @@
+"""New round-5 training-data operators: benchmark decontamination,
+within-doc repetition signals, distributed k-means."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tinyolap_spark.pipeline import clustering, decontam, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------- decontamination
+
+
+def test_contamination_finds_planted_benchmark(docs, spark):
+    # benchmark = an 8-token window lifted verbatim from selected docs:
+    # those docs MUST flag, docs sharing no 8-gram must not
+    bench = docs.where(F.col("doc_id") % 97 == 3).select(
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda x: F.length(x) > 0,
+                ),
+                3,
+                8,
+            ),
+            " ",
+        ).alias("text")
+    )
+    rep = decontam.contamination(docs, bench, n=8).cache()
+    planted = {
+        r.doc_id
+        for r in docs.where(F.col("doc_id") % 97 == 3)
+        .select("doc_id")
+        .collect()
+    }
+    flagged = {
+        r.doc_id for r in rep.where("contaminated").select("doc_id").collect()
+    }
+    # every planted source doc long enough to contain the window flags
+    long_enough = {
+        r.doc_id
+        for r in docs.where(
+            F.size(F.split(F.lower("text"), r"\s+")) >= 10
+        ).select("doc_id").collect()
+    }
+    assert planted & long_enough <= flagged
+    # zero-count rows exist for every input doc
+    assert rep.count() == docs.count()
+    # decontaminate drops exactly the flagged set
+    kept = decontam.decontaminate(docs, bench, n=8)
+    assert kept.count() == docs.count() - len(flagged)
+    assert not {
+        r.doc_id for r in kept.select("doc_id").collect()
+    } & flagged
+
+
+def test_contamination_shuffle_join_matches_broadcast(docs):
+    bench = docs.where(F.col("doc_id") < 5).select("text")
+    a = decontam.contamination(docs, bench, n=6, broadcast=True)
+    b = decontam.contamination(docs, bench, n=6, broadcast=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    out = df.select(decontam.word_ngrams("text", 3).alias("g")).first()
+    assert out.g == []
+
+
+def test_contamination_plan_is_broadcast(docs):
+    bench = docs.where(F.col("doc_id") < 5).select("text")
+    plan = decontam.contamination(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- repetition signals
+
+
+def test_repetition_features_known_values(spark):
+    rows = [
+        (1, "a b a b a b"),          # top 2-gram 'a b' x3 of 5 slots
+        (2, "x\nx\ny\nz"),            # 4 lines, 3 distinct
+        (3, "unique words only here"),
+        (4, "t"),                     # 1 token -> no 2-grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    f = text.repetition_features()
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in f.items()]
+        ).collect()
+    }
+    assert out[1].n_ngrams == 5 and out[1].top_ngram_count == 3
+    assert out[2].n_lines == 4 and out[2].n_distinct_lines == 3
+    assert out[3].top_ngram_count == 1
+    assert out[4].n_ngrams == 0 and out[4].top_ngram_count == 0
+
+
+def test_repetition_filter_gopher_defaults(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),  # top 2-gram 5/5 -> drop
+        (2, "a perfectly ordinary sentence with varied words"),
+        (3, "dup\ndup\ndup\nreal line\nother"),  # 2/5 dup lines -> drop
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = df.where(text.repetition_filter()).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {2}
+
+
+def test_repetition_is_narrow_plan(docs):
+    f = text.repetition_features()
+    plan = (
+        docs.select("doc_id", *[c.alias(n) for n, c in f.items()])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # zero shuffle: pure per-row expressions
+
+
+# ------------------------------------------------- distributed k-means
+
+
+def test_kmeans_matches_numpy_lloyd(emb, spark):
+    k, iters = 8, 6
+    res = clustering.kmeans(
+        emb, k=k, max_iter=iters, tol=0.0, seed=7
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    # mirror the seeded init: k smallest xxhash64(seed, vec_id)
+    hashed = (
+        emb.select("vec_id")
+        .withColumn("__r", F.xxhash64(F.lit(7), F.col("vec_id")))
+        .orderBy("__r")
+        .limit(k)
+        .collect()
+    )
+    init_ids = [r.vec_id for r in hashed]
+    order = {v: i for i, v in enumerate(ids)}
+    C = X[[order[v] for v in init_ids]].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for c in range(k):
+            m = X[a == c]
+            if len(m):
+                C[c] = m.mean(0)
+    inertia_np = ((X - C[d2.argmin(1)]) ** 2).sum()
+
+    assert np.allclose(res.centroids, C, rtol=1e-8, atol=1e-8)
+    assert res.inertia == pytest.approx(
+        res.history[-1]
+    )  # internal consistency
+    # assignments agree with numpy's final argmin
+    final = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+    got = {
+        r.vec_id: r.cluster for r in res.assigned.select("vec_id", "cluster").collect()
+    }
+    agree = sum(got[v] == final[i] for i, v in enumerate(ids))
+    assert agree == len(ids)
+    del inertia_np
+
+
+def test_kmeans_convergence_and_profile(emb):
+    res = clustering.kmeans(emb, k=4, max_iter=15, tol=1e-9, seed=1)
+    # inertia is monotone non-increasing across Lloyd iterations
+    assert all(
+        res.history[i] >= res.history[i + 1] - 1e-6
+        for i in range(len(res.history) - 1)
+    )
+    prof = clustering.cluster_profile(res).collect()
+    assert sum(r.n_vectors for r in prof) == emb.count()
+    assert len(prof) <= 4
+
+
+def test_kmeans_k_too_large_raises(emb, spark):
+    small = emb.limit(3)
+    with pytest.raises(ValueError):
+        clustering.kmeans(small, k=10)

@@ -7,6 +7,8 @@ strategies.  See each module's docstring for the scale analysis.
 """
 
 from . import (  # noqa: F401
+    clustering,
+    decontam,
     dedup,
     events,
     multimodal,

@@ -1,0 +1,167 @@
+"""Benchmark decontamination: flag/drop training documents that contain
+n-grams from an evaluation benchmark.
+
+The standard pre-training hygiene pass (GPT-3 App. C / Gopher §A.5
+style): tokenize both corpus and benchmark, build word ``n``-grams, and
+mark any document sharing at least ``threshold`` distinct n-grams with
+the benchmark as contaminated.
+
+Scale design (100 TB corpus, benchmark ~10⁴–10⁶ grams):
+
+- the corpus side stays NARROW — tokenize + n-gram build are
+  higher-order SQL functions (JVM codegen), exploded in the same stage;
+  no pre-shuffle, no distinct before the join;
+- the benchmark gram set is tiny by comparison → ``broadcast()`` by
+  default, so the only shuffle in the whole plan is the final
+  ``groupBy(doc_id)`` over MATCHING rows (usually ≪ corpus size), with
+  map-side partial aggregation;
+- the join key is ``xxhash64(gram)`` (8 bytes instead of ~50-byte gram
+  strings); an exact string-equality post-filter removes hash-collision
+  false positives, so results are exact — the hash is purely a
+  join-key compression (same verify-after-hash pattern as
+  ``dedup.minhash_near_duplicates`` and ``text.fingerprint``).
+
+No reference-counterpart: this is a beyond-reference training-data
+operator (brief mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(text_col, n: int) -> Column:
+    """Array of space-joined lowercase word ``n``-grams.
+
+    Pure higher-order functions — evaluates inside whole-stage codegen,
+    no Python, no shuffle.  Documents shorter than ``n`` tokens yield an
+    empty array (``sequence`` would count DOWN for a negative range, so
+    the short case is guarded explicitly).
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(
+        F.split(F.lower(col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def benchmark_grams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct benchmark n-grams with their join hash:
+    ``(gram, __h)``.  Distinct on the (small) benchmark side only."""
+    return (
+        benchmark.select(
+            F.explode(word_ngrams(text_col, n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("__h", F.xxhash64("gram"))
+    )
+
+
+def _gram_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int,
+    text_col: str,
+    bench_text_col: str | None,
+    id_col: str,
+    broadcast: bool,
+) -> DataFrame:
+    """``(id_col, n_contaminated)`` for documents with >=1 benchmark-gram
+    match — ONE corpus gram scan, broadcast join, one tiny shuffle of
+    matching rows only."""
+    bench_text_col = bench_text_col or text_col
+    bg = benchmark_grams(benchmark, bench_text_col, n).withColumnRenamed(
+        "gram", "__bgram"
+    )
+    if broadcast:
+        bg = F.broadcast(bg)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    ).withColumn("__h", F.xxhash64("gram"))
+    return (
+        doc_grams.join(bg, on="__h")
+        # exact-equality verify: xxhash64 collisions cannot create a
+        # false positive; the hash is only join-key compression
+        .where(F.col("gram") == F.col("__bgram"))
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_contaminated"))
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    id_col: str = "doc_id",
+    threshold: int = 1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-document contamination report:
+    ``(id_col, n_contaminated, contaminated)``.
+
+    ``n_contaminated`` = number of DISTINCT document n-grams that appear
+    anywhere in the benchmark; ``contaminated`` = that count >=
+    ``threshold``.  Every input document appears in the output (zero
+    counts included) so the result can drive either a filter
+    (``decontaminate``) or an audit report.
+
+    ``broadcast=False`` falls back to a shuffle hash join for benchmark
+    gram sets too large to broadcast (both sides are hash-partitioned
+    on the 8-byte ``__h``).
+    """
+    hits = _gram_hits(
+        docs, benchmark, n, text_col, bench_text_col, id_col, broadcast
+    )
+    if broadcast:
+        # the hit set is bounded by documents actually sharing a
+        # benchmark n-gram — sparse by construction; broadcasting keeps
+        # the zero-fill join shuffle-free on the corpus side
+        hits = F.broadcast(hits)
+    return (
+        docs.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    id_col: str = "doc_id",
+    threshold: int = 1,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Drop contaminated documents; all original columns survive.
+
+    Anti-join against the contaminated id set (small: only documents
+    that actually matched, no zero-count fill), so beyond the gram scan
+    the corpus passes through exactly once."""
+    bad = _gram_hits(
+        docs, benchmark, n, text_col, bench_text_col, id_col, broadcast
+    ).where(F.col("n_contaminated") >= threshold)
+    return docs.join(
+        F.broadcast(bad.select(id_col)) if broadcast else bad.select(id_col),
+        on=id_col,
+        how="left_anti",
+    )

@@ -226,6 +226,77 @@ def pii_counts(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def repetition_features(
+    text_col: str = "text", line_sep: str = "\n", ngram: int = 2
+) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher §A1.1 quality
+    rules): duplicate-line counts and the most-frequent word-``ngram``
+    count.  All INTEGER outputs — callers derive fractions/filters, and
+    integer results hash identically across engines in differential
+    oracles.
+
+    Scale design: every signal is a higher-order-function expression
+    over per-row arrays — NARROW, zero shuffle, whole-stage codegen; a
+    100 TB corpus scan computes them in the same stage as the read.
+    ``top_ngram_count`` is O(distinct x total) per document, fine for
+    typical web documents (<=10k tokens); for extreme outliers cap the
+    token array with ``slice`` upstream.
+
+    Returned columns: ``n_lines``, ``n_distinct_lines``, ``n_ngrams``,
+    ``top_ngram_count``.
+    """
+    import re as _re
+
+    col = F.col(text_col)
+    lines = F.split(col, _re.escape(line_sep))
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: F.length(x) > 0)
+    grams = F.when(
+        F.size(toks) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.when(
+        F.size(grams) > 0,
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda d: F.size(F.filter(grams, lambda x: x == d)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return {
+        "n_lines": F.size(lines),
+        "n_distinct_lines": F.size(F.array_distinct(lines)),
+        "n_ngrams": F.size(grams),
+        "top_ngram_count": top,
+    }
+
+
+def repetition_filter(
+    text_col: str = "text",
+    line_sep: str = "\n",
+    ngram: int = 2,
+    max_dup_line_frac: float = 0.30,
+    max_top_ngram_frac: float = 0.20,
+) -> Column:
+    """Boolean keep-mask from the repetition signals (Gopher defaults:
+    drop documents whose duplicate-line fraction exceeds 30% or whose
+    most common 2-gram covers more than 20% of 2-gram slots)."""
+    f = repetition_features(text_col, line_sep, ngram)
+    dup_line_frac = (
+        (f["n_lines"] - f["n_distinct_lines"])
+        / F.greatest(f["n_lines"], F.lit(1))
+    ).cast("double")
+    top_frac = (
+        f["top_ngram_count"] / F.greatest(f["n_ngrams"], F.lit(1))
+    ).cast("double")
+    return (dup_line_frac <= max_dup_line_frac) & (
+        top_frac <= max_top_ngram_frac
+    )
+
+
 def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach language, quality and token features to a corpus."""
     cols = quality_features(text_col)
