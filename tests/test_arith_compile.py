@@ -94,19 +94,70 @@ def test_trace_division_sentinels():
     assert (v, err) == (None, "#DIV/0!")
 
 
-def test_trace_rejects_data_dependent_branches():
+def test_concolic_comparison_branch_compiles():
+    """`if q > 5` forks the trace; both paths compile into one CASE."""
+
     def branchy(c):
         q = c["Quantity"]
-        if q > 5:  # comparison on a traced value
+        if q > 5:
             return q
         return 0.0
 
-    assert _plan(branchy) is None
+    plan = _plan(branchy)
+    assert plan is not None and plan.policy == "nullerr"
+    assert arith.eval_tree(plan.tree, plan.reads, {10: 9.0}, plan.policy) == (9.0, None)
+    assert arith.eval_tree(plan.tree, plan.reads, {10: 3.0}, plan.policy) == (0.0, None)
+    # comparison with a missing operand raises TypeError in Python -> #ERR!
+    assert arith.eval_tree(plan.tree, plan.reads, {}, plan.policy) == (None, "#ERR!")
+
+
+def test_concolic_or_default_compiles():
+    """`(q or 0.0) + 1` branches on truthiness; None/0.0 take the default."""
 
     def boolish(c):
         return (c["Quantity"] or 0.0) + 1.0
 
-    assert _plan(boolish) is None
+    plan = _plan(boolish)
+    assert plan is not None
+    assert arith.eval_tree(plan.tree, plan.reads, {10: 4.0}, plan.policy) == (5.0, None)
+    assert arith.eval_tree(plan.tree, plan.reads, {10: 0.0}, plan.policy) == (1.0, None)
+    assert arith.eval_tree(plan.tree, plan.reads, {}, plan.policy) == (1.0, None)
+
+
+def test_concolic_profit_pct_shape():
+    """The reference's other flagship rule (`samples/tiny.py:137-144`,
+    enterprise `rules.py:23-30`): truthiness guard around a division."""
+
+    def profit_pct(c):
+        sales = c["Sales"]
+        profit = c["Quantity"]  # stand-in sibling
+        if sales:
+            return profit / sales
+        return None
+
+    plan = _plan(profit_pct, trigger=11)
+    assert plan is not None
+    assert arith.eval_tree(plan.tree, plan.reads, {12: 8.0, 10: 2.0}, plan.policy) == (0.25, None)
+    # sales 0 or missing -> guard False -> None, no sentinel
+    assert arith.eval_tree(plan.tree, plan.reads, {12: 0.0, 10: 2.0}, plan.policy) == (None, None)
+    assert arith.eval_tree(plan.tree, plan.reads, {10: 2.0}, plan.policy) == (None, None)
+
+
+def test_trace_rejects_noncompilable_ops():
+    def modmath(c):
+        return c["Quantity"] % 3
+
+    assert _plan(modmath) is None
+
+    def floordiv(c):
+        return c["Quantity"] // 2
+
+    assert _plan(floordiv) is None
+
+    def coerce(c):
+        return float(c["Quantity"]) + 1
+
+    assert _plan(coerce) is None
 
 
 def test_trace_rejects_cross_dimension_reads():
@@ -223,6 +274,57 @@ def test_compiled_matches_opaque_error_sentinel(spark, monkeypatch):
     assert got[1] == pytest.approx(sum(2.0 * (i + 1) for i in range(4)))
 
 
+def test_compiled_matches_opaque_truthiness_guard(spark, monkeypatch):
+    """The reference `Profit in %` shape (`samples/tiny.py:137-144`):
+    `if denom:` guard around a division — zero AND missing denominators
+    both take the None branch on both tiers; no sentinel leaks."""
+    db, cube = _bench_shaped_cube(
+        spark, "arith_truthy", with_gap=True, with_zero_price=True
+    )
+
+    def pct_rule(c):
+        p = c["Price"]
+        q = c["Quantity"]
+        if p:
+            return q / p
+        return None
+
+    addrs = [
+        ("grp0", "Sales"),
+        ("grp1", "Sales"),  # k5 has no Price (guard False)
+        ("AllKeys", "Sales"),  # k7 has Price 0.0 (guard False)
+    ]
+    got = _compare_paths(spark, cube, pct_rule, addrs, monkeypatch)
+    assert got[0] == pytest.approx(sum((i + 1) / 2.0 for i in range(4)))
+    # grp1: k5 (no Price) AND k7 (Price 0.0) skipped by the guard
+    assert got[1] == pytest.approx(sum((i + 1) / 2.0 for i in (4, 6)))
+
+
+def test_compiled_matches_opaque_comparison_branch(spark, monkeypatch):
+    """Comparison fork on the executor tier: a floor on the computed
+    value evaluates identically compiled and opaque."""
+    db, cube = _bench_shaped_cube(spark, "arith_cmp")
+
+    def floored(c):
+        q = c["Quantity"]
+        p = c["Price"]
+        if q is None or p is None:
+            return None
+        v = q * p
+        if v > 10.0:
+            return v
+        return 10.0
+
+    addrs = [("grp0", "Sales"), ("grp2", "Sales")]
+    got = _compare_paths(spark, cube, floored, addrs, monkeypatch)
+    assert got[0] == pytest.approx(
+        sum(max(2.0 * (i + 1), 10.0) for i in range(4))
+    )
+    assert got[1] == pytest.approx(
+        sum(max(2.0 * (i + 1), 10.0) for i in range(8, 12))
+    )
+
+
 def test_compiled_matches_opaque_div_zero(spark, monkeypatch):
     """Division rule + a zero denominator: both tiers surface #DIV/0!."""
     db, cube = _bench_shaped_cube(
@@ -238,8 +340,9 @@ def test_compiled_matches_opaque_div_zero(spark, monkeypatch):
     assert got[1] == pytest.approx(sum((i + 1) / 2.0 for i in range(4)))
 
 
-def test_noncompilable_rule_still_correct(spark):
-    """A data-dependent body stays on the opaque tiers and is correct."""
+def test_capped_branch_rule_compiles_correctly(spark):
+    """A conditional-expression body (`v if v < 10 else 10`) forks on a
+    comparison and compiles; values match the Python semantics."""
     db, cube = _bench_shaped_cube(spark, "arith_branchy")
 
     def capped(c):
@@ -255,8 +358,33 @@ def test_noncompilable_rule_still_correct(spark):
         scope=RuleScope.BASE_LEVEL, feeder=["measures:Quantity"],
     )
     got = cube["grp0", "Sales"]
-    assert cube._last_base_rule_path != "compiled"
+    assert cube._last_base_rule_path == "compiled"
     assert got == pytest.approx(sum(min(2.0 * (i + 1), 10.0) for i in range(4)))
+
+
+def test_noncompilable_rule_still_correct(spark):
+    """A body using non-arithmetic operations stays on the opaque tiers
+    and is correct."""
+    import math as _math
+
+    db, cube = _bench_shaped_cube(spark, "arith_opaque")
+
+    def rooty(c):
+        q = c["Quantity"]
+        p = c["Price"]
+        if q is None or p is None:
+            return None
+        return _math.sqrt(q * p)
+
+    cube.register_rule(
+        rooty, trigger=["measures:Sales"],
+        scope=RuleScope.BASE_LEVEL, feeder=["measures:Quantity"],
+    )
+    got = cube["grp0", "Sales"]
+    assert cube._last_base_rule_path != "compiled"
+    assert got == pytest.approx(
+        sum(_math.sqrt(2.0 * (i + 1)) for i in range(4))
+    )
 
 
 def test_compiled_tier_survives_sibling_rules_on_same_dimension(spark):
