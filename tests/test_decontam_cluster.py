@@ -195,3 +195,66 @@ def test_kmeans_k_too_large_raises(emb, spark):
     small = emb.limit(3)
     with pytest.raises(ValueError):
         clustering.kmeans(small, k=10)
+
+
+# ------------------------------------------------- integrations
+
+
+def test_kmeans_centroids_feed_ivf(emb):
+    """Full-corpus k-means centroids plug into IVFIndex(centroids=...):
+    the index assigns every vector to its nearest trained centroid and
+    search still finds the true neighbor."""
+    from tinyolap_spark.pipeline.similarity import IVFIndex
+
+    res = clustering.kmeans(emb, k=8, max_iter=4, seed=11)
+    idx = IVFIndex(emb, centroids=res.centroids)
+    assert idx.ncells == 8
+    assert np.allclose(idx.centroids, res.centroids)
+    # assignment agrees with the kmeans result (same centroids, same argmin)
+    km = {r.vec_id: r.cluster for r in res.assigned.select("vec_id", "cluster").collect()}
+    iv = {r.vec_id: r.cell for r in idx.assigned.select("vec_id", "cell").collect()}
+    assert km == iv
+    # a corpus vector's own cell finds it at full probe
+    probe = emb.first()
+    hits = idx.search(probe.embedding, k=1, nprobe=8).collect()
+    assert hits[0].vec_id == probe.vec_id
+
+
+def test_repetition_filter_streaming_twin(spark, tmp_path, docs):
+    """Stateless quality filters apply unchanged to a stream: the same
+    repetition_filter column works under readStream with identical
+    keep-set (streaming parity for the corpus-cleaning pass)."""
+    from pyspark.sql import functions as F
+    from tinyolap_spark.pipeline import text
+
+    src = str(tmp_path / "docs_stream")
+    salted = docs.select(
+        "doc_id",
+        F.when(
+            docs.doc_id % 5 == 0,
+            F.concat(F.lit("spam spam spam spam spam spam "), docs.text),
+        ).otherwise(docs.text).alias("text"),
+    )
+    salted.write.mode("overwrite").parquet(src)
+    batch_kept = {
+        r.doc_id
+        for r in salted.where(text.repetition_filter()).select("doc_id").collect()
+    }
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+        .where(text.repetition_filter())
+        .select("doc_id")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rep_filter_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM rep_filter_stream").collect()
+    }
+    assert stream_kept == batch_kept
+    assert len(batch_kept) < salted.count()  # the salt dropped some docs

@@ -132,33 +132,46 @@ class IVFIndex:
         sample: int = 2048,
         iters: int = 5,
         seed: int = 42,
+        centroids=None,
     ):
         import numpy as np
 
         from pyspark.sql.types import IntegerType, StructField, StructType
 
         self.id_col, self.vec_col = id_col, vec_col
-        self.ncells = ncells
-        total = emb.count()
-        # Bernoulli sample sized to ~1.2x the target and NO .limit after it:
-        # limit takes the FIRST rows of the sampled stream, which re-biases
-        # toward the leading partitions on sorted/clustered data
-        frac = min(1.0, (1.2 * sample) / max(total, 1))
-        rows = (
-            emb.select(vec_col)
-            .sample(withReplacement=False, fraction=frac, seed=seed)
-            .collect()
-        )
-        X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-        rng = np.random.default_rng(seed)
-        cents = X[rng.choice(len(X), size=min(ncells, len(X)), replace=False)]
-        for _ in range(iters):  # Lloyd iterations on the sample (driver)
-            d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-            assign = d.argmin(1)
-            for c in range(len(cents)):
-                m = X[assign == c]
-                if len(m):
-                    cents[c] = m.mean(0)
+        if centroids is not None:
+            # externally trained centroids (e.g. full-corpus Lloyd's from
+            # pipeline/clustering.py::kmeans — sample-free, skew-robust);
+            # skip the driver-side sample training entirely
+            cents = np.asarray(centroids, dtype=np.float64)
+            self.ncells = len(cents)
+        else:
+            self.ncells = ncells
+            total = emb.count()
+            # Bernoulli sample sized to ~1.2x the target and NO .limit
+            # after it: limit takes the FIRST rows of the sampled stream,
+            # which re-biases toward the leading partitions on
+            # sorted/clustered data
+            frac = min(1.0, (1.2 * sample) / max(total, 1))
+            rows = (
+                emb.select(vec_col)
+                .sample(withReplacement=False, fraction=frac, seed=seed)
+                .collect()
+            )
+            X = np.vstack(
+                [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+            )
+            rng = np.random.default_rng(seed)
+            cents = X[
+                rng.choice(len(X), size=min(ncells, len(X)), replace=False)
+            ]
+            for _ in range(iters):  # Lloyd iterations on the sample (driver)
+                d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+                assign = d.argmin(1)
+                for c in range(len(cents)):
+                    m = X[assign == c]
+                    if len(m):
+                        cents[c] = m.mean(0)
         self.centroids = cents
         # assignment pass: vectorized nearest-centroid per Arrow batch
         cent_list = [[float(x) for x in c] for c in cents]
