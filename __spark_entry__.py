@@ -679,7 +679,10 @@ def _q_emb_kmeans_profile(spark, sf_dir):
     (`test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd`)."""
     from tinyolap_spark.pipeline.clustering import cluster_profile, kmeans
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # cache: Lloyd's scans the corpus once per iteration; the embedding
+    # table is driver-small at every test SF (kmeans itself deliberately
+    # does not cache -- caller's choice at real scale)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     res = kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42)
     return cluster_profile(res)
 

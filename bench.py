@@ -375,7 +375,7 @@ def main() -> None:
             ]
             return hcube.get_many(addrs)
 
-        if timed("huge_base_reads_10k_batched", huge_base_reads) is not None:
+        if timed("huge_base_reads_10k_batched", huge_base_reads, reps=2) is not None:
             extra["huge_base_reads_per_sec"] = round(
                 10_000 / timings["huge_base_reads_10k_batched"], 1
             )
@@ -390,7 +390,7 @@ def main() -> None:
                 addrs.append(tuple(addr))
             return hcube.get_many(addrs)
 
-        if timed("huge_agg_reads_100_batched", huge_agg_reads) is not None:
+        if timed("huge_agg_reads_100_batched", huge_agg_reads, reps=2) is not None:
             extra["huge_agg_reads_per_sec"] = round(
                 100 / timings["huge_agg_reads_100_batched"], 1
             )

@@ -670,6 +670,9 @@ def _values_agree(a: Optional[float], b: Optional[float]) -> bool:
 
 
 def _verify(cube, rdef, p, trigger_midx, tree, reads, policy) -> bool:
+    import itertools
+    import random as _random
+
     samples: list[dict] = [
         dict(zip(reads, _SAMPLE_A)),
         dict(zip(reads, _SAMPLE_B)),
@@ -685,6 +688,27 @@ def _verify(cube, rdef, p, trigger_midx, tree, reads, policy) -> bool:
             s2 = dict(samples[2])  # large profile: other guards pass
             s2[m] = repl
             samples.append(s2)
+    # MIXED degenerate combos: a falsy guard can dodge a missing read in
+    # a branchy tree, so one-at-a-time substitution is not enough —
+    # cover the full {value, 0.0, None} cartesian when small, else a
+    # seeded random subset
+    if reads:
+        if 3 ** len(reads) <= 243:
+            for combo in itertools.product((0, 1, 2), repeat=len(reads)):
+                s = {
+                    m: (base[m], 0.0, None)[c]
+                    for m, c in zip(reads, combo)
+                }
+                samples.append(s)
+        else:
+            rng = _random.Random(0xA717)
+            for _ in range(200):
+                samples.append(
+                    {
+                        m: rng.choice((base[m], -base[m], 0.0, None))
+                        for m in reads
+                    }
+                )
     samples.append({m: None for m in reads})
     samples.append({m: 0.0 for m in reads})
     for vals in samples:

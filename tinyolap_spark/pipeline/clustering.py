@@ -100,7 +100,11 @@ def kmeans(
 
     ``tol``: stop when relative inertia improvement falls below it.
     Empty clusters keep their previous centroid (standard Lloyd's
-    fallback; deterministic)."""
+    fallback; deterministic).
+
+    The input is NOT cached here: each iteration re-reads the source —
+    the scale-correct default for corpora that don't fit memory; pass a
+    ``.cache()``-ed DataFrame to trade memory for iteration speed."""
     import numpy as np
 
     # deterministic seeded init: k smallest xxhash64(seed, id) --- a

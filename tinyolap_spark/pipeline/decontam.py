@@ -78,13 +78,18 @@ def _gram_hits(
     """``(id_col, n_contaminated)`` for documents with >=1 benchmark-gram
     match — ONE corpus gram scan, broadcast join, one tiny shuffle of
     matching rows only."""
+    from .dedup import _spread
+
     bench_text_col = bench_text_col or text_col
     bg = benchmark_grams(benchmark, bench_text_col, n).withColumnRenamed(
         "gram", "__bgram"
     )
     if broadcast:
         bg = F.broadcast(bg)
-    doc_grams = docs.select(
+    # CPU-bound gram expressions must actually parallelize: a small local
+    # parquet arrives as one split; _spread repartitions ONLY then (no-op
+    # at real scale where input splits >= cores)
+    doc_grams = _spread(docs).select(
         F.col(id_col),
         F.explode(word_ngrams(text_col, n)).alias("gram"),
     ).withColumn("__h", F.xxhash64("gram"))
