@@ -181,3 +181,60 @@ def test_fuzz_compiled_mirror_matches_python_body():
     # the generator produces mostly compilable shapes — the test must
     # not pass vacuously
     assert compiled >= tried * 0.5, (compiled, tried)
+
+
+def test_fuzz_catalyst_columns_match_mirror(spark):
+    """Close the loop mirror->Catalyst: random compiled plans evaluated
+    through to_columns() on a real DataFrame must agree with eval_tree
+    row-for-row (value AND sentinel), including mixed None/0 operands."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = random.Random(77)
+    cube = _FakeCube()
+    plans = []
+    while len(plans) < 12:
+        body = _gen_body(rng)
+        plan = arith._try_compile(cube, _RD(body), 1, 13)
+        if plan is not None and plan.reads:
+            plans.append(plan)
+
+    schema = StructType(
+        [StructField("row_id", LongType())]
+        + [StructField(f"m{mid}", DoubleType()) for mid in _MIDS.values()]
+    )
+    grids = []
+    for i in range(80):
+        vals = _rand_vals(rng)
+        grids.append(
+            (i, *[vals.get(mid) for mid in _MIDS.values()])
+        )
+    df = spark.createDataFrame(grids, schema)
+
+    for plan in plans:
+        vcol, ecol = arith.to_columns(plan, lambda m: F.col(f"m{m}"))
+        rows = (
+            df.select("row_id", vcol.alias("v"), ecol.alias("e"))
+            .orderBy("row_id")
+            .collect()
+        )
+        for r, g in zip(rows, grids):
+            vals = {
+                mid: g[1 + j]
+                for j, mid in enumerate(_MIDS.values())
+                if g[1 + j] is not None
+            }
+            ev, ee = arith.eval_tree(plan.tree, plan.reads, vals, plan.policy)
+            assert (r.e or None) == ee, (
+                f"sentinel mismatch row={g} got={r.e} want={ee} "
+                f"tree={plan.tree} policy={plan.policy}"
+            )
+            assert arith._values_agree(r.v, ev), (
+                f"value mismatch row={g} got={r.v} want={ev} "
+                f"tree={plan.tree} policy={plan.policy}"
+            )

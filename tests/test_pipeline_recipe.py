@@ -82,3 +82,36 @@ def test_full_preprocessing_recipe(spark, corpus):
     # the whole recipe is one lazy plan: no Python rows in the hot path
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_recipe_with_decontamination_and_repetition(spark, corpus):
+    """Round-5 stages compose into the same flow: repetition-quality
+    gate -> benchmark decontamination -> k-means bucketing of the
+    surviving docs' embeddings."""
+    from tinyolap_spark.pipeline import clustering, decontam
+
+    # repetition gate first (narrow, no shuffle)
+    gated = corpus.where(text.repetition_filter())
+    n1 = gated.count()
+    assert 0 < n1 <= corpus.count()
+
+    # decontaminate against a benchmark lifted from held-out docs
+    bench = corpus.where(F.col("doc_id") % 113 == 7).select("text")
+    clean = decontam.decontaminate(gated, bench, n=8)
+    n2 = clean.count()
+    flagged = decontam.contamination(gated, bench, n=8).where(
+        "contaminated"
+    ).count()
+    assert n2 == n1 - flagged
+    assert flagged > 0  # held-out docs that passed the gate must flag
+
+    # cluster surviving docs' embeddings (doc_id == vec_id in fixtures)
+    emb_path = f"{RECIPE_SF_DIR}/embeddings.parquet"
+    emb = spark.read.parquet(emb_path).join(
+        clean.select(F.col("doc_id").alias("vec_id")), on="vec_id"
+    ).cache()
+    if emb.count() > 16:
+        res = clustering.kmeans(emb, k=4, max_iter=3, seed=2)
+        prof = {r.cluster: r.n_vectors
+                for r in clustering.cluster_profile(res).collect()}
+        assert sum(prof.values()) == emb.count()
