@@ -258,3 +258,54 @@ def test_repetition_filter_streaming_twin(spark, tmp_path, docs):
     }
     assert stream_kept == batch_kept
     assert len(batch_kept) < salted.count()  # the salt dropped some docs
+
+
+def test_contamination_filter_matches_join_path(docs, spark):
+    """The join-free literal-array filter agrees with the broadcast-join
+    contamination report doc-for-doc."""
+    bench_df = docs.where(F.col("doc_id") % 97 == 3).select("text")
+    grams = decontam.collect_benchmark_grams(bench_df, n=8)
+    assert grams
+    joined = {
+        r.doc_id
+        for r in decontam.contamination(docs, bench_df, n=8)
+        .where("contaminated").select("doc_id").collect()
+    }
+    filtered = {
+        r.doc_id
+        for r in docs.where(
+            ~decontam.contamination_filter(grams, n=8)
+        ).select("doc_id").collect()
+    }
+    assert joined == filtered
+
+
+def test_contamination_filter_streaming_parity(spark, tmp_path, docs):
+    """contamination_filter is stateless -> identical keep-set under
+    readStream (streaming decontamination of an ingest pipeline)."""
+    bench_df = docs.where(F.col("doc_id") % 97 == 3).select("text")
+    grams = decontam.collect_benchmark_grams(bench_df, n=8)
+    src = str(tmp_path / "decon_stream")
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(src)
+    keep = decontam.contamination_filter(grams, n=8)
+    batch_kept = {
+        r.doc_id
+        for r in spark.read.parquet(src).where(keep).select("doc_id").collect()
+    }
+    q = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+        .where(keep)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_kept = {
+        r.doc_id
+        for r in spark.sql("SELECT doc_id FROM decon_stream").collect()
+    }
+    assert stream_kept == batch_kept
+    assert len(batch_kept) < docs.count()

@@ -147,6 +147,48 @@ def contamination(
     )
 
 
+def collect_benchmark_grams(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> list:
+    """Driver-side list of distinct benchmark n-grams — for the
+    join-free :func:`contamination_filter`.  Benchmarks are eval sets:
+    driver-small by definition (guard anyway: fail loudly past 200k
+    grams rather than silently building an enormous literal)."""
+    rows = benchmark_grams(benchmark, text_col, n).select("gram").collect()
+    if len(rows) > 200_000:
+        raise ValueError(
+            f"benchmark gram set too large for the literal-array filter "
+            f"({len(rows)} grams) — use contamination()/decontaminate() "
+            f"(broadcast join) instead"
+        )
+    return sorted(r.gram for r in rows)
+
+
+def contamination_filter(
+    bench_grams: "list[str]",
+    n: int = 8,
+    text_col: str = "text",
+    threshold: int = 1,
+) -> Column:
+    """Join-free keep-mask: True when the document shares fewer than
+    ``threshold`` distinct n-grams with the benchmark gram list.
+
+    Pure per-row expression (``array_intersect`` against a literal
+    array): zero shuffle, zero joins, exact string matching — and
+    therefore STREAMING-SAFE (stateless): the same column filters a
+    ``readStream`` corpus identically to batch.  Right for the common
+    case of a driver-small benchmark; use :func:`decontaminate` when
+    the gram set is too large to ship as a literal."""
+    grams = word_ngrams(text_col, n)
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(grams),
+            F.lit([str(g) for g in bench_grams]).cast("array<string>"),
+        )
+    )
+    return overlap < threshold
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
