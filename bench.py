@@ -35,6 +35,9 @@ def main() -> None:
         # orders-slim (3 cols) broadcasts comfortably at bench scale; at
         # cluster scale AQE decides from runtime stats instead
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # 16g measured best: a larger heap (28g tried) lengthens G1
+        # pauses on the LSH pair-heavy sections far more than cache
+        # eviction costs (sf1 minhash rep: 27s at 16g vs 251s at 28g)
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -558,6 +561,11 @@ def main() -> None:
             lambda: q1["events_attribution"](spark, sf1_dir).collect(),
             reps=2,
         )
+        timed(
+            "sf1_docs_decontaminate",
+            lambda: q1["docs_decontaminate"](spark, sf1_dir).collect(),
+            reps=2,
+        )
         sc1.cube._fact.unpersist(blocking=True)
 
         # huge at 10M records (10x the baseline workload's 1M).  Two reps
@@ -604,6 +612,7 @@ def main() -> None:
             ("view_refresh", "sf1_view_refresh"),
             ("docs_minhash_pairs", "sf1_docs_minhash_pairs"),
             ("events_attribution", "sf1_events_attribution"),
+            ("docs_decontaminate", "sf1_docs_decontaminate"),
             ("huge_load_1m_records", "sf1_huge_load_10m_records"),
             ("huge_agg_reads_100_batched", "sf1_huge_agg_reads_100_batched"),
         ]:
