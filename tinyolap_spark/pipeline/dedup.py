@@ -208,6 +208,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    # barrier: (doc, band, bucket) is 3 small ints per doc-band — tiny
+    # next to the signature stage that produces it (num_hashes HOF
+    # min-hashes over every shingle array).  Three consumers follow
+    # (bucket sizes, the cap semi-join, both sides of the pair join);
+    # without the barrier Spark recomputes the signature stage per
+    # branch when exchange reuse doesn't kick in (measured: first-run
+    # variance up to 4x on the 10x corpus).
+    banded = banded.localCheckpoint(eager=True)
     # cap skewed buckets
     bucket_sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("sz")
