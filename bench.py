@@ -232,6 +232,40 @@ def main() -> None:
         reps = 2 if name == "docs_minhash_pairs" else 1
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=reps)
 
+    # ---- batched ANN: IVF build + fully-distributed multi-query search
+    # (no driver collect of query vectors — the 100 TB-shape path) -------
+    def ann_section():
+        from tinyolap_spark.pipeline.similarity import IVFIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+        n_vec = emb.count()
+
+        def build():
+            return IVFIndex(emb, ncells=max(16, int(n_vec**0.5)))
+
+        idx = timed("emb_ivf_build", build)
+        if idx is None:
+            return
+        queries_df = (
+            emb.select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ).limit(1000)
+        )
+
+        def many():
+            return idx.search_many(
+                queries_df, k=10, nprobe=4
+            ).collect()
+
+        hits = timed("emb_search_many_1000", many, reps=2)
+        if hits is not None:
+            extra["ann_queries_per_sec"] = round(
+                1000 / timings["emb_search_many_1000"], 1
+            )
+        idx.assigned.unpersist(blocking=True)
+
+    guarded("ann_section", ann_section)
+
     # ---- rule-cell reads (BASELINE.md mirrors tests/test_cube.py:98-139:
     # base/aggregated/rule-cell read loops).  A 100k-row feeder slice
     # evaluates Sales = Quantity x Price through the EXECUTOR rule tier
