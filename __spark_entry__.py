@@ -413,6 +413,22 @@ def _q_sql_mktsegment_acctbal(spark, sf_dir):
     )
 
 
+def _q_sql_acctbal_quantiles(spark, sf_dir):
+    """EXACT per-segment quantiles (median/p90): Spark ``percentile``
+    (sort-based, linear interpolation) is bit-identical to DuckDB
+    ``quantile_cont`` — verified by the hash-matched oracle.  Also the
+    semantics behind ``Area.percentile``/``Area.median``."""
+    customer = _raw(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(c_acctbal, 0.5)").alias("median_acctbal"),
+            F.expr("percentile(c_acctbal, 0.9)").alias("p90_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators
 # ---------------------------------------------------------------------------
@@ -1175,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_part_type_stats": _q_sql_part_type_stats,
         "sql_ship_delay_histogram": _q_sql_ship_delay_histogram,
         "sql_mktsegment_acctbal": _q_sql_mktsegment_acctbal,
+        "sql_acctbal_quantiles": _q_sql_acctbal_quantiles,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_text_stats": _q_docs_text_stats,
         "docs_dedup_survivors": _q_docs_dedup_survivors,
@@ -1429,6 +1446,12 @@ def oracle_sql() -> dict[str, str]:
         "sql_mktsegment_acctbal": (
             "SELECT c_mktsegment, COUNT(*) AS n_customers, "
             "SUM(ROUND(c_acctbal * 100, 0)) / 100 AS sum_acctbal "
+            "FROM customer GROUP BY 1 ORDER BY 1"
+        ),
+        "sql_acctbal_quantiles": (
+            "SELECT c_mktsegment, "
+            "quantile_cont(c_acctbal, 0.5) AS median_acctbal, "
+            "quantile_cont(c_acctbal, 0.9) AS p90_acctbal "
             "FROM customer GROUP BY 1 ORDER BY 1"
         ),
         "docs_exact_dedup": (

@@ -39,6 +39,27 @@ def test_area_multi_dim_and_lists(fresh):
     assert area.count() == 2 * 4 * 6
     assert area.min() <= area.avg() <= area.max()
 
+    # exact percentiles: linear interpolation over the stored values,
+    # verified against numpy's equivalent method
+    import numpy as np
+
+    vals = sorted(
+        v
+        for (y, m, r, p, ms, v) in rows
+        if y == "2022" and m in ("Jan", "Feb") and ms == "Sales"
+    )
+    assert area.median() == pytest.approx(
+        float(np.percentile(vals, 50, method="linear"))
+    )
+    q25, q90 = area.percentile([0.25, 0.9])
+    assert q25 == pytest.approx(float(np.percentile(vals, 25, method="linear")))
+    assert q90 == pytest.approx(float(np.percentile(vals, 90, method="linear")))
+    assert area.min() <= area.median() <= area.max()
+    # empty area -> None (reference area.py:372-447 family semantics)
+    empty = cube.area("2021", "months:Jan", "measures:Sales")
+    empty.clear()
+    assert empty.percentile(0.5) is None
+
 
 def test_area_with_aggregated_member(fresh):
     """Area pinned to an ancestor selects all leaf rows below it, without

@@ -2128,6 +2128,35 @@ class Area:
     def avg(self) -> Optional[float]:
         return self._agg(F.avg)
 
+    def percentile(self, q) -> Optional[float]:
+        """EXACT percentile of stored values (linear interpolation —
+        same semantics as ANSI ``percentile_cont``/DuckDB
+        ``quantile_cont``, bit-verified in tests).  ``q`` may be a float
+        or a sequence of floats (one pass either way).  Exact
+        percentile sorts within groups — at extreme group sizes prefer
+        ``F.percentile_approx`` via ``rows_df()`` directly; the area
+        families this surfaces (reference ``area.py:372-447`` min/max/
+        avg/sum) are driver-facing aggregates, where exactness wins."""
+        qs = list(q) if isinstance(q, (list, tuple)) else None
+        expr = (
+            F.expr(
+                "percentile(value, array({}))".format(
+                    ", ".join(repr(float(x)) for x in qs)
+                )
+            )
+            if qs is not None
+            else F.expr(f"percentile(value, {float(q)!r})")
+        )
+        row = self.rows_df().agg(
+            expr.alias("v"), F.count(F.col("value")).alias("n")
+        ).collect()[0]
+        if row["n"] == 0:
+            return None
+        return list(row["v"]) if qs is not None else row["v"]
+
+    def median(self) -> Optional[float]:
+        return self.percentile(0.5)
+
     def count(self) -> int:
         return self.rows_df().count()
 
