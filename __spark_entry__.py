@@ -687,6 +687,18 @@ def _q_docs_repetition(spark, sf_dir):
     )
 
 
+def _q_docs_pack_sequences(spark, sf_dir):
+    """Sequence packing (`pipeline/packing.py`): per-pack fill report.
+    Deterministic two-level packing (hash group -> windowed running
+    token sum), so the DuckDB window twin reproduces every packing
+    decision bit-for-bit (all-integer output)."""
+    from tinyolap_spark.pipeline.packing import pack_documents, pack_summary
+
+    docs = _raw(spark, sf_dir, "documents")
+    packed = pack_documents(docs, budget=256, num_groups=8)
+    return pack_summary(packed)
+
+
 def _q_emb_kmeans_profile(spark, sf_dir):
     """Distributed k-means (full-corpus Lloyd's, `pipeline/clustering.py`):
     per-cluster sizes after 4 iterations from the seeded deterministic
@@ -1219,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_boilerplate": _q_docs_boilerplate,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_repetition": _q_docs_repetition,
+        "docs_pack_sequences": _q_docs_pack_sequences,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
     }
 
@@ -1762,6 +1775,23 @@ def oracle_sql() -> dict[str, str]:
             "         d -> len(list_filter(grams, x -> x = d)))) "
             "    END AS INT) AS top_ngram_count "
             "FROM g ORDER BY doc_id"
+        ),
+        "docs_pack_sequences": (
+            "WITH t AS ("
+            "  SELECT doc_id, "
+            r"    len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            "    CAST(doc_id % 8 AS INT) AS grp "
+            "  FROM documents), "
+            "c AS ("
+            "  SELECT doc_id, n_tokens, grp, "
+            "    SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id "
+            "      ROWS UNBOUNDED PRECEDING) AS cum "
+            "  FROM t) "
+            "SELECT grp AS \"group\", "
+            "  CAST(FLOOR((cum - n_tokens) / 256) AS INT) AS pack_id, "
+            "  COUNT(*) AS n_docs, "
+            "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens "
+            "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # emb_kmeans_profile: intentionally no oracle — Lloyd's algorithm
         # is iterative (4 chained argmin/mean passes), not expressible as

@@ -103,3 +103,60 @@ def test_negative_keys_bucket_in_range(spark):
     assert all(0 <= r["b"] < 1_000_000 for r in rows)
     n = deterministic_sample(df, 0.01, hash_col=portable_lcg_bucket()).count()
     assert n < 100  # a 1% sample must not keep ~all negative-key rows
+
+
+# ------------------------------------------------- sequence packing
+
+
+def test_pack_documents_invariants(spark):
+    from tinyolap_spark.pipeline.packing import pack_documents, pack_summary
+
+    rows = [(i, " ".join(["tok"] * (10 + (i * 7) % 50))) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_documents(docs, budget=100, num_groups=4).cache()
+
+    # every document appears exactly once with its true token count
+    got = {r.doc_id: r for r in packed.collect()}
+    assert len(got) == 200
+    assert all(got[i].n_tokens == 10 + (i * 7) % 50 for i in range(200))
+    assert all(got[i].group == i % 4 for i in range(200))
+
+    # pack token sums never exceed budget + the straddling document
+    summ = pack_summary(packed).collect()
+    max_doc = max(r.n_tokens for r in got.values())
+    assert all(s.pack_tokens <= 100 + max_doc for s in summ)
+    # packs are dense per group: 0..max with no holes
+    by_group = {}
+    for s in summ:
+        by_group.setdefault(s.group, []).append(s.pack_id)
+    for g, pids in by_group.items():
+        assert sorted(pids) == list(range(max(pids) + 1))
+
+    # deterministic: same input -> identical assignment
+    again = {
+        r.doc_id: (r.group, r.pack_id)
+        for r in pack_documents(docs, budget=100, num_groups=4).collect()
+    }
+    assert again == {i: (got[i].group, got[i].pack_id) for i in range(200)}
+
+    # tokens_before is the offset of the doc inside its (chopped) pack
+    for r in got.values():
+        assert 0 <= r.tokens_before < 100
+
+
+def test_pack_documents_custom_token_col(spark):
+    from tinyolap_spark.pipeline.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(1, "ignored", 60), (2, "ignored", 60), (3, "ignored", 60)],
+        ["doc_id", "text", "bpe_count"],
+    )
+    packed = {
+        r.doc_id: r
+        for r in pack_documents(
+            docs, budget=100, num_groups=1, token_col="bpe_count"
+        ).collect()
+    }
+    # 60+60 straddles at 100: doc2 stays in pack 0, doc3 starts pack 1
+    assert packed[1].pack_id == 0 and packed[2].pack_id == 0
+    assert packed[3].pack_id == 1

@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     dedup,
     events,
     multimodal,
+    packing,
     sampling,
     similarity,
     text,

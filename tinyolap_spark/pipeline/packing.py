@@ -1,0 +1,93 @@
+"""Sequence packing: bin documents into fixed token-budget packs — the
+standard pretraining batch-prep step (concatenate documents up to a
+context-length budget per training sequence).
+
+Exact greedy packing is inherently sequential; the distributed
+formulation is the standard two-level approximation:
+
+1. **group** — documents hash into ``num_groups`` independent streams
+   (deterministic: ``doc_id % num_groups``), so no global order exists
+   and no global sort is needed;
+2. **pack within group** — one window per group (running token sum in a
+   deterministic order) assigns ``pack_id = floor((cumsum - n) /
+   budget)``; a pack may overshoot the budget by at most one document
+   (the straddling document stays in its pack — the usual "pack then
+   truncate/pad downstream" contract).
+
+Scale: the only wide operation is the per-group window — state is one
+running sum per group, groups are hash-balanced, and ``num_groups``
+scales with the cluster (default: Spark's shuffle partitioning).  No
+collect, no global sort, no Python.
+
+All outputs are integers and the order within groups is deterministic
+(``doc_id``), so a SQL twin reproduces packing decisions bit-for-bit —
+see ``docs_pack_sequences`` in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_groups: int = 32,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Assign every document to ``(group, pack_id)`` with per-pack token
+    sums bounded by ``budget`` (+ one straddling document).
+
+    ``token_col``: use an existing token-count column instead of the
+    default whitespace count (e.g. a real tokenizer's counts).
+
+    Returns the input columns plus ``n_tokens``, ``group``, ``pack_id``
+    and ``tokens_before`` (the running sum before this document within
+    its pack-stream — downstream writers use it for offsets).
+    """
+    if token_col is None:
+        n_tokens = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+        )
+    else:
+        n_tokens = F.col(token_col).cast("int")
+    out = docs.withColumn("n_tokens", n_tokens).withColumn(
+        "group", (F.col(id_col) % num_groups).cast("int")
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        out.withColumn("__cum", cum)
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("__cum") - F.col("n_tokens")) / F.lit(int(budget))
+            ).cast("int"),
+        )
+        .withColumn(
+            "tokens_before",
+            (F.col("__cum") - F.col("n_tokens"))
+            - F.col("pack_id") * F.lit(int(budget)),
+        )
+        .drop("__cum")
+    )
+
+
+def pack_summary(packed: DataFrame) -> DataFrame:
+    """Per-pack audit: document count and token sum (one shuffle with
+    map-side combine) — the fill-rate report for a packing run."""
+    return (
+        packed.groupBy("group", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("group", "pack_id")
+    )
