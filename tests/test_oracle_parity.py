@@ -111,6 +111,13 @@ SF10X_QUERIES = [
     "docs_exact_dedup",
     "events_attribution",
     "docs_split_counts",
+    # round-5 operators on the 10x corpus: the benchmark windows and the
+    # repetition salt derive from the (rotated) text itself, so the
+    # oracle tracks the derived corpus automatically
+    "docs_decontaminate",
+    "docs_repetition",
+    "docs_pack_sequences",
+    "sql_acctbal_quantiles",
 ]
 
 _PREP10X_VERSION = "v2"  # bump when _prepare_10x derives new tables
