@@ -545,6 +545,20 @@ def _q_events_attribution(spark, sf_dir):
     return last_touch_attribution(ev, "purchase", "click", 1800)
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: per-user furthest stage
+    in strict timestamp order, as ONE groupBy + a JVM higher-order scan
+    over each user's sorted events (`pipeline/events.py::funnel_summary`)
+    — no k-way self-join."""
+    from tinyolap_spark.pipeline.events import funnel_summary
+
+    # decimate deterministically: the dense fixture converts EVERY user,
+    # which exercises nothing — keeping ~27% of events spreads users
+    # across all four stages (oracle decimates identically)
+    ev = _raw(spark, sf_dir, "events").where(F.col("event_id") % 11 < 3)
+    return funnel_summary(ev, ["view", "click", "purchase"])
+
+
 def _q_events_props_rollup(spark, sf_dir):
     """Semi-structured extraction: integer JSON prop from the `props`
     string via get_json_object (JVM, codegen), bucketed rollup."""
@@ -1224,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_stream_ingest": _q_events_cube_stream_ingest,
         "sql_salted_region_qty": _q_sql_salted_region_qty,
         "events_attribution": _q_events_attribution,
+        "events_funnel": _q_events_funnel,
         "events_props_rollup": _q_events_props_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_vocab_topk": _q_docs_vocab_topk,
@@ -1682,6 +1697,29 @@ def oracle_sql() -> dict[str, str]:
             "        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
             "      AS last_src FROM events) a) b "
             "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+        ),
+        "events_funnel": (
+            "WITH ev AS ("
+            "  SELECT * FROM events WHERE event_id % 11 < 3), "
+            "t1 AS ("
+            "  SELECT user_id, MIN(ts) AS ts1 FROM ev "
+            "  WHERE event_type = 'view' GROUP BY 1), "
+            "t2 AS ("
+            "  SELECT e.user_id, MIN(e.ts) AS ts2 FROM ev e "
+            "  JOIN t1 USING (user_id) "
+            "  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1), "
+            "t3 AS ("
+            "  SELECT e.user_id, MIN(e.ts) AS ts3 FROM ev e "
+            "  JOIN t2 USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1), "
+            "u AS (SELECT DISTINCT user_id FROM ev) "
+            "SELECT stage, COUNT(*) AS n_users FROM ("
+            "  SELECT u.user_id, CASE WHEN ts3 IS NOT NULL THEN 3 "
+            "    WHEN ts2 IS NOT NULL THEN 2 "
+            "    WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stage "
+            "  FROM u LEFT JOIN t1 USING (user_id) "
+            "  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) s "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "events_props_rollup": (
             "SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') "

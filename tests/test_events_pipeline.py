@@ -209,3 +209,59 @@ def test_remove_boilerplate_literal_separator(spark):
            for r in remove_boilerplate(docs, min_docs=3, line_sep="|")
            .collect()}
     assert out == {1: "alpha|beta", 2: "gamma", 3: "delta"}
+
+
+# ------------------------------------------------- ordered funnel
+
+
+def test_funnel_stages_known_sequences(spark):
+    from datetime import datetime
+
+    from tinyolap_spark.pipeline.events import funnel_stages, funnel_summary
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: full funnel in order -> stage 3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: click BEFORE view, never after -> stage 1
+        (2, t(1), "click"), (2, t(2), "view"),
+        # user 3: view then purchase (skips click) -> stage 1
+        (3, t(1), "view"), (3, t(5), "purchase"),
+        # user 4: no funnel events at all -> stage 0
+        (4, t(1), "error"),
+        # user 5: click at the SAME ts as view -> strict order rejects it
+        (5, t(1), "view"), (5, t(1), "click"), (5, t(2), "purchase"),
+        # user 6: out-of-order noise, full funnel later -> stage 3
+        (6, t(1), "purchase"), (6, t(2), "view"), (6, t(3), "click"),
+        (6, t(4), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r.user_id: r.stage
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 1, 6: 3}
+    summ = {
+        r.stage: r.n_users
+        for r in funnel_summary(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert summ == {0: 1, 1: 3, 3: 2}
+
+
+def test_funnel_single_shuffle_plan(spark):
+    from datetime import datetime
+
+    from tinyolap_spark.pipeline.events import funnel_stages
+
+    ev = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1), "view")], ["user_id", "ts", "event_type"]
+    )
+    plan = (
+        funnel_stages(ev, ["view", "click", "purchase"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash-partitioning exchange on user_id, no joins, no Python
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan

@@ -114,3 +114,70 @@ def json_prop_rollup(
         )
         .orderBy("bucket")
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel stage per user: the furthest prefix of ``steps``
+    completed in strict timestamp order (step k+1 must occur STRICTLY
+    after the matched step-k event — the first qualifying occurrence of
+    each step is the one matched).
+
+    One shuffle (``groupBy(user)``) collects each user's (ts, type)
+    pairs; a single JVM ``aggregate`` higher-order scan over the sorted
+    array computes the stage — no UDF, no k-way self-join (the naive
+    funnel is k chained range joins; this is one pass).  Per-user state
+    is that user's event list: bounded by the busiest user, the same
+    envelope as any sessionization.
+
+    Returns ``(user_col, stage)`` with stage in ``0..len(steps)``.
+    """
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"),
+                                F.col(type_col).alias("tp")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+    )
+    scan = F.aggregate(
+        arr,
+        init,
+        lambda acc, x: F.when(
+            (acc["stage"] < F.lit(len(steps)))
+            & (x["tp"] == F.element_at(steps_lit, acc["stage"] + 1))
+            & (acc["last_ts"].isNull() | (x["ts"] > acc["last_ts"])),
+            F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                x["ts"].alias("last_ts"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        events.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .agg(scan["stage"].alias("stage"))
+    )
+
+
+def funnel_summary(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-stage user counts (stage = furthest step reached), the
+    conversion report: ``(stage, n_users)`` for stage 0..len(steps)."""
+    return (
+        funnel_stages(events, steps, user_col, ts_col, type_col)
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
