@@ -309,3 +309,41 @@ def test_contamination_filter_streaming_parity(spark, tmp_path, docs):
     }
     assert stream_kept == batch_kept
     assert len(batch_kept) < docs.count()
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def test_near_duplicates_against_corpus(docs, spark):
+    """Incremental ingestion: a new batch containing (a) verbatim copies
+    of corpus docs, (b) fresh docs — only the copies pair, corpus never
+    self-pairs, and dedup_batch_against drops exactly the copies."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = docs.where(F.col("doc_id") < 300)
+    copies = (
+        corpus.where(F.col("doc_id") < 15)
+        .withColumn("doc_id", F.col("doc_id") + 500_000)
+    )
+    fresh = docs.where(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 350)
+    ).withColumn("doc_id", F.col("doc_id") + 600_000)
+    batch = copies.unionByName(fresh)
+
+    pairs = dedup.near_duplicates_against(
+        batch, corpus, threshold=0.999
+    ).collect()
+    new_ids = {r.doc_a for r in pairs}
+    corp_ids = {r.doc_b for r in pairs}
+    assert new_ids  # the planted copies pair...
+    assert all(a >= 500_000 for a in new_ids)  # ...a-side is new-batch only
+    assert all(b < 300 for b in corp_ids)  # b-side is corpus only
+    # each planted copy pairs with its source (jaccard 1.0)
+    exact = {(r.doc_a, r.doc_b) for r in pairs if r.jaccard >= 0.999}
+    assert {(i + 500_000, i) for i in range(15)} <= exact
+
+    kept = dedup.dedup_batch_against(batch, corpus, threshold=0.999)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(new_ids)
+    # fresh docs survive (rotated/unrelated text does not near-dup)
+    assert {r.doc_id for r in fresh.select("doc_id").collect()} <= kept_ids

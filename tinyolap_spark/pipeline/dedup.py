@@ -159,31 +159,21 @@ def shingle_frame(
     ).persist()
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 5,
-    max_bucket: int = 200,
-    shingle_df: "DataFrame | None" = None,
+def _banded_frame(
+    sh_df: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH.
+    """(doc, band, bucket) LSH band keys from a shingle frame.
 
-    Returns (doc_a, doc_b, n_shared_bands).  ``max_bucket`` caps quadratic
-    blowup in degenerate buckets (boilerplate); capped buckets are dropped —
-    log the drop count at call site if completeness matters.
-    """
+    Barrier: the output is 3 small ints per doc-band — tiny next to the
+    signature stage producing it (num_hashes HOF min-hashes over every
+    shingle array).  Multiple consumers follow (bucket sizing, the cap
+    semi-join, both sides of the pair join); without the checkpoint
+    Spark recomputes the signature stage per branch whenever exchange
+    reuse doesn't kick in (measured: first-run variance up to 4x on the
+    10x corpus)."""
     rows_per_band = num_hashes // bands
-    sh_df = (
-        shingle_df
-        if shingle_df is not None
-        else shingle_frame(docs, text_col, id_col, shingle_n)
-    )
     sig = minhash_signature(F.col("sh"), num_hashes)
     with_sig = sh_df.select(F.col("doc"), sig.alias("sig"))
-    # band key = hash of the band's signature slice
     banded = with_sig.select(
         "doc",
         F.explode(
@@ -208,14 +198,31 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    # barrier: (doc, band, bucket) is 3 small ints per doc-band — tiny
-    # next to the signature stage that produces it (num_hashes HOF
-    # min-hashes over every shingle array).  Three consumers follow
-    # (bucket sizes, the cap semi-join, both sides of the pair join);
-    # without the barrier Spark recomputes the signature stage per
-    # branch when exchange reuse doesn't kick in (measured: first-run
-    # variance up to 4x on the 10x corpus).
-    banded = banded.localCheckpoint(eager=True)
+    return banded.localCheckpoint(eager=True)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 200,
+    shingle_df: "DataFrame | None" = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Returns (doc_a, doc_b, n_shared_bands).  ``max_bucket`` caps quadratic
+    blowup in degenerate buckets (boilerplate); capped buckets are dropped —
+    log the drop count at call site if completeness matters.
+    """
+    sh_df = (
+        shingle_df
+        if shingle_df is not None
+        else shingle_frame(docs, text_col, id_col, shingle_n)
+    )
+    banded = _banded_frame(sh_df, num_hashes, bands)
     # cap skewed buckets
     bucket_sizes = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("sz")
@@ -250,25 +257,30 @@ def ngram_jaccard_pairs(
     shingle_n: int = 5,
     threshold: float = 0.8,
     shingle_df: "DataFrame | None" = None,
+    shingle_df_b: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs.
 
     Joins shingle sets onto (doc_a, doc_b) and computes
     |A ∩ B| / |A ∪ B| with array intrinsics — only over the pruned
-    candidate set, never all pairs.
+    candidate set, never all pairs.  ``shingle_df_b`` supplies the b-side
+    frame for cross-corpus candidates (defaults to the a-side frame).
     """
     sh = (
         shingle_df
         if shingle_df is not None
         else shingle_frame(docs, text_col, id_col, shingle_n)
     )
+    sh_b = shingle_df_b if shingle_df_b is not None else sh
     out = (
         candidates.join(
             sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
             on="doc_a",
         )
         .join(
-            sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+            sh_b.select(
+                F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
             on="doc_b",
         )
         .withColumn(
@@ -404,3 +416,88 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def near_duplicates_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 200,
+    cleanup: bool = True,
+) -> DataFrame:
+    """Incremental dedup: near-duplicate pairs BETWEEN a new batch and an
+    existing corpus (the ingestion-time path — dedup each incoming batch
+    against everything already accepted, without re-pairing the corpus
+    with itself).
+
+    Same LSH machinery as :func:`near_duplicates`, but the band-bucket
+    join is new-side x corpus-side only: no corpus self-pairs, and the
+    skew cap applies to CORPUS bucket sizes (a degenerate corpus bucket
+    is what blows up, and a capped bucket degrades recall for that
+    bucket only).  Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a``
+    from the new batch and ``doc_b`` from the corpus.
+
+    At 100 TB: corpus band keys are 3 small ints per doc-band — persist
+    them once (the `_banded_frame` checkpoint) and reuse across incoming
+    batches; only the new batch is re-shingled per call.
+    """
+    sh_new = shingle_frame(new_docs, text_col, id_col, shingle_n)
+    sh_corp = shingle_frame(corpus, text_col, id_col, shingle_n)
+    bn = _banded_frame(sh_new, num_hashes, bands)
+    bc = _banded_frame(sh_corp, num_hashes, bands)
+    ok_buckets = (
+        bc.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") <= max_bucket)
+        .select("band", "bucket")
+    )
+    bc = bc.join(ok_buckets, on=["band", "bucket"], how="leftsemi")
+    cands = (
+        bn.alias("a")
+        .join(
+            bc.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    pairs = ngram_jaccard_pairs(
+        new_docs,
+        cands,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        shingle_df=sh_new,
+        shingle_df_b=sh_corp,
+    )
+    if cleanup:
+        pairs = pairs.localCheckpoint(eager=True)
+        sh_new.unpersist()
+        sh_corp.unpersist()
+    return pairs
+
+
+def dedup_batch_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Drop new-batch documents near-duplicating the corpus; all input
+    columns survive.  The anti-join key set (matched new-side ids) is
+    candidate-sized, not corpus-sized."""
+    dup_ids = near_duplicates_against(
+        new_docs, corpus, text_col, id_col, threshold, **lsh_kwargs
+    ).select(F.col("doc_a").alias(id_col)).distinct()
+    return new_docs.join(dup_ids, on=id_col, how="left_anti")
