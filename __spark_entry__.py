@@ -723,10 +723,16 @@ def _q_emb_kmeans_profile(spark, sf_dir):
 
     # cache: Lloyd's scans the corpus once per iteration; the embedding
     # table is driver-small at every test SF (kmeans itself deliberately
-    # does not cache -- caller's choice at real scale)
+    # does not cache -- caller's choice at real scale).  The profile is
+    # k rows: materialize it and release the cache before returning so
+    # repeated query-suite invocations don't pin embedding copies.
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    res = kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42)
-    return cluster_profile(res)
+    try:
+        res = kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42)
+        prof = cluster_profile(res)
+        return spark.createDataFrame(prof.collect(), prof.schema)
+    finally:
+        emb.unpersist()
 
 
 def _q_cube_attr_filter(spark, sf_dir):

@@ -484,3 +484,67 @@ def test_batched_probe_is_one_job_for_empty_addresses(spark, monkeypatch):
     assert calls["n"] <= 6, calls["n"]
     assert got[49] == pytest.approx(6.0)
     assert all(v is None for v in got[:49])
+
+
+def test_many_operand_rule_compiles():
+    """Rules reading more operands than the sample-profile length must
+    not crash the verifier (regression: base[m] KeyError at 11+ reads)."""
+
+    class _WideDim(_FakeDim):
+        pass
+
+    members = {f"M{i}": 20 + i for i in range(14)}
+    members["T"] = 50
+    cube = _FakeCube()
+    cube.dimensions[1] = _FakeDim("measures", members)
+
+    def wide(c):
+        total = c["M0"]
+        for i in range(1, 14):
+            total = total + c[f"M{i}"]
+        return total
+
+    plan = arith._try_compile(cube, _RD(wide), 1, 50)
+    assert plan is not None and len(plan.reads) == 14
+    vals = {20 + i: float(i) for i in range(14)}
+    assert arith.eval_tree(plan.tree, plan.reads, vals, plan.policy) == (
+        sum(range(14)),
+        None,
+    )
+
+
+def test_nan_comparison_matches_python_semantics(spark):
+    """Compiled comparisons must follow Python IEEE NaN rules (always
+    False except !=), not Spark's NaN-is-greatest ordering."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    def guarded_ratio(c):
+        s = c["Price"]
+        q = c["Quantity"]
+        if s is None or q is None:
+            return None
+        if s > 0.0:
+            return q / s
+        return None
+
+    plan = _plan(guarded_ratio)
+    assert plan is not None
+    nan = float("nan")
+    # mirror: NaN > 0 is False in Python -> the None branch
+    assert arith.eval_tree(
+        plan.tree, plan.reads, {11: nan, 10: 2.0}, plan.policy
+    ) == (None, None)
+    # Catalyst columns agree
+    df = spark.createDataFrame(
+        [(nan, 2.0)],
+        StructType(
+            [StructField("m11", DoubleType()), StructField("m10", DoubleType())]
+        ),
+    )
+    vcol, ecol = arith.to_columns(plan, lambda m: F.col(f"m{m}"))
+    r = df.select(vcol.alias("v"), ecol.alias("e")).first()
+    assert r.v is None and r.e is None
+    del math

@@ -163,12 +163,13 @@ def test_kmeans_matches_numpy_lloyd(emb, spark):
             m = X[a == c]
             if len(m):
                 C[c] = m.mean(0)
-    inertia_np = ((X - C[d2.argmin(1)]) ** 2).sum()
+    d2f = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    inertia_np = d2f.min(1).sum()
 
     assert np.allclose(res.centroids, C, rtol=1e-8, atol=1e-8)
-    assert res.inertia == pytest.approx(
-        res.history[-1]
-    )  # internal consistency
+    # inertia is the TRUE final SSE: measured against the returned
+    # (post-update) centroids, matching the numpy recomputation
+    assert res.inertia == pytest.approx(float(inertia_np), rel=1e-8)
     # assignments agree with numpy's final argmin
     final = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
     got = {
@@ -176,7 +177,6 @@ def test_kmeans_matches_numpy_lloyd(emb, spark):
     }
     agree = sum(got[v] == final[i] for i, v in enumerate(ids))
     assert agree == len(ids)
-    del inertia_np
 
 
 def test_kmeans_convergence_and_profile(emb):

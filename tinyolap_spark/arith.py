@@ -581,7 +581,7 @@ def _build_cond(bnode, read_col, policy) -> tuple[Column, Column]:
         else _null_str()
     )
     err = F.coalesce(le, re_, cmp_err)
-    col = {
+    raw = {
         "lt": l < r,
         "le": l <= r,
         "gt": l > r,
@@ -589,6 +589,13 @@ def _build_cond(bnode, read_col, policy) -> tuple[Column, Column]:
         "eq": l == r,
         "ne": l != r,
     }[op]
+    # Spark orders NaN greatest and NaN = NaN true; Python IEEE
+    # comparisons with NaN are always False except `!=` — pin the
+    # Python semantics (isnan(NULL) is NULL, so the when falls through
+    # for missing operands and the err column governs)
+    col = F.when(
+        F.isnan(l) | F.isnan(r), F.lit(op == "ne")
+    ).otherwise(raw)
     # null comparisons yield NULL in SQL; coerce to False (the err
     # column carries the sentinel under nullerr; under nullprop the
     # any-null top guard already fired)
@@ -673,11 +680,23 @@ def _verify(cube, rdef, p, trigger_midx, tree, reads, policy) -> bool:
     import itertools
     import random as _random
 
+    def _profile(vals_tuple):
+        # cycle: rules may read MORE operands than the profile length —
+        # zip alone would silently drop them and base[m] lookups KeyError
+        return {
+            m: vals_tuple[i % len(vals_tuple)] for i, m in enumerate(reads)
+        }
+
     samples: list[dict] = [
-        dict(zip(reads, _SAMPLE_A)),
-        dict(zip(reads, _SAMPLE_B)),
-        dict(zip(reads, _SAMPLE_C)),
-        dict(zip(reads, _SAMPLE_D)),
+        _profile(_SAMPLE_A),
+        _profile(_SAMPLE_B),
+        _profile(_SAMPLE_C),
+        _profile(_SAMPLE_D),
+        # NaN profile: Python comparison semantics around NaN (always
+        # False except !=) differ from Spark's NaN ordering; the
+        # compiled columns carry an explicit isnan guard and this
+        # profile keeps them honest
+        {m: float("nan") for m in reads},
     ]
     base = samples[0]
     for m in reads:

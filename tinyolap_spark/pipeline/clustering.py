@@ -116,11 +116,11 @@ def kmeans(
         .limit(k)
         .collect()
     )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
     cents = np.vstack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
     )
-    if len(cents) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(cents)}")
 
     history: list[float] = []
     it = 0
@@ -165,11 +165,19 @@ def kmeans(
             if (history[-2] - history[-1]) / history[-2] < tol:
                 break
 
-    final = _assign(emb, vec_col, cents).drop("__d2")
+    # final assignment against the POST-update centroids; fold the true
+    # final inertia into the same pass (history entries are measured
+    # against each iteration's PRE-update centroids, so history[-1]
+    # would be one update stale relative to `centroids`/`assigned`)
+    final_all = _assign(emb, vec_col, cents)
+    final_inertia = float(
+        final_all.agg(F.sum("__d2").alias("s")).collect()[0]["s"] or 0.0
+    )
+    final = final_all.drop("__d2")
     return KMeansResult(
         centroids=cents,
         assigned=final,
-        inertia=history[-1] if history else 0.0,
+        inertia=final_inertia,
         iterations=it,
         history=history,
     )

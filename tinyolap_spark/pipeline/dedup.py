@@ -160,7 +160,7 @@ def shingle_frame(
 
 
 def _banded_frame(
-    sh_df: DataFrame, num_hashes: int, bands: int
+    sh_df: DataFrame, num_hashes: int, bands: int, checkpoint: bool = True
 ) -> DataFrame:
     """(doc, band, bucket) LSH band keys from a shingle frame.
 
@@ -198,7 +198,9 @@ def _banded_frame(
             )
         ).alias("bk"),
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    return banded.localCheckpoint(eager=True)
+    # pass checkpoint=False when the caller consumes the frame exactly
+    # once (no recompute risk, no storage blocks to reclaim)
+    return banded.localCheckpoint(eager=True) if checkpoint else banded
 
 
 def minhash_lsh_candidates(
@@ -448,7 +450,13 @@ def near_duplicates_against(
     """
     sh_new = shingle_frame(new_docs, text_col, id_col, shingle_n)
     sh_corp = shingle_frame(corpus, text_col, id_col, shingle_n)
-    bn = _banded_frame(sh_new, num_hashes, bands)
+    # new side: consumed once by the pair join — no barrier needed
+    # (checkpoint blocks would outlive the call until JVM GC; in a
+    # per-batch ingestion loop that accumulates).  Corpus side: three
+    # consumers, keep the barrier; its blocks free on GC — for a
+    # long-lived loop, build the corpus banded frame ONCE outside and
+    # reuse it across batches.
+    bn = _banded_frame(sh_new, num_hashes, bands, checkpoint=False)
     bc = _banded_frame(sh_corp, num_hashes, bands)
     ok_buckets = (
         bc.groupBy("band", "bucket")

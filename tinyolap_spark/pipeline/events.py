@@ -151,6 +151,10 @@ def funnel_stages(
         init,
         lambda acc, x: F.when(
             (acc["stage"] < F.lit(len(steps)))
+            # null-timestamp events can never match a step: admitting
+            # one would leave last_ts NULL and make the strict-ordering
+            # check vacuous for every later step
+            & x["ts"].isNotNull()
             & (x["tp"] == F.element_at(steps_lit, acc["stage"] + 1))
             & (acc["last_ts"].isNull() | (x["ts"] > acc["last_ts"])),
             F.struct(

@@ -247,16 +247,11 @@ def repetition_features(
     """
     import re as _re
 
+    from .decontam import word_ngrams
+
     col = F.col(text_col)
     lines = F.split(col, _re.escape(line_sep))
-    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda x: F.length(x) > 0)
-    grams = F.when(
-        F.size(toks) >= ngram,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
-            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(text_col, ngram)
     top = F.when(
         F.size(grams) > 0,
         F.array_max(
