@@ -347,3 +347,45 @@ def test_near_duplicates_against_corpus(docs, spark):
     assert kept_ids.isdisjoint(new_ids)
     # fresh docs survive (rotated/unrelated text does not near-dup)
     assert {r.doc_id for r in fresh.select("doc_id").collect()} <= kept_ids
+
+
+def test_corpus_dedup_index_reuse(docs, spark):
+    """The ingestion-loop pattern: build the corpus LSH index once, run
+    several batches against it — identical results to the one-shot path,
+    and the index survives across calls."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = docs.where(F.col("doc_id") < 300)
+    idx = dedup.CorpusDedupIndex(corpus)
+    try:
+        for shift in (700_000, 800_000):
+            batch = (
+                corpus.where(F.col("doc_id") < 8)
+                .withColumn("doc_id", F.col("doc_id") + shift)
+            )
+            via_index = sorted(
+                (r.doc_a, r.doc_b)
+                for r in dedup.near_duplicates_against(
+                    batch, idx, threshold=0.999
+                ).collect()
+            )
+            one_shot = sorted(
+                (r.doc_a, r.doc_b)
+                for r in dedup.near_duplicates_against(
+                    batch, corpus, threshold=0.999
+                ).collect()
+            )
+            assert via_index == one_shot
+            assert {(i + shift, i) for i in range(8)} <= set(via_index)
+    finally:
+        idx.release()
+
+    # mismatched LSH parameters are rejected loudly
+    idx2 = dedup.CorpusDedupIndex(corpus, bands=8)
+    try:
+        with pytest.raises(ValueError):
+            dedup.near_duplicates_against(
+                docs.limit(5), idx2, bands=16
+            )
+    finally:
+        idx2.release()

@@ -420,9 +420,34 @@ def simhash_near_pairs(
     )
 
 
+class CorpusDedupIndex:
+    """Reusable corpus side of incremental dedup: banded LSH keys +
+    shingle frame, built ONCE and shared across incoming batches (the
+    per-batch ingestion loop re-shingles only the batch).
+
+    ``release()`` frees the shingle cache when the index is retired."""
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 5,
+    ):
+        self.num_hashes, self.bands = num_hashes, bands
+        self.shingle_n = shingle_n
+        self.shingles = shingle_frame(corpus, text_col, id_col, shingle_n)
+        self.banded = _banded_frame(self.shingles, num_hashes, bands)
+
+    def release(self) -> None:
+        self.shingles.unpersist()
+
+
 def near_duplicates_against(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: "DataFrame | CorpusDedupIndex",
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
@@ -444,20 +469,34 @@ def near_duplicates_against(
     bucket only).  Returns ``(doc_a, doc_b, jaccard)`` with ``doc_a``
     from the new batch and ``doc_b`` from the corpus.
 
-    At 100 TB: corpus band keys are 3 small ints per doc-band — persist
-    them once (the `_banded_frame` checkpoint) and reuse across incoming
-    batches; only the new batch is re-shingled per call.
+    At 100 TB: corpus band keys are 3 small ints per doc-band — build a
+    :class:`CorpusDedupIndex` ONCE and pass it as ``corpus`` so every
+    incoming batch reuses the corpus shingles and banded keys; only the
+    batch is re-shingled per call (a raw DataFrame corpus rebuilds both
+    each time).
     """
     sh_new = shingle_frame(new_docs, text_col, id_col, shingle_n)
-    sh_corp = shingle_frame(corpus, text_col, id_col, shingle_n)
+    if isinstance(corpus, CorpusDedupIndex):
+        if (corpus.num_hashes, corpus.bands, corpus.shingle_n) != (
+            num_hashes,
+            bands,
+            shingle_n,
+        ):
+            raise ValueError(
+                "CorpusDedupIndex was built with different LSH parameters "
+                f"({corpus.num_hashes}, {corpus.bands}, {corpus.shingle_n})"
+            )
+        sh_corp, bc = corpus.shingles, corpus.banded
+        corpus_owned = False
+    else:
+        sh_corp = shingle_frame(corpus, text_col, id_col, shingle_n)
+        bc = _banded_frame(sh_corp, num_hashes, bands)
+        corpus_owned = True
     # new side: consumed once by the pair join — no barrier needed
     # (checkpoint blocks would outlive the call until JVM GC; in a
     # per-batch ingestion loop that accumulates).  Corpus side: three
-    # consumers, keep the barrier; its blocks free on GC — for a
-    # long-lived loop, build the corpus banded frame ONCE outside and
-    # reuse it across batches.
+    # consumers, keep the barrier.
     bn = _banded_frame(sh_new, num_hashes, bands, checkpoint=False)
-    bc = _banded_frame(sh_corp, num_hashes, bands)
     ok_buckets = (
         bc.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("sz"))
@@ -490,7 +529,10 @@ def near_duplicates_against(
     if cleanup:
         pairs = pairs.localCheckpoint(eager=True)
         sh_new.unpersist()
-        sh_corp.unpersist()
+        if corpus_owned:
+            # an externally-supplied CorpusDedupIndex outlives this
+            # batch by design — its owner calls release()
+            sh_corp.unpersist()
     return pairs
 
 
