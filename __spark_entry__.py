@@ -714,25 +714,31 @@ def _q_docs_pack_sequences(spark, sf_dir):
 
 
 def _q_emb_kmeans_profile(spark, sf_dir):
-    """Distributed k-means (full-corpus Lloyd's, `pipeline/clustering.py`):
-    per-cluster sizes after 4 iterations from the seeded deterministic
-    init.  Iterative — no single-statement SQL oracle; correctness is
-    covered by the numpy-differential test
-    (`test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd`)."""
-    from tinyolap_spark.pipeline.clustering import cluster_profile, kmeans
+    """K-means assignment kernel (`pipeline/clustering.py:assign`):
+    per-cluster sizes of the nearest-centroid assignment against the 8
+    deterministic seed centroids (the embeddings with vec_id 0..7) — the
+    same Arrow argmin pass every Lloyd iteration runs, here with a
+    SQL-expressible centroid table so DuckDB replicates it exactly
+    (cross join + list_distance + lowest-index argmin, VERDICT r5 #2).
+    The iterative TRAINER keeps its numpy-differential oracle
+    (`test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd`) and a
+    dedicated bench timing (`emb_kmeans_train` in bench.py)."""
+    from tinyolap_spark.pipeline.clustering import assign
 
-    # cache: Lloyd's scans the corpus once per iteration; the embedding
-    # table is driver-small at every test SF (kmeans itself deliberately
-    # does not cache -- caller's choice at real scale).  The profile is
-    # k rows: materialize it and release the cache before returning so
-    # repeated query-suite invocations don't pin embedding copies.
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    try:
-        res = kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42)
-        prof = cluster_profile(res)
-        return spark.createDataFrame(prof.collect(), prof.schema)
-    finally:
-        emb.unpersist()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return (
+        assign(emb, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
 
 
 def _q_cube_attr_filter(spark, sf_dir):
@@ -1837,9 +1843,24 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens "
             "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
         ),
-        # emb_kmeans_profile: intentionally no oracle — Lloyd's algorithm
-        # is iterative (4 chained argmin/mean passes), not expressible as
-        # one ANSI-SQL statement; differential correctness vs a pure-numpy
-        # mirror is asserted in
-        # tests/test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd.
+        # emb_kmeans_profile: fixed-centroid assignment (the Lloyd
+        # ASSIGNMENT kernel) against the vec_id<8 seed centroids; the
+        # lowest-index tie-break matches numpy.argmin / the Spark kernel.
+        # The iterative TRAINER has no single-statement SQL twin and is
+        # numpy-differentially tested instead
+        # (tests/test_decontam_cluster.py::test_kmeans_matches_numpy_lloyd).
+        "emb_kmeans_profile": (
+            "WITH cents AS ("
+            "  SELECT vec_id AS cluster, embedding AS cvec "
+            "  FROM embeddings WHERE vec_id < 8), "
+            "d AS ("
+            "  SELECT e.vec_id, c.cluster, "
+            "    list_distance(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) AS dist "
+            "  FROM embeddings e CROSS JOIN cents c), "
+            "best AS ("
+            "  SELECT vec_id, cluster, ROW_NUMBER() OVER ("
+            "    PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d) "
+            "SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_vectors "
+            "FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster"
+        ),
     }

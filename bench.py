@@ -215,6 +215,8 @@ def main() -> None:
 
     # ---- driver-contract queries over raw tables --------------------------
     q = entry_mod.queries()
+    # reps=2 across the whole loop (VERDICT r5 #3): single runs of these
+    # narrow scans read session noise (GC/page-cache swings) as regressions
     for name in [
         "sql_pricing_summary",
         "sql_top_nations",
@@ -229,8 +231,7 @@ def main() -> None:
         "docs_decontaminate",
         "emb_kmeans_profile",
     ]:
-        reps = 2 if name == "docs_minhash_pairs" else 1
-        timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=reps)
+        timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 
     # ---- batched ANN: IVF build + fully-distributed multi-query search
     # (no driver collect of query vectors — the 100 TB-shape path) -------
@@ -263,6 +264,18 @@ def main() -> None:
                 1000 / timings["emb_search_many_1000"], 1
             )
         idx.assigned.unpersist(blocking=True)
+
+        # full-corpus Lloyd's trainer (4 iterations) — timed here because
+        # emb_kmeans_profile is now the oracle-checkable ASSIGNMENT kernel
+        # only (VERDICT r5 #2); this keeps the iterative-trainer signal
+        from tinyolap_spark.pipeline.clustering import kmeans
+
+        timed(
+            "emb_kmeans_train",
+            lambda: kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42),
+            reps=2,
+        )
+        emb.unpersist(blocking=True)
 
     guarded("ann_section", ann_section)
 
@@ -689,41 +702,116 @@ def main() -> None:
                 if isinstance(prev_q.get(name), (int, float))
             },
         }
+    # Parse-proof emission (VERDICT r5 #1): the driver reads a bounded
+    # stdout tail, and r5's full line (with `_runs` arrays + prev deltas)
+    # overflowed it, costing the round its headline signal.  Three-way
+    # belt-and-braces: (a) the full object printed for humans/logs, (b) the
+    # same object written to bench_out.json next to this script, (c) a
+    # COMPACT final line — metric/value/queries only, timings at 2dp —
+    # guaranteed to fit entirely inside a 2000-char tail.
     print(json.dumps(out))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_out.json"), "w") as f:
+            json.dump(out, f)
+    except Exception:
+        pass
+    compact = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # still too big: drop per-query detail, keep total
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
+
+
+def _parse_bench_record(data, n) -> "dict | None":
+    """Extract a {queries, value, round} summary from one BENCH_r{N}.json."""
+    parsed = data.get("parsed") if isinstance(data, dict) else None
+    if isinstance(parsed, dict):
+        parsed = dict(parsed)
+        parsed["round"] = n
+        return parsed
+    if isinstance(data, dict) and "queries" in data:
+        data = dict(data)
+        data["round"] = n
+        return data
+    return None
+
+
+def _reconstruct_from_tail(data, n, older) -> "dict | None":
+    """A round with ``parsed: null`` (stdout-tail overflow, VERDICT r5 #1)
+    still carries its COMPLETE ``prev.delta_queries`` block at the end of
+    the recorded tail; apply those deltas to the older parseable round to
+    recover this round's per-query timings exactly."""
+    import re
+
+    tail = data.get("tail") if isinstance(data, dict) else None
+    if not isinstance(tail, str) or older is None:
+        return None
+    m = re.search(r'"delta_total":\s*(-?[\d.]+)', tail)
+    dq = re.search(r'"delta_queries":\s*(\{[^{}]*\})', tail)
+    if not (m and dq):
+        return None
+    try:
+        deltas = json.loads(dq.group(1))
+    except Exception:
+        return None
+    base_q = older.get("queries", {})
+    queries = {
+        k: round(base_q[k] + d, 4)
+        for k, d in deltas.items()
+        if isinstance(base_q.get(k), (int, float))
+    }
+    total = older.get("value")
+    return {
+        "queries": queries,
+        "value": (
+            round(total + float(m.group(1)), 4)
+            if isinstance(total, (int, float))
+            else None
+        ),
+        "round": n,
+        "reconstructed": True,
+    }
 
 
 def _load_prev_bench() -> "dict | None":
     """Latest BENCH_r{N}.json next to this file — per-query regression
-    diffing across rounds (VERDICT r1 #10)."""
+    diffing across rounds (VERDICT r1 #10).  Falls back to tail
+    reconstruction when the newest record has ``parsed: null``."""
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best, best_n = None, -1
+    records = []  # (n, data) descending
     for fname in os.listdir(here):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
         if not m:
             continue
-        n = int(m.group(1))
-        if n > best_n:
-            best, best_n = fname, n
-    if best is None:
+        try:
+            with open(os.path.join(here, fname)) as f:
+                records.append((int(m.group(1)), json.load(f)))
+        except Exception:
+            continue
+    if not records:
         return None
-    try:
-        with open(os.path.join(here, best)) as f:
-            data = json.load(f)
-    except Exception:
-        return None
-    parsed = data.get("parsed") if isinstance(data, dict) else None
-    if isinstance(parsed, dict):
-        parsed = dict(parsed)
-        parsed["round"] = best_n
-        return parsed
-    if isinstance(data, dict) and "queries" in data:
-        data = dict(data)
-        data["round"] = best_n
-        return data
-    return None
+    records.sort(key=lambda t: -t[0])
+    newest_n, newest_data = records[0]
+    direct = _parse_bench_record(newest_data, newest_n)
+    if direct is not None:
+        return direct
+    older = None
+    for n, data in records[1:]:
+        older = _parse_bench_record(data, n)
+        if older is not None:
+            break
+    return _reconstruct_from_tail(newest_data, newest_n, older)
 
 
 if __name__ == "__main__":

@@ -139,8 +139,8 @@ def kmeans(
                 F.sum("__x").alias("__sum"),
                 F.count(F.lit(1)).alias("__n"),
                 # __d2 repeats once per dim inside a row's exploded
-                # block; divide back out after summing (exact: same
-                # count multiplies every row of the cluster/pos group)
+                # block; inertia is read from the __pos == 0 group only
+                # (below), where each row contributes its __d2 exactly once
                 F.sum("__d2").alias("__d2sum"),
             )
             .collect()
@@ -181,6 +181,21 @@ def kmeans(
         iterations=it,
         history=history,
     )
+
+
+def assign(
+    emb: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid assignment against a FIXED centroid list (any
+    sequence of float sequences): one Arrow pass, no shuffle — the
+    non-iterative half of k-means, usable on its own (score a corpus
+    against pretrained centroids, seed an :class:`IVFIndex`, or give the
+    assignment kernel a plain-SQL oracle: argmin over a literal centroid
+    table, which an ANSI engine replicates exactly).
+
+    Returns the input columns plus ``cluster`` (int, lowest-index
+    tie-break matching ``numpy.argmin``)."""
+    return _assign(emb, vec_col, centroids).drop("__d2")
 
 
 def cluster_profile(result: KMeansResult) -> DataFrame:
