@@ -705,11 +705,17 @@ def _q_docs_pack_sequences(spark, sf_dir):
     """Sequence packing (`pipeline/packing.py`): per-pack fill report.
     Deterministic two-level packing (hash group -> windowed running
     token sum), so the DuckDB window twin reproduces every packing
-    decision bit-for-bit (all-integer output)."""
+    decision bit-for-bit (all-integer output).  The group key here is
+    the portable-LCG bucket (production default is xxhash64, which has
+    no DuckDB twin — `pack_documents` docstring)."""
     from tinyolap_spark.pipeline.packing import pack_documents, pack_summary
+    from tinyolap_spark.pipeline.sampling import portable_lcg_bucket
 
     docs = _raw(spark, sf_dir, "documents")
-    packed = pack_documents(docs, budget=256, num_groups=8)
+    packed = pack_documents(
+        docs, budget=256, num_groups=8,
+        group_expr=F.pmod(portable_lcg_bucket("doc_id"), F.lit(8)),
+    )
     return pack_summary(packed)
 
 
@@ -1827,10 +1833,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM g ORDER BY doc_id"
         ),
         "docs_pack_sequences": (
+            # grp = the portable LCG bucket % 8 (doc_id >= 0 so plain %
+            # matches Spark's pmod; sampling.portable_lcg_bucket twin)
             "WITH t AS ("
             "  SELECT doc_id, "
             r"    len(regexp_extract_all(text, '\S+')) AS n_tokens, "
-            "    CAST(doc_id % 8 AS INT) AS grp "
+            "    CAST(((doc_id % 1000003) * 1103515245 + 12345) "
+            "      % 2147483648 % 1000000 % 8 AS INT) AS grp "
             "  FROM documents), "
             "c AS ("
             "  SELECT doc_id, n_tokens, grp, "

@@ -82,9 +82,29 @@ def test_word_ngrams_short_doc_empty(spark):
 
 def test_contamination_plan_is_broadcast(docs):
     bench = docs.where(F.col("doc_id") < 5).select("text")
-    plan = decontam.contamination(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    rep = decontam.contamination(docs, bench, n=8)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # the benchmark-gram join keeps its explicit broadcast hint
     assert "BroadcastHashJoin" in plan
+    # the zero-fill join is NOT force-broadcast anymore (ADVICE r5: the
+    # hits side is corpus-sized for a pathological benchmark) — AQE
+    # sizes it at runtime and converts to broadcast at this scale
+    rep.collect()
+    final = rep._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in final
+
+
+def test_contamination_forced_hits_broadcast(docs):
+    """broadcast_hits=True restores the static hint for callers that
+    know the hit set is small; results identical to the default."""
+    bench = docs.where(F.col("doc_id") < 5).select("text")
+    hinted = decontam.contamination(docs, bench, n=8, broadcast_hits=True)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
+    default = decontam.contamination(docs, bench, n=8)
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, default.collect())
+    )
 
 
 # ------------------------------------------------- repetition signals

@@ -119,7 +119,11 @@ def test_pack_documents_invariants(spark):
     got = {r.doc_id: r for r in packed.collect()}
     assert len(got) == 200
     assert all(got[i].n_tokens == 10 + (i * 7) % 50 for i in range(200))
-    assert all(got[i].group == i % 4 for i in range(200))
+    # group is a real hash bucket (ADVICE r5: not an id stride) — in
+    # range, and no group starves on sequential ids
+    assert all(0 <= got[i].group < 4 for i in range(200))
+    sizes = [sum(1 for r in got.values() if r.group == g) for g in range(4)]
+    assert min(sizes) > 0
 
     # pack token sums never exceed budget + the straddling document
     summ = pack_summary(packed).collect()
@@ -142,6 +146,20 @@ def test_pack_documents_invariants(spark):
     # tokens_before is the offset of the doc inside its (chopped) pack
     for r in got.values():
         assert 0 <= r.tokens_before < 100
+
+
+def test_pack_documents_string_ids(spark):
+    """String doc ids must work (ADVICE r5: the old `% num_groups`
+    stride needed numeric ids and threw under ANSI mode)."""
+    from tinyolap_spark.pipeline.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", " ".join(["tok"] * 30)) for i in range(50)],
+        ["doc_id", "text"],
+    )
+    packed = pack_documents(docs, budget=100, num_groups=4).collect()
+    assert len(packed) == 50
+    assert all(0 <= r.group < 4 and r.pack_id >= 0 for r in packed)
 
 
 def test_pack_documents_custom_token_col(spark):

@@ -112,6 +112,7 @@ def contamination(
     id_col: str = "doc_id",
     threshold: int = 1,
     broadcast: bool = True,
+    broadcast_hits: "bool | None" = None,
 ) -> DataFrame:
     """Per-document contamination report:
     ``(id_col, n_contaminated, contaminated)``.
@@ -125,14 +126,20 @@ def contamination(
     ``broadcast=False`` falls back to a shuffle hash join for benchmark
     gram sets too large to broadcast (both sides are hash-partitioned
     on the 8-byte ``__h``).
+
+    ``broadcast_hits`` controls the ZERO-FILL join separately (ADVICE
+    r5): the hit set is usually sparse, but it is bounded only by how
+    many documents match — a benchmark containing one ubiquitous n-gram
+    makes it corpus-sized, and a forced broadcast would then OOM the
+    driver.  Default ``None`` emits no hint and lets AQE pick broadcast
+    from RUNTIME size, degrading to a shuffle join for pathological
+    benchmarks; ``True`` forces the hint when the caller knows the hit
+    set is small.
     """
     hits = _gram_hits(
         docs, benchmark, n, text_col, bench_text_col, id_col, broadcast
     )
-    if broadcast:
-        # the hit set is bounded by documents actually sharing a
-        # benchmark n-gram — sparse by construction; broadcasting keeps
-        # the zero-fill join shuffle-free on the corpus side
+    if broadcast_hits:
         hits = F.broadcast(hits)
     return (
         docs.select(id_col)
@@ -198,17 +205,22 @@ def decontaminate(
     id_col: str = "doc_id",
     threshold: int = 1,
     broadcast: bool = True,
+    broadcast_hits: "bool | None" = None,
 ) -> DataFrame:
     """Drop contaminated documents; all original columns survive.
 
     Anti-join against the contaminated id set (small: only documents
     that actually matched, no zero-count fill), so beyond the gram scan
-    the corpus passes through exactly once."""
+    the corpus passes through exactly once.  ``broadcast_hits`` as in
+    :func:`contamination`: default lets AQE size the anti-join at
+    runtime instead of forcing a broadcast of a set that a pathological
+    benchmark can make corpus-sized."""
     bad = _gram_hits(
         docs, benchmark, n, text_col, bench_text_col, id_col, broadcast
     ).where(F.col("n_contaminated") >= threshold)
+    bad_ids = bad.select(id_col)
     return docs.join(
-        F.broadcast(bad.select(id_col)) if broadcast else bad.select(id_col),
+        F.broadcast(bad_ids) if broadcast_hits else bad_ids,
         on=id_col,
         how="left_anti",
     )

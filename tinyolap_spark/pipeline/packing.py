@@ -6,7 +6,9 @@ Exact greedy packing is inherently sequential; the distributed
 formulation is the standard two-level approximation:
 
 1. **group** — documents hash into ``num_groups`` independent streams
-   (deterministic: ``doc_id % num_groups``), so no global order exists
+   (deterministic: ``pmod(xxhash64(doc_id), num_groups)`` — a real
+   hash, so ids of ANY type work and sequential ids correlated with
+   document length cannot imbalance groups), so no global order exists
    and no global sort is needed;
 2. **pack within group** — one window per group (running token sum in a
    deterministic order) assigns ``pack_id = floor((cumsum - n) /
@@ -26,7 +28,7 @@ see ``docs_pack_sequences`` in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,12 +39,20 @@ def pack_documents(
     id_col: str = "doc_id",
     num_groups: int = 32,
     token_col: str | None = None,
+    group_expr: "Column | None" = None,
 ) -> DataFrame:
     """Assign every document to ``(group, pack_id)`` with per-pack token
     sums bounded by ``budget`` (+ one straddling document).
 
     ``token_col``: use an existing token-count column instead of the
     default whitespace count (e.g. a real tokenizer's counts).
+
+    ``group_expr``: override the group key (any integer Column in
+    ``[0, num_groups)``).  The default ``pmod(xxhash64(id), num_groups)``
+    works for ids of any type (ADVICE r5: a ``% num_groups`` stride
+    fails on string ids and lets id/length correlation imbalance
+    groups); the DuckDB oracle twin passes a portable-LCG override
+    because ``xxhash64`` has no cross-engine twin.
 
     Returns the input columns plus ``n_tokens``, ``group``, ``pack_id``
     and ``tokens_before`` (the running sum before this document within
@@ -54,8 +64,10 @@ def pack_documents(
         )
     else:
         n_tokens = F.col(token_col).cast("int")
+    if group_expr is None:
+        group_expr = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_groups))
     out = docs.withColumn("n_tokens", n_tokens).withColumn(
-        "group", (F.col(id_col) % num_groups).cast("int")
+        "group", group_expr.cast("int")
     )
     w = (
         Window.partitionBy("group")
