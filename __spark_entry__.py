@@ -559,6 +559,34 @@ def _q_events_funnel(spark, sf_dir):
     return funnel_summary(ev, ["view", "click", "purchase"])
 
 
+def _q_events_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel: same greedy one-groupBy JVM scan, but
+    step k+1 must land within 4 days of the matched step-k event
+    (`pipeline/events.py::funnel_summary(max_gap_sec=345600)` — the
+    fixture's per-user cadence is ~7h median, so a 4-day window splits
+    users across all stages instead of degenerating).
+    Microsecond-exact window comparisons so the chained-min ANSI twin
+    (epoch_us) matches bit-for-bit."""
+    from tinyolap_spark.pipeline.events import funnel_summary
+
+    ev = _raw(spark, sf_dir, "events").where(F.col("event_id") % 11 < 3)
+    return funnel_summary(
+        ev, ["view", "click", "purchase"], max_gap_sec=345600
+    )
+
+
+def _q_events_funnel_anyorder(spark, sf_dir):
+    """Any-order funnel: stage = number of distinct funnel steps the
+    user performed regardless of order — one count_distinct groupBy
+    (`pipeline/events.py::funnel_summary(ordered=False)`)."""
+    from tinyolap_spark.pipeline.events import funnel_summary
+
+    ev = _raw(spark, sf_dir, "events").where(F.col("event_id") % 11 < 3)
+    return funnel_summary(
+        ev, ["view", "click", "purchase"], ordered=False
+    )
+
+
 def _q_events_props_rollup(spark, sf_dir):
     """Semi-structured extraction: integer JSON prop from the `props`
     string via get_json_object (JVM, codegen), bucketed rollup."""
@@ -1257,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_salted_region_qty": _q_sql_salted_region_qty,
         "events_attribution": _q_events_attribution,
         "events_funnel": _q_events_funnel,
+        "events_funnel_windowed": _q_events_funnel_windowed,
+        "events_funnel_anyorder": _q_events_funnel_anyorder,
         "events_props_rollup": _q_events_props_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_vocab_topk": _q_docs_vocab_topk,
@@ -1737,6 +1767,46 @@ def oracle_sql() -> dict[str, str]:
             "    WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stage "
             "  FROM u LEFT JOIN t1 USING (user_id) "
             "  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) s "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_funnel_windowed": (
+            # greedy windowed funnel: each step's matched event is the
+            # MIN-ts qualifying one (strictly after AND within 345600s
+            # of the previous match, microsecond-exact via epoch_us)
+            "WITH ev AS ("
+            "  SELECT * FROM events WHERE event_id % 11 < 3), "
+            "t1 AS ("
+            "  SELECT user_id, MIN(ts) AS ts1 FROM ev "
+            "  WHERE event_type = 'view' GROUP BY 1), "
+            "t2 AS ("
+            "  SELECT e.user_id, MIN(e.ts) AS ts2 FROM ev e "
+            "  JOIN t1 USING (user_id) "
+            "  WHERE e.event_type = 'click' AND e.ts > t1.ts1 "
+            "    AND epoch_us(e.ts) <= epoch_us(t1.ts1) + 345600000000 "
+            "  GROUP BY 1), "
+            "t3 AS ("
+            "  SELECT e.user_id, MIN(e.ts) AS ts3 FROM ev e "
+            "  JOIN t2 USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 "
+            "    AND epoch_us(e.ts) <= epoch_us(t2.ts2) + 345600000000 "
+            "  GROUP BY 1), "
+            "u AS (SELECT DISTINCT user_id FROM ev) "
+            "SELECT stage, COUNT(*) AS n_users FROM ("
+            "  SELECT u.user_id, CASE WHEN ts3 IS NOT NULL THEN 3 "
+            "    WHEN ts2 IS NOT NULL THEN 2 "
+            "    WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stage "
+            "  FROM u LEFT JOIN t1 USING (user_id) "
+            "  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)) s "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_funnel_anyorder": (
+            "WITH ev AS ("
+            "  SELECT * FROM events WHERE event_id % 11 < 3) "
+            "SELECT stage, COUNT(*) AS n_users FROM ("
+            "  SELECT user_id, CAST(COUNT(DISTINCT CASE "
+            "    WHEN event_type IN ('view','click','purchase') "
+            "      AND ts IS NOT NULL THEN event_type END) AS INT) AS stage "
+            "  FROM ev GROUP BY 1) s "
             "GROUP BY 1 ORDER BY 1"
         ),
         "events_props_rollup": (

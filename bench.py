@@ -227,6 +227,7 @@ def main() -> None:
         "emb_topk_cosine",
         "events_sessionize",
         "events_attribution",
+        "events_funnel_windowed",
         "docs_pii_scrub",
         "docs_decontaminate",
         "emb_kmeans_profile",

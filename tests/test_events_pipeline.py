@@ -250,6 +250,54 @@ def test_funnel_stages_known_sequences(spark):
     assert summ == {0: 1, 1: 3, 3: 2}
 
 
+def test_funnel_windowed_and_anyorder(spark):
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from tinyolap_spark.pipeline.events import funnel_stages
+
+    def t(s):
+        return datetime(2026, 1, 1, 0, 0, 0) + timedelta(seconds=s)
+
+    rows = [
+        # user 1: view -> click(+5s) -> purchase(+5s): inside any window
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(10), "purchase"),
+        # user 2: click arrives 100s after view -> outside a 60s window
+        (2, t(0), "view"), (2, t(100), "click"), (2, t(110), "purchase"),
+        # user 3: GREEDY matters — first view at t0, click at t90 is out
+        # of window of it; a SECOND view at t80 would admit the click,
+        # but greedy already matched t0 -> stage 1 windowed
+        (3, t(0), "view"), (3, t(80), "view"), (3, t(90), "click"),
+        # user 4: purchase then click then view -> any-order sees all 3
+        (4, t(0), "purchase"), (4, t(1), "click"), (4, t(2), "view"),
+        # user 5: sub-second boundary — click at +60.000001s of view is
+        # OUTSIDE a 60s window (microsecond-exact comparison)
+        (5, t(0), "view"),
+        (5, t(0) + timedelta(seconds=60, microseconds=1), "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+
+    plain = {r.user_id: r.stage for r in funnel_stages(ev, steps).collect()}
+    assert plain == {1: 3, 2: 3, 3: 2, 4: 1, 5: 2}
+
+    win = {
+        r.user_id: r.stage
+        for r in funnel_stages(ev, steps, max_gap_sec=60).collect()
+    }
+    assert win == {1: 3, 2: 1, 3: 1, 4: 1, 5: 1}
+
+    anyo = {
+        r.user_id: r.stage
+        for r in funnel_stages(ev, steps, ordered=False).collect()
+    }
+    assert anyo == {1: 3, 2: 3, 3: 2, 4: 3, 5: 2}
+
+    with _pytest.raises(ValueError):
+        funnel_stages(ev, steps, max_gap_sec=60, ordered=False)
+
+
 def test_funnel_single_shuffle_plan(spark):
     from datetime import datetime
 

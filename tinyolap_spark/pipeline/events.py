@@ -122,21 +122,51 @@ def funnel_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_sec: "int | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
-    """Ordered-funnel stage per user: the furthest prefix of ``steps``
-    completed in strict timestamp order (step k+1 must occur STRICTLY
-    after the matched step-k event — the first qualifying occurrence of
-    each step is the one matched).
+    """Funnel stage per user; three modes, all ONE groupBy shuffle:
 
-    One shuffle (``groupBy(user)``) collects each user's (ts, type)
-    pairs; a single JVM ``aggregate`` higher-order scan over the sorted
-    array computes the stage — no UDF, no k-way self-join (the naive
-    funnel is k chained range joins; this is one pass).  Per-user state
-    is that user's event list: bounded by the busiest user, the same
-    envelope as any sessionization.
+    - **strict-ordered** (default): the furthest prefix of ``steps``
+      completed in strict timestamp order (step k+1 must occur STRICTLY
+      after the matched step-k event — the first qualifying occurrence
+      of each step is the one matched);
+    - **windowed** (``max_gap_sec``): additionally, step k+1 must occur
+      within ``max_gap_sec`` seconds of the MATCHED step-k event (the
+      standard conversion-window funnel; greedy first-match, comparisons
+      are microsecond-exact);
+    - **any-order** (``ordered=False``): stage = number of DISTINCT
+      steps the user performed, regardless of order (no window — pass
+      ``max_gap_sec=None``; combining both is ill-defined and raises).
+
+    Ordered modes collect each user's (ts, type) pairs and run a single
+    JVM ``aggregate`` higher-order scan over the sorted array — no UDF,
+    no k-way self-join (the naive funnel is k chained range joins; this
+    is one pass).  Any-order is a plain ``count_distinct``.  Per-user
+    state is that user's event list: bounded by the busiest user, the
+    same envelope as any sessionization.
 
     Returns ``(user_col, stage)`` with stage in ``0..len(steps)``.
     """
+    if not ordered:
+        if max_gap_sec is not None:
+            raise ValueError(
+                "max_gap_sec requires ordered=True (a conversion window "
+                "between steps is meaningless without step order)"
+            )
+        # null-ts events never count (consistent with the ordered scan)
+        seen = F.count_distinct(
+            F.when(
+                F.col(type_col).isin(list(steps))
+                & F.col(ts_col).isNotNull(),
+                F.col(type_col),
+            )
+        )
+        return (
+            events.select(user_col, ts_col, type_col)
+            .groupBy(user_col)
+            .agg(seen.cast("int").alias("stage"))
+        )
     steps_lit = F.array(*[F.lit(s) for s in steps])
     arr = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"),
@@ -146,6 +176,16 @@ def funnel_stages(
         F.lit(0).alias("stage"),
         F.lit(None).cast("timestamp").alias("last_ts"),
     )
+
+    def in_window(acc, x):
+        if max_gap_sec is None:
+            return F.lit(True)
+        # microsecond-exact: cast-to-long would truncate to seconds and
+        # disagree with an epoch_us-based oracle on sub-second gaps
+        return F.unix_micros(x["ts"]) <= F.unix_micros(
+            acc["last_ts"]
+        ) + F.lit(int(max_gap_sec) * 1_000_000)
+
     scan = F.aggregate(
         arr,
         init,
@@ -156,7 +196,7 @@ def funnel_stages(
             # check vacuous for every later step
             & x["ts"].isNotNull()
             & (x["tp"] == F.element_at(steps_lit, acc["stage"] + 1))
-            & (acc["last_ts"].isNull() | (x["ts"] > acc["last_ts"])),
+            & (acc["last_ts"].isNull() | ((x["ts"] > acc["last_ts"]) & in_window(acc, x))),
             F.struct(
                 (acc["stage"] + 1).alias("stage"),
                 x["ts"].alias("last_ts"),
@@ -176,11 +216,16 @@ def funnel_summary(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_sec: "int | None" = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-stage user counts (stage = furthest step reached), the
-    conversion report: ``(stage, n_users)`` for stage 0..len(steps)."""
+    conversion report: ``(stage, n_users)`` for stage 0..len(steps).
+    ``max_gap_sec``/``ordered`` as in :func:`funnel_stages`."""
     return (
-        funnel_stages(events, steps, user_col, ts_col, type_col)
+        funnel_stages(
+            events, steps, user_col, ts_col, type_col, max_gap_sec, ordered
+        )
         .groupBy("stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("stage")
