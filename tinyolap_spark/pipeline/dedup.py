@@ -603,7 +603,7 @@ def near_duplicates_against(
 
 def dedup_batch_against(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: "DataFrame | CorpusDedupIndex",
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,

@@ -318,6 +318,67 @@ def sessionize_stream(
     )
 
 
+def near_dedup_stream(
+    stream: DataFrame,
+    index,
+    checkpoint_dir: str,
+    sink: "Callable[[DataFrame, int], None]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+    query_name: str = "near_dedup_ingest",
+):
+    """Streaming NEAR-duplicate ingestion against a prebuilt corpus index
+    (VERDICT r5 #6) — the streaming half of
+    ``pipeline.dedup.dedup_batch_against``.
+
+    Each micro-batch is LSH-near-deduped against ``index`` (a
+    :class:`~tinyolap_spark.pipeline.dedup.CorpusDedupIndex`: corpus
+    shingles + banded keys built ONCE, persisted, reused by every batch)
+    and the survivors are handed to ``sink(kept_df, batch_id)`` — e.g.
+    an append-parquet writer or a cube loader.  Exact content dedup
+    within the stream itself composes upstream via :func:`dedup_stream`
+    (digest keys, bounded state); THIS operator answers the cross-corpus
+    question a stateful operator cannot: "is this document a near-dup of
+    anything in the 100 TB corpus already accepted?" — the corpus side
+    lives in the index, not in streaming state, so state stays bounded
+    regardless of corpus size.
+
+    ``foreachBatch`` (not a stateful operator) because LSH needs a
+    multi-stage batch plan (shingle -> sign -> band join -> verify) per
+    trigger; semantics are batch/stream identical by construction — the
+    parity test drives the same batches through both paths.
+
+    Note: survivors are judged against the INDEX corpus only; two
+    near-dup documents arriving in different micro-batches (neither in
+    the corpus) both survive.  Fold accepted batches into a new index
+    (or periodically rebuild) when intra-stream near-dup matters.
+    """
+    from ..pipeline.dedup import dedup_batch_against
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = dedup_batch_against(
+            batch_df,
+            index,
+            text_col,
+            id_col,
+            threshold,
+            max_bucket=max_bucket,
+        )
+        sink(kept, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: "list[str]",
