@@ -264,18 +264,51 @@ def main() -> None:
             extra["ann_queries_per_sec"] = round(
                 1000 / timings["emb_search_many_1000"], 1
             )
-        idx.assigned.unpersist(blocking=True)
 
-        # full-corpus Lloyd's trainer (4 iterations) — timed here because
+        # full-corpus Lloyd's trainer — timed here because
         # emb_kmeans_profile is now the oracle-checkable ASSIGNMENT kernel
-        # only (VERDICT r5 #2); this keeps the iterative-trainer signal
+        # only (VERDICT r5 #2); k matches the IVF cell count so the
+        # centroids drop straight into the recall pair below
         from tinyolap_spark.pipeline.clustering import kmeans
 
-        timed(
+        km = timed(
             "emb_kmeans_train",
-            lambda: kmeans(emb, k=8, max_iter=4, tol=0.0, seed=42),
+            lambda: kmeans(
+                emb, k=idx.ncells, max_iter=4, tol=0.0, seed=42
+            ),
             reps=2,
         )
+
+        # recall@10 pair at the SAME ncells and nprobe: sampled-centroid
+        # default vs full-corpus-kmeans-trained centroids (VERDICT r5 #7
+        # — the clustered-data claim, measured).  The fixture embeddings
+        # are near-uniform, so expect parity here; the clustered-data win
+        # is asserted in test_ivf_kmeans_centroids_recall_on_clustered.
+        def ivf_recall_pair():
+            qn = 50
+            queries_df = emb.select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ).limit(qn)
+            idx_k = IVFIndex(emb, centroids=km.centroids)
+            nprobe = max(2, idx.ncells // 8)
+            out = {}
+            for name, ix in [("sampled", idx), ("kmeans", idx_k)]:
+                exact = ix.search_many(queries_df, k=10, nprobe=ix.ncells)
+                approx = ix.search_many(queries_df, k=10, nprobe=nprobe)
+                n_hit = approx.select("query_id", "vec_id").join(
+                    exact.select("query_id", "vec_id"),
+                    ["query_id", "vec_id"],
+                ).count()
+                out[name] = round(n_hit / (10 * qn), 4)
+            idx_k.assigned.unpersist(blocking=True)
+            extra["ivf_recall_nprobe"] = nprobe
+            extra["ivf_recall10_sampled_centroids"] = out["sampled"]
+            extra["ivf_recall10_kmeans_centroids"] = out["kmeans"]
+            return out
+
+        if km is not None:
+            timed("emb_ivf_kmeans_recall_pair", ivf_recall_pair)
+        idx.assigned.unpersist(blocking=True)
         emb.unpersist(blocking=True)
 
     guarded("ann_section", ann_section)
