@@ -55,10 +55,29 @@ def test_area_multi_dim_and_lists(fresh):
     assert q25 == pytest.approx(float(np.percentile(vals, 25, method="linear")))
     assert q90 == pytest.approx(float(np.percentile(vals, 90, method="linear")))
     assert area.min() <= area.median() <= area.max()
+
+    # approx=True (VERDICT r5 #9): Greenwald-Khanna sketch — returns an
+    # ACTUAL data value whose rank is within n/accuracy of the target
+    # (here n/accuracy << 1, so rank-exact); verified by rank, and
+    # within the neighboring-order-statistic envelope of the exact value
+    n = len(vals)
+    for q in (0.25, 0.5, 0.9):
+        av = area.percentile(q, approx=True)
+        assert av in vals
+        rank_frac = sum(1 for v in vals if v <= av) / n
+        assert abs(rank_frac - q) <= 1.0 / n + 1e-9
+    aq25, aq90 = area.percentile([0.25, 0.9], approx=True)
+    lo25, hi25 = np.percentile(vals, 25, method="lower"), np.percentile(
+        vals, 25, method="higher"
+    )
+    assert lo25 <= aq25 <= hi25
+    assert area.median(approx=True) in vals
+
     # empty area -> None (reference area.py:372-447 family semantics)
     empty = cube.area("2021", "months:Jan", "measures:Sales")
     empty.clear()
     assert empty.percentile(0.5) is None
+    assert empty.percentile(0.5, approx=True) is None
 
 
 def test_area_with_aggregated_member(fresh):

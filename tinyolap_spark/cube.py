@@ -2128,24 +2128,36 @@ class Area:
     def avg(self) -> Optional[float]:
         return self._agg(F.avg)
 
-    def percentile(self, q) -> Optional[float]:
-        """EXACT percentile of stored values (linear interpolation —
-        same semantics as ANSI ``percentile_cont``/DuckDB
-        ``quantile_cont``, bit-verified in tests).  ``q`` may be a float
-        or a sequence of floats (one pass either way).  Exact
-        percentile sorts within groups — at extreme group sizes prefer
-        ``F.percentile_approx`` via ``rows_df()`` directly; the area
-        families this surfaces (reference ``area.py:372-447`` min/max/
-        avg/sum) are driver-facing aggregates, where exactness wins."""
+    def percentile(
+        self, q, approx: bool = False, accuracy: int = 10_000
+    ) -> Optional[float]:
+        """Percentile of stored values.  ``q`` may be a float or a
+        sequence of floats (one pass either way).
+
+        Default is EXACT (linear interpolation — same semantics as ANSI
+        ``percentile_cont``/DuckDB ``quantile_cont``, bit-verified in
+        tests): Spark's ``percentile`` buffers each group's values, the
+        right call for driver-facing area aggregates (reference
+        ``area.py:372-447`` min/max/avg/sum families).
+
+        ``approx=True`` switches to ``approx_percentile`` (Greenwald-
+        Khanna sketch, VERDICT r5 #9) — the 100 TB path: constant memory
+        per partition, mergeable sketches, no per-group buffering.  Error
+        bound: the returned value's RANK is within ``n/accuracy`` of the
+        target rank (default 1e-4·n); the returned value is always an
+        actual data value (no interpolation), so on smooth distributions
+        the VALUE error tracks the local density times the rank bound —
+        tolerance-tested against the exact path on the sf fixture."""
         qs = list(q) if isinstance(q, (list, tuple)) else None
-        expr = (
-            F.expr(
-                "percentile(value, array({}))".format(
-                    ", ".join(repr(float(x)) for x in qs)
-                )
-            )
+        q_sql = (
+            "array({})".format(", ".join(repr(float(x)) for x in qs))
             if qs is not None
-            else F.expr(f"percentile(value, {float(q)!r})")
+            else repr(float(q))
+        )
+        expr = (
+            F.expr(f"approx_percentile(value, {q_sql}, {int(accuracy)})")
+            if approx
+            else F.expr(f"percentile(value, {q_sql})")
         )
         row = self.rows_df().agg(
             expr.alias("v"), F.count(F.col("value")).alias("n")
@@ -2154,8 +2166,10 @@ class Area:
             return None
         return list(row["v"]) if qs is not None else row["v"]
 
-    def median(self) -> Optional[float]:
-        return self.percentile(0.5)
+    def median(
+        self, approx: bool = False, accuracy: int = 10_000
+    ) -> Optional[float]:
+        return self.percentile(0.5, approx=approx, accuracy=accuracy)
 
     def count(self) -> int:
         return self.rows_df().count()
