@@ -1011,6 +1011,54 @@ def _docs_with_trunc(spark, sf_dir):
     )
 
 
+def _docs_with_chain(spark, sf_dir):
+    """Documents corpus augmented with CHAINED partial duplicates: for
+    doc_id < 20 a copy at +300000 drops the last 10 normalized tokens and
+    a copy at +600000 drops the last 20.  For mid-length docs J(full,t1)
+    and J(t1,t2) clear the 0.5 threshold while J(full,t2) does NOT — the
+    transitive case where pairwise output alone cannot group the
+    duplicates and connected components are required."""
+    docs = _raw(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+
+    def trunc(drop, shift):
+        keep = F.greatest(F.size(toks) - drop, F.lit(1))
+        return docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + shift).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, F.lit(1), keep)).alias("text"),
+        )
+
+    return (
+        docs.select("doc_id", "text")
+        .unionByName(trunc(10, 300000))
+        .unionByName(trunc(20, 600000))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _q_docs_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER resolution (`pipeline/dedup.py::
+    duplicate_clusters`): MinHash-LSH pairs at J>=0.5 over the chained
+    partial-duplicate corpus, resolved to connected components by
+    min-label propagation (each doc labeled with its component's min
+    id).  The DuckDB twin recomputes the exact pair set all-pairs and
+    the components with a recursive CTE — verifying both the pair
+    arithmetic AND the transitive grouping (chains A~B~C where A~C
+    misses the threshold must still land in one cluster)."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_chain(spark, sf_dir)
+    pairs = dedup.near_duplicates(
+        corpus, threshold=0.5, num_hashes=64, bands=32
+    )
+    return (
+        dedup.duplicate_clusters(pairs, id_out="doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_docs_jaccard_pairs(spark, sf_dir):
     """Standalone exact n-gram Jaccard near-dup detection: MinHash-LSH
     candidates (64 hashes / 32 bands => band-match p = J^2, miss prob
@@ -1278,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
+        "docs_dup_clusters": _q_docs_dup_clusters,
         "emb_near_dup_pairs": _q_emb_near_dup_pairs,
         "docs_media_features": _q_docs_media_features,
         "events_hourly_stream": _q_events_hourly_stream,
@@ -1643,6 +1692,51 @@ def oracle_sql() -> dict[str, str]:
             r"   AND 2 * least(len(a.s), len(b.s)) >="
             r"       greatest(len(a.s), len(b.s))"
             r") WHERE ji / ju >= 0.5 ORDER BY 1, 2"
+        ),
+        # pairs recomputed all-pairs (same shingle arithmetic as
+        # docs_jaccard_pairs) over the CHAIN corpus, then connected
+        # components as a recursive-CTE transitive closure with MIN label
+        # per node — the ground truth for min-label propagation
+        "docs_dup_clusters": (
+            r"WITH RECURSIVE corpus AS ("
+            r"  SELECT doc_id, text FROM documents"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 300000,"
+            r"         array_to_string(t[1:greatest(len(t)-10, 1)], ' ')"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents WHERE doc_id < 20)"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 600000,"
+            r"         array_to_string(t[1:greatest(len(t)-20, 1)], ' ')"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents WHERE doc_id < 20)"
+            r"), sh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+4], ' ')"
+            r"     for i in range(1, greatest(len(t)-4, 1)+1)]) AS s"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM corpus)"
+            r"), pairs AS ("
+            r"  SELECT doc_a, doc_b FROM ("
+            r"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            r"           len(list_intersect(a.s, b.s)) AS ji,"
+            r"           len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))"
+            r"             AS ju"
+            r"    FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            r"     AND 2 * least(len(a.s), len(b.s)) >="
+            r"         greatest(len(a.s), len(b.s))"
+            r"  ) WHERE ji / ju >= 0.5"
+            r"), edges AS ("
+            r"  SELECT doc_a AS a, doc_b AS b FROM pairs"
+            r"  UNION SELECT doc_b, doc_a FROM pairs"
+            r"), reach(n, m) AS ("
+            r"  SELECT a, a FROM edges"
+            r"  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a"
+            r") SELECT n AS doc_id, MIN(m) AS cluster FROM reach "
+            r"GROUP BY 1 ORDER BY 1"
         ),
         # byte-histogram features recomputed from hex(content) in pure SQL:
         # byte % 8 == (low hex digit) % 8, so buckets are exact for any

@@ -230,6 +230,7 @@ def main() -> None:
         "events_funnel_windowed",
         "docs_pii_scrub",
         "docs_decontaminate",
+        "docs_dup_clusters",
         "emb_kmeans_profile",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)

@@ -153,6 +153,41 @@ def test_incremental_skew_cap_reported(docs, spark):
     assert 700_000 not in a_ids  # degenerate-bucket copy was capped away
 
 
+def test_duplicate_clusters_components(spark):
+    """Connected components over pair output: chains merge transitively
+    (multi-round propagation), disjoint pairs stay separate, cycles
+    converge, labels are the component minimum."""
+    from tinyolap_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            # a 6-node path planted "backwards" so the min label needs
+            # several propagation rounds to reach the far end
+            (5, 6), (4, 5), (3, 4), (2, 3), (1, 2),
+            # a separate pair
+            (10, 11),
+            # a cycle + chord
+            (20, 21), (21, 22), (22, 20),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc: r.cluster
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+    # max_iter caps propagation: 1 round moves labels one hop only
+    partial = {
+        r.doc: r.cluster
+        for r in dedup.duplicate_clusters(pairs, max_iter=1).collect()
+    }
+    assert partial[6] == 5 and partial[2] == 1
+
+
 def test_corpus_index_release_frees_storage(docs, spark):
     """ADVICE r5: release() must free BOTH the shingle cache and the
     banded frame's storage blocks immediately (not wait for JVM GC)."""

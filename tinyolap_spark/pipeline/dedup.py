@@ -470,6 +470,75 @@ def simhash_near_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+    id_out: str = "doc",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc that
+    appears in a pair labeled with the MINIMUM doc id reachable through
+    the pair graph — the step that turns pairwise near-dup output into
+    deduplicatable GROUPS (keep one representative per cluster; A~B and
+    B~C must land in one group even when A~C itself missed the
+    threshold).
+
+    Min-label propagation: per round, each node takes the min of its own
+    and its neighbors' labels — one join + one map-side-combinable
+    ``min`` aggregate per round, converging in O(graph diameter) rounds.
+    Near-dup clusters are dense and tiny in practice (copies of one
+    source), so diameter is small; ``max_iter`` bounds adversarial
+    chains (for planet-scale adversarial graphs use the two-phase
+    large-star/small-star variant, which squares path lengths away —
+    same per-round plan shape).
+
+    Scale notes: the edge frame and each round's labels are
+    ``localCheckpoint``-ed — an ITERATIVE algorithm's lineage otherwise
+    doubles per round and planning time explodes; blocks are bounded by
+    ``max_iter`` and reclaimed on GC.  Convergence is detected with a
+    driver-sized count of changed labels (labels only decrease).
+    Dangling docs (never in any pair) are trivially their own cluster
+    and are NOT emitted; union them in at the call site if needed.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = sym.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.select(F.col("doc").alias("src"), "lbl"), on="src"
+        ).select(F.col("dst").alias("doc"), "lbl")
+        new_labels = (
+            msgs.unionByName(labels.select("doc", "lbl"))
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc", F.col("lbl").alias("old")), on="doc"
+            )
+            .where(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias(id_out), F.col("lbl").alias(cluster_col)
+    )
+
+
 class CorpusDedupIndex:
     """Reusable corpus side of incremental dedup: banded LSH keys +
     shingle frame, built ONCE and shared across incoming batches (the
