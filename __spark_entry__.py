@@ -747,6 +747,22 @@ def _q_docs_pack_sequences(spark, sf_dir):
     return pack_summary(packed)
 
 
+def _q_docs_pack_payloads(spark, sf_dir):
+    """Pack payload assembly (`pipeline/packing.py::pack_payloads`): the
+    writer step — each pack's documents concatenated in doc order with
+    an EOS separator.  Value-hash parity proves the assembled training
+    sequences are byte-identical to the DuckDB string_agg twin."""
+    from tinyolap_spark.pipeline.packing import pack_documents, pack_payloads
+    from tinyolap_spark.pipeline.sampling import portable_lcg_bucket
+
+    docs = _raw(spark, sf_dir, "documents")
+    packed = pack_documents(
+        docs, budget=256, num_groups=8,
+        group_expr=F.pmod(portable_lcg_bucket("doc_id"), F.lit(8)),
+    )
+    return pack_payloads(packed)
+
+
 def _q_emb_kmeans_profile(spark, sf_dir):
     """K-means assignment kernel (`pipeline/clustering.py:assign`):
     per-cluster sizes of the nearest-centroid assignment against the 8
@@ -1344,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_repetition": _q_docs_repetition,
         "docs_pack_sequences": _q_docs_pack_sequences,
+        "docs_pack_payloads": _q_docs_pack_payloads,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
     }
 
@@ -2014,6 +2031,27 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(FLOOR((cum - n_tokens) / 256) AS INT) AS pack_id, "
             "  COUNT(*) AS n_docs, "
             "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens "
+            "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "docs_pack_payloads": (
+            # same packing decisions as docs_pack_sequences, plus the
+            # assembled payload via ORDER BY inside string_agg
+            "WITH t AS ("
+            "  SELECT doc_id, text, "
+            r"    len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            "    CAST(((doc_id % 1000003) * 1103515245 + 12345) "
+            "      % 2147483648 % 1000000 % 8 AS INT) AS grp "
+            "  FROM documents), "
+            "c AS ("
+            "  SELECT doc_id, text, n_tokens, grp, "
+            "    SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id "
+            "      ROWS UNBOUNDED PRECEDING) AS cum "
+            "  FROM t) "
+            "SELECT grp AS \"group\", "
+            "  CAST(FLOOR((cum - n_tokens) / 256) AS INT) AS pack_id, "
+            "  COUNT(*) AS n_docs, "
+            "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens, "
+            "  string_agg(text, '<|eos|>' ORDER BY doc_id) AS payload "
             "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # emb_kmeans_profile: fixed-centroid assignment (the Lloyd

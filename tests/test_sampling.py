@@ -148,6 +148,42 @@ def test_pack_documents_invariants(spark):
         assert 0 <= r.tokens_before < 100
 
 
+def test_pack_payloads_order_and_separator(spark):
+    """Payload assembly: docs concatenated in id order with the
+    separator, per pack; counts/token sums match pack_summary."""
+    from tinyolap_spark.pipeline.packing import (
+        pack_documents,
+        pack_payloads,
+        pack_summary,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i} " * 40) for i in range(12)], ["doc_id", "text"]
+    ).withColumn("text", F.trim("text"))
+    packed = pack_documents(
+        docs, budget=100, num_groups=1, group_expr=F.lit(0)
+    ).cache()
+    payloads = pack_payloads(packed, sep="<EOS>").collect()
+    summ = {(r.group, r.pack_id): r for r in pack_summary(packed).collect()}
+    assert len(payloads) == len(summ)
+    for r in payloads:
+        s = summ[(r.group, r.pack_id)]
+        assert (r.n_docs, r.pack_tokens) == (s.n_docs, s.pack_tokens)
+        parts = r.payload.split("<EOS>")
+        assert len(parts) == r.n_docs
+        ids = [int(p.split()[0][1:]) for p in parts]
+        assert ids == sorted(ids)  # doc order inside the pack
+    # every doc appears exactly once across all payloads
+    all_ids = [
+        int(p.split()[0][1:])
+        for r in payloads
+        for p in r.payload.split("<EOS>")
+    ]
+    assert sorted(all_ids) == list(range(12))
+    packed.unpersist()
+
+
 def test_pack_documents_string_ids(spark):
     """String doc ids must work (ADVICE r5: the old `% num_groups`
     stride needed numeric ids and threw under ANSI mode)."""

@@ -92,6 +92,41 @@ def pack_documents(
     )
 
 
+def pack_payloads(
+    packed: DataFrame,
+    sep: str = "<|eos|>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assemble each pack's training sequence: documents concatenated in
+    deterministic ``id_col`` order with ``sep`` between them — the
+    writer step after :func:`pack_documents`.
+
+    One shuffle on ``(group, pack_id)``; per-group state is one pack's
+    documents (bounded by ``budget`` tokens + one straddling document by
+    construction, NOT by the corpus), so the collect_list here is safe
+    at any corpus size.  Ordering inside the pack comes from
+    ``array_sort`` over (id, text) structs — shuffle-order independent.
+
+    Returns ``(group, pack_id, n_docs, pack_tokens, payload)``.
+    """
+    doc_structs = F.collect_list(
+        F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+    )
+    payload = F.array_join(
+        F.transform(F.array_sort(doc_structs), lambda x: x["t"]), sep
+    )
+    return (
+        packed.groupBy("group", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            payload.alias("payload"),
+        )
+        .orderBy("group", "pack_id")
+    )
+
+
 def pack_summary(packed: DataFrame) -> DataFrame:
     """Per-pack audit: document count and token sum (one shuffle with
     map-side combine) — the fill-rate report for a packing run."""
