@@ -1075,6 +1075,27 @@ def _q_docs_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_docs_neardedup_survivors(spark, sf_dir):
+    """End-to-end NEAR-dedup: LSH pairs -> connected components ->
+    one min-id representative per cluster (`dedup.cluster_survivors`).
+    Returns surviving doc ids + each survivor's token count so the hash
+    also checks which TEXT survived."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_chain(spark, sf_dir)
+    pairs = dedup.near_duplicates(
+        corpus, threshold=0.5, num_hashes=64, bands=32
+    )
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = dedup.cluster_survivors(corpus, clusters)
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    )
+    return kept.select(
+        "doc_id", n_tokens.alias("n_tokens")
+    ).orderBy("doc_id")
+
+
 def _q_docs_jaccard_pairs(spark, sf_dir):
     """Standalone exact n-gram Jaccard near-dup detection: MinHash-LSH
     candidates (64 hashes / 32 bands => band-match p = J^2, miss prob
@@ -1343,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
         "docs_dup_clusters": _q_docs_dup_clusters,
+        "docs_neardedup_survivors": _q_docs_neardedup_survivors,
         "emb_near_dup_pairs": _q_emb_near_dup_pairs,
         "docs_media_features": _q_docs_media_features,
         "events_hourly_stream": _q_events_hourly_stream,
@@ -1754,6 +1776,56 @@ def oracle_sql() -> dict[str, str]:
             r"  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a"
             r") SELECT n AS doc_id, MIN(m) AS cluster FROM reach "
             r"GROUP BY 1 ORDER BY 1"
+        ),
+        # survivors = chain corpus minus every node whose component label
+        # differs from its own id (same recursive closure as
+        # docs_dup_clusters); n_tokens re-checks WHICH text survived
+        "docs_neardedup_survivors": (
+            r"WITH RECURSIVE corpus AS ("
+            r"  SELECT doc_id, text FROM documents"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 300000,"
+            r"         array_to_string(t[1:greatest(len(t)-10, 1)], ' ')"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents WHERE doc_id < 20)"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 600000,"
+            r"         array_to_string(t[1:greatest(len(t)-20, 1)], ' ')"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents WHERE doc_id < 20)"
+            r"), sh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+4], ' ')"
+            r"     for i in range(1, greatest(len(t)-4, 1)+1)]) AS s"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM corpus)"
+            r"), pairs AS ("
+            r"  SELECT doc_a, doc_b FROM ("
+            r"    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+            r"           len(list_intersect(a.s, b.s)) AS ji,"
+            r"           len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))"
+            r"             AS ju"
+            r"    FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            r"     AND 2 * least(len(a.s), len(b.s)) >="
+            r"         greatest(len(a.s), len(b.s))"
+            r"  ) WHERE ji / ju >= 0.5"
+            r"), edges AS ("
+            r"  SELECT doc_a AS a, doc_b AS b FROM pairs"
+            r"  UNION SELECT doc_b, doc_a FROM pairs"
+            r"), reach(n, m) AS ("
+            r"  SELECT a, a FROM edges"
+            r"  UNION SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a"
+            r"), comp AS ("
+            r"  SELECT n, MIN(m) AS cluster FROM reach GROUP BY 1"
+            r") SELECT c.doc_id, CAST(len(regexp_extract_all(c.text,"
+            r" '\S+')) AS INT) AS n_tokens"
+            r"  FROM corpus c"
+            r"  WHERE c.doc_id NOT IN ("
+            r"    SELECT n FROM comp WHERE n != cluster)"
+            r"  ORDER BY 1"
         ),
         # byte-histogram features recomputed from hex(content) in pure SQL:
         # byte % 8 == (low hex digit) % 8, so buckets are exact for any

@@ -539,6 +539,26 @@ def duplicate_clusters(
     )
 
 
+def cluster_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_id_col: str = "doc",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Keep ONE representative per near-dup cluster: drop every document
+    whose cluster label differs from its own id (the representative IS
+    the min-id member, so exactly one survives per component; docs in no
+    cluster pass through untouched).  The anti-join key set is
+    duplicate-sized, not corpus-sized.  Composes
+    :func:`near_duplicates` -> :func:`duplicate_clusters` -> this into
+    the full near-dedup pipeline."""
+    losers = clusters.where(
+        F.col(cluster_id_col) != F.col(cluster_col)
+    ).select(F.col(cluster_id_col).alias(id_col))
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
 class CorpusDedupIndex:
     """Reusable corpus side of incremental dedup: banded LSH keys +
     shingle frame, built ONCE and shared across incoming batches (the
