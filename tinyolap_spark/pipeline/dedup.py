@@ -35,9 +35,9 @@ def _report_capped(
     """Quantify recall loss from the skew cap (VERDICT r5 #4): one small
     aggregation over the (band, bucket, sz) frame counting dropped
     buckets and the doc-band memberships inside them.  Opt-in (``stats``
-    dict supplied by the caller) because it costs one extra job; always
-    logged at WARNING when non-zero so silent truncation is visible in
-    driver logs even without the dict."""
+    dict supplied by the caller) because the count costs one extra job;
+    when opted in, a non-zero drop is ALSO logged at WARNING so it lands
+    in driver logs."""
     if stats is None:
         return
     row = (
@@ -255,7 +255,7 @@ def minhash_lsh_candidates(
     blowup in degenerate buckets (boilerplate); capped buckets are
     DROPPED — pass a dict as ``capped_stats`` to get
     ``{"capped_buckets", "capped_doc_bands"}`` filled in (one extra small
-    job), and any non-zero drop is logged at WARNING regardless.
+    job; a non-zero drop is also logged at WARNING).
 
     ``checkpoint`` (default True) eagerly materializes the banded frame
     (``localCheckpoint``): it runs a Spark job AT CALL TIME and its
