@@ -747,6 +747,39 @@ def _q_docs_pack_sequences(spark, sf_dir):
     return pack_summary(packed)
 
 
+def _q_docs_training_mixture(spark, sf_dir):
+    """Training-mixture composition (`pipeline/mixture.py`): two sources
+    (even/odd doc ids) mixed 3:1 at a target of 1.5x the corpus tokens —
+    source a over-subscribes (2 full epochs + a partial), source b
+    down-samples (single partial epoch).  Per-(source, epoch) doc and
+    token counts; the DuckDB twin recomputes the shares, epoch counts,
+    fractional cutoffs, and LCG-bucket membership with identical IEEE
+    arithmetic."""
+    from tinyolap_spark.pipeline.mixture import (
+        compose_mixture,
+        mixture_report,
+    )
+    from tinyolap_spark.pipeline.sampling import portable_lcg_bucket
+
+    docs = _raw(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    )
+    total = int(
+        docs.agg(F.sum(n_tokens.cast("long")).alias("t")).collect()[0]["t"]
+    )
+    mix = compose_mixture(
+        {
+            "a": docs.where(F.col("doc_id") % 2 == 0),
+            "b": docs.where(F.col("doc_id") % 2 == 1),
+        },
+        {"a": 3.0, "b": 1.0},
+        target_tokens=(3 * total) // 2,
+        hash_col=portable_lcg_bucket("doc_id"),
+    )
+    return mixture_report(mix)
+
+
 def _q_docs_pack_payloads(spark, sf_dir):
     """Pack payload assembly (`pipeline/packing.py::pack_payloads`): the
     writer step — each pack's documents concatenated in doc order with
@@ -1383,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_pack_payloads": _q_docs_pack_payloads,
+        "docs_training_mixture": _q_docs_training_mixture,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
     }
 
@@ -2104,6 +2138,46 @@ def oracle_sql() -> dict[str, str]:
             "  COUNT(*) AS n_docs, "
             "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens "
             "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # shares/epochs/cutoffs recomputed with the IDENTICAL double
+        # arithmetic (share = (double(target) * w) / Σw; epochs =
+        # floor(share/avail); cutoff = floor(frac * 1e6)); membership is
+        # the portable-LCG bucket < cutoff
+        "docs_training_mixture": (
+            r"WITH t AS ("
+            r"  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS nt,"
+            r"         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS src,"
+            r"         (((doc_id % 1000003) * 1103515245 + 12345)"
+            r"          % 2147483648) % 1000000 AS b"
+            r"  FROM documents), "
+            r"tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS T FROM t), "
+            r"avail AS ("
+            r"  SELECT src, CAST(SUM(nt) AS BIGINT) AS av FROM t GROUP BY 1), "
+            r"plan AS ("
+            r"  SELECT a.src, a.av,"
+            r"         (CAST((3 * T) // 2 AS DOUBLE) *"
+            r"          (CASE WHEN a.src = 'a' THEN 3.0 ELSE 1.0 END)) / 4.0"
+            r"           AS share"
+            r"  FROM avail a CROSS JOIN tot), "
+            r"plan2 AS ("
+            r"  SELECT src, av,"
+            r"         CAST(FLOOR(share / av) AS INT) AS epochs,"
+            r"         CAST(FLOOR((share / av - FLOOR(share / av)) * 1000000)"
+            r"           AS BIGINT) AS cutoff"
+            r"  FROM plan), "
+            r"full_epochs AS ("
+            r"  SELECT t.src, CAST(u.e AS INT) AS epoch, t.nt"
+            r"  FROM t JOIN plan2 p ON t.src = p.src,"
+            r"       LATERAL unnest(range(0, p.epochs)) u(e)), "
+            r"partial AS ("
+            r"  SELECT t.src, p.epochs AS epoch, t.nt"
+            r"  FROM t JOIN plan2 p ON t.src = p.src"
+            r"  WHERE t.b < p.cutoff) "
+            r"SELECT src AS source, epoch, COUNT(*) AS n_docs,"
+            r"       CAST(SUM(nt) AS BIGINT) AS n_tokens "
+            r"FROM (SELECT * FROM full_epochs"
+            r"      UNION ALL SELECT * FROM partial) m "
+            r"GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "docs_pack_payloads": (
             # same packing decisions as docs_pack_sequences, plus the

@@ -231,6 +231,7 @@ def main() -> None:
         "docs_pii_scrub",
         "docs_decontaminate",
         "docs_dup_clusters",
+        "docs_training_mixture",
         "emb_kmeans_profile",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)

@@ -148,6 +148,68 @@ def test_pack_documents_invariants(spark):
         assert 0 <= r.tokens_before < 100
 
 
+def test_compose_mixture_epochs_and_rates(spark):
+    """Mixture composition: over-subscribed source repeats in full
+    epochs + a deterministic partial; under-subscribed source
+    down-samples; delivered tokens track the weighted shares; stats
+    report the plan; invalid inputs fail loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tinyolap_spark.pipeline.mixture import (
+        compose_mixture,
+        mixture_report,
+        source_token_stats,
+    )
+
+    a = spark.createDataFrame(
+        [(i, "tok " * 10) for i in range(40)], ["doc_id", "text"]
+    ).withColumn("text", F.trim("text"))
+    b = spark.createDataFrame(
+        [(i, "tok " * 10) for i in range(100, 300)], ["doc_id", "text"]
+    ).withColumn("text", F.trim("text"))
+    stats = source_token_stats({"a": a, "b": b})
+    assert stats == {"a": (40, 400), "b": (200, 2000)}
+
+    plan = {}
+    # total budget 3000, weights 2:1 -> a gets 2000 (5 epochs of 400),
+    # b gets 1000 (rate 0.5 of 2000)
+    mix = compose_mixture(
+        {"a": a, "b": b}, {"a": 2.0, "b": 1.0}, 3000, stats=plan
+    )
+    assert plan["a"]["epochs"] == 5 and plan["a"]["partial_rate"] == 0.0
+    assert plan["b"]["epochs"] == 0
+    assert abs(plan["b"]["partial_rate"] - 0.5) < 1e-12
+    rep = {
+        (r.source, r.epoch): (r.n_docs, r.n_tokens)
+        for r in mixture_report(mix).collect()
+    }
+    # a: exactly 5 full epochs, each complete
+    for ep in range(5):
+        assert rep[("a", ep)] == (40, 400)
+    assert ("a", 5) not in rep
+    # b: one partial epoch, tokens within 20% of the 1000 share (hash
+    # buckets approximate the rate)
+    (nb, tb) = rep[("b", 0)]
+    assert 800 <= tb <= 1200 and nb == tb // 10
+    # deterministic: identical on re-run
+    rep2 = {
+        (r.source, r.epoch): (r.n_docs, r.n_tokens)
+        for r in mixture_report(
+            compose_mixture({"a": a, "b": b}, {"a": 2.0, "b": 1.0}, 3000)
+        ).collect()
+    }
+    assert rep2 == rep
+
+    with _pytest.raises(ValueError):
+        compose_mixture({"a": a}, {}, 100)  # missing weight
+    with _pytest.raises(ValueError):
+        compose_mixture({"a": a}, {"a": 0.0}, 100)  # zero total weight
+    empty = a.where(F.lit(False))
+    with _pytest.raises(ValueError):
+        compose_mixture({"e": empty}, {"e": 1.0}, 100)  # empty mixture
+
+
 def test_pack_payloads_order_and_separator(spark):
     """Payload assembly: docs concatenated in id order with the
     separator, per pack; counts/token sums match pack_summary."""
