@@ -452,6 +452,54 @@ def test_image_decoder_real_png_through_extract_features(spark):
     assert abs(f[7] - max(pixels) / 255.0) < 1e-9
 
 
+def test_image_phash_near_dup_pairs(spark):
+    """Perceptual-hash image dedup on REAL PNGs: an exact re-encode and a
+    2x downscale of the same picture land within Hamming 3 of the base;
+    an unrelated picture does not; undecodable bytes are excluded."""
+    from tinyolap_spark.pipeline import multimodal
+
+    w = h = 64
+
+    def gray_png(f, width=w, height=h):
+        return _encode_png(
+            width,
+            height,
+            [[f(x, y) for x in range(width)] for y in range(height)],
+            color_type=0,
+        )
+
+    base_f = lambda x, y: (x * 4 + y * 2) % 256  # noqa: E731
+    base = gray_png(base_f)
+    re_encoded = gray_png(base_f)  # identical pixels -> hamming 0
+    # 2x downscale of the same gradient: block means survive -> near
+    small = gray_png(lambda x, y: (x * 8 + y * 4) % 256, 32, 32)
+    # unrelated: vertical stripes flip most blocks
+    other = gray_png(lambda x, y: 255 if (x // 8) % 2 else 0)
+    rows = [
+        (1, "image", base, "image/png", None, None, None),
+        (2, "image", re_encoded, "image/png", None, None, None),
+        (3, "image", small, "image/png", None, None, None),
+        (4, "image", other, "image/png", None, None, None),
+        (5, "image", b"not a png", "image/png", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    ph = multimodal.image_phash(media).cache()
+    got = {r.media_id: r for r in ph.collect()}
+    assert got[1].ok and got[2].ok and got[3].ok and got[4].ok
+    assert not got[5].ok  # undecodable
+    assert got[1].phash == got[2].phash  # identical pixels, same hash
+
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in multimodal.phash_near_pairs(ph, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # scale-invariant within the band budget
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    assert all(5 not in p for p in pairs)
+    ph.unpersist()
+
+
 def test_image_decoder_png_filters_roundtrip():
     """Sub/Up/Average/Paeth filtered scanlines all unfilter correctly —
     encode with explicit per-row filters and compare to the flat image."""

@@ -384,3 +384,99 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "video").mapInPandas(run, schema=schema)
+
+
+def image_phash(
+    media: DataFrame,
+    decoder: "Optional[ImageDecoder]" = None,
+    grid: int = 8,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """64-bit perceptual hash per image (average-hash family): decode to
+    grayscale, block-average to an ``grid x grid`` raster, bit = block
+    mean above the raster mean.  Robust to re-encoding, scaling, and
+    small local edits — the image twin of text SimHash.  (The DCT pHash
+    variant swaps the block-average for a DCT low-band; same plumbing.)
+
+    One Arrow pass (real decode via PIL or the stdlib PNG path), binary
+    never leaves the pass — the shuffle-ready output is
+    ``(id_col, phash long, ok boolean)`` with ``ok=False`` for media the
+    decoder cannot produce pixels for (undecodable, or smaller than the
+    raster)."""
+    dec = decoder or ImageDecoder()
+
+    def run(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                phash, ok = 0, False
+                decoded = None
+                if content is not None:
+                    decoded = dec._pil_decode(bytes(content)) or (
+                        decode_png_pixels(bytes(content))
+                    )
+                if decoded is not None:
+                    pixels, w, h, ch = decoded
+                    arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
+                    if arr.size == w * h:  # already grayscale
+                        g = arr.reshape(h, w).astype(np.float64)
+                    elif arr.size == w * h * ch and ch:
+                        g = (
+                            arr.reshape(h, w, ch)
+                            .astype(np.float64)
+                            .mean(axis=2)
+                        )
+                    else:
+                        g = None
+                    if g is not None and w >= grid and h >= grid:
+                        ys = (np.arange(grid + 1) * h) // grid
+                        xs = (np.arange(grid + 1) * w) // grid
+                        blocks = np.array(
+                            [
+                                [
+                                    g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                                    for j in range(grid)
+                                ]
+                                for i in range(grid)
+                            ]
+                        )
+                        bits = (blocks > blocks.mean()).flatten()
+                        phash = 0
+                        for b in bits:
+                            phash = (phash << 1) | int(b)
+                        if phash >= 1 << 63:  # store as signed 64-bit
+                            phash -= 1 << 64
+                        ok = True
+                ids.append(mid)
+                hashes.append(phash)
+                oks.append(ok)
+            yield pd.DataFrame(
+                {id_col: ids, "phash": hashes, "ok": oks}
+            )
+
+    return media.mapInPandas(run, f"{id_col} long, phash long, ok boolean")
+
+
+def phash_near_pairs(
+    phashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    reuses the text-SimHash pigeonhole banding (4x16-bit chunks: any
+    pair within distance 3 shares an exact chunk), so candidate
+    generation is 4 equality bucket-joins, never all-pairs.  Undecodable
+    media (``ok=False``) are excluded.  Returns
+    ``(media_a, media_b, hamming)``."""
+    from .dedup import simhash_near_pairs
+
+    sim = phashes.where(F.col("ok")).select(
+        F.col(id_col), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(sim, max_hamming=max_hamming, id_col=id_col).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )
