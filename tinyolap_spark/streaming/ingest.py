@@ -293,6 +293,102 @@ def attribution_stream(
     )
 
 
+def funnel_stream(
+    stream: DataFrame,
+    steps: "list[str]",
+    max_gap_sec: "int | None" = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    timeout_minutes: "int | None" = None,
+) -> DataFrame:
+    """Streaming ordered funnel — the stateful twin of
+    ``pipeline.events.funnel_stages`` via ``applyInPandasWithState``.
+
+    State per user is TWO numbers (current stage + the matched step's
+    timestamp in microseconds), bounded by user cardinality regardless
+    of event volume.  Within a micro-batch events process in
+    (event-time, type) order — the batch scan's exact ordering — and in
+    arrival order across batches, so a time-ordered feed reproduces the
+    batch operator exactly (the same processing-time caveat as
+    :func:`attribution_stream`: a step arriving after a later-batch
+    event cannot be matched retroactively).  ``max_gap_sec`` applies the
+    conversion-window constraint with the same microsecond comparisons
+    as the batch scan.
+
+    Emits ``(user_col, stage)`` whenever a user's stage ADVANCES in a
+    micro-batch; stage is monotone non-decreasing, so a user's final
+    stage is the MAX emitted (users stuck at stage 0 never emit).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{user_col} long, stage int"
+    state_schema = "stage int, last_us long"
+    n = len(steps)
+    gap_us = None if max_gap_sec is None else int(max_gap_sec) * 1_000_000
+
+    ev = stream.where(
+        F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(type_col).alias("tp"),
+    )
+    steps_list = list(steps)
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stage, last_us = (state.get if state.exists else (0, None))
+        if last_us is not None and last_us < 0:
+            last_us = None  # sentinel for "no match yet"
+        start_stage = stage
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            for r in whole.sort_values(["ts_us", "tp"]).itertuples(
+                index=False
+            ):
+                if stage >= n:
+                    break
+                if steps_list[stage] != r.tp:
+                    continue
+                ts_us = int(r.ts_us)
+                if last_us is not None:
+                    if ts_us <= last_us:
+                        continue  # strictly-after rule
+                    if gap_us is not None and ts_us > last_us + gap_us:
+                        continue  # outside the conversion window
+                stage += 1
+                last_us = ts_us
+        state.update((int(stage), -1 if last_us is None else int(last_us)))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if stage > start_stage:
+            yield pd.DataFrame(
+                {user_col: [int(key[0])], "stage": [int(stage)]}
+            )
+
+    return ev.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap: str = "30 minutes",
