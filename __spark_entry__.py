@@ -747,6 +747,35 @@ def _q_docs_pack_sequences(spark, sf_dir):
     return pack_summary(packed)
 
 
+def _q_docs_domain_counts(spark, sf_dir):
+    """URL/domain curation (`pipeline/text.py::domain_counts`): the
+    corpus is clean of URLs, so deterministic ones are planted per doc
+    (mixed case, www., paths) and the domain histogram computed —
+    scheme/www stripping and per-domain doc/url counts value-checked
+    against the identical RE2-subset regexes in DuckDB."""
+    from tinyolap_spark.pipeline.text import domain_counts
+
+    docs = _raw(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" visit https://Spam-Site.example/promo now"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(
+                    " see http://www.Docs.Example.org/ref plus"
+                    " https://spam-site.example/again ok"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_counts(salted)
+
+
 def _q_docs_training_mixture(spark, sf_dir):
     """Training-mixture composition (`pipeline/mixture.py`): two sources
     (even/odd doc ids) mixed 3:1 at a target of 1.5x the corpus tokens —
@@ -1417,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_pack_payloads": _q_docs_pack_payloads,
         "docs_training_mixture": _q_docs_training_mixture,
+        "docs_domain_counts": _q_docs_domain_counts,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
     }
 
@@ -2138,6 +2168,29 @@ def oracle_sql() -> dict[str, str]:
             "  COUNT(*) AS n_docs, "
             "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens "
             "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # identical salt + identical RE2-subset URL regex; scheme/www
+        # stripped inside list_transform
+        "docs_domain_counts": (
+            r"WITH salted AS ("
+            r"  SELECT doc_id, text ||"
+            r"    CASE WHEN doc_id % 5 = 0 THEN"
+            r"      ' visit https://Spam-Site.example/promo now'"
+            r"    ELSE '' END ||"
+            r"    CASE WHEN doc_id % 7 = 0 THEN"
+            r"      ' see http://www.Docs.Example.org/ref plus"
+            r" https://spam-site.example/again ok'"
+            r"    ELSE '' END AS text"
+            r"  FROM documents), "
+            r"d AS ("
+            r"  SELECT doc_id, regexp_replace(regexp_replace(lower(u),"
+            r"    '^https?://', ''), '^www\.', '') AS domain"
+            r"  FROM salted,"
+            r"  LATERAL unnest(regexp_extract_all(text,"
+            r"    'https?://[^\s/]+')) t(u)) "
+            r"SELECT domain, COUNT(DISTINCT doc_id) AS n_docs,"
+            r" COUNT(*) AS n_urls "
+            r"FROM d GROUP BY 1 ORDER BY 1"
         ),
         # shares/epochs/cutoffs recomputed with the IDENTICAL double
         # arithmetic (share = (double(target) * w) / Σw; epochs =

@@ -649,6 +649,11 @@ def main() -> None:
             lambda: q1["docs_decontaminate"](spark, sf1_dir).collect(),
             reps=2,
         )
+        timed(
+            "sf1_docs_dup_clusters",
+            lambda: q1["docs_dup_clusters"](spark, sf1_dir).collect(),
+            reps=2,
+        )
         sc1.cube._fact.unpersist(blocking=True)
 
         # huge at 10M records (10x the baseline workload's 1M).  Two reps
@@ -696,6 +701,7 @@ def main() -> None:
             ("docs_minhash_pairs", "sf1_docs_minhash_pairs"),
             ("events_attribution", "sf1_events_attribution"),
             ("docs_decontaminate", "sf1_docs_decontaminate"),
+            ("docs_dup_clusters", "sf1_docs_dup_clusters"),
             ("huge_load_1m_records", "sf1_huge_load_10m_records"),
             ("huge_agg_reads_100_batched", "sf1_huge_agg_reads_100_batched"),
         ]:

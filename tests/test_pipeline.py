@@ -735,3 +735,46 @@ def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
     assert set(
         r["cell"] for r in probe.select("cell").distinct().collect()
     ) <= {1, 3}
+
+
+def test_url_domains_and_filter(spark):
+    """Domain extraction normalizes scheme/case/www; the blocklist
+    keep-mask is a pure stateless per-row expression (streaming-safe,
+    same contract as contamination_filter)."""
+    from tinyolap_spark.pipeline import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "go to HTTPS://WWW.Foo.Example/a and http://bar.org/b"),
+            (2, "no urls here"),
+            (3, "dup https://foo.example/x https://foo.example/y"),
+        ],
+        ["doc_id", "text"],
+    )
+    doms = {
+        r.doc_id: sorted(r.d)
+        for r in docs.select(
+            "doc_id", text_ops.url_domains().alias("d")
+        ).collect()
+    }
+    # NB: regex scheme match is case-sensitive lowercase per RE2-subset
+    # discipline — uppercase HTTPS:// is not a URL match
+    assert doms[1] == ["bar.org"]
+    assert doms[2] == []
+    assert doms[3] == ["foo.example", "foo.example"]
+    counts = {
+        r.domain: (r.n_docs, r.n_urls)
+        for r in text_ops.domain_counts(docs).collect()
+    }
+    assert counts == {"bar.org": (1, 1), "foo.example": (1, 2)}
+    kept = {
+        r.doc_id
+        for r in docs.where(text_ops.domain_filter(["foo.example"])).collect()
+    }
+    assert kept == {1, 2}
+    # plan: zero shuffle for the filter (pure per-row expression)
+    plan = (
+        docs.where(text_ops.domain_filter(["foo.example"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

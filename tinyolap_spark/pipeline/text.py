@@ -226,6 +226,61 @@ def pii_counts(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+# URL pattern: same Java/RE2 common-subset discipline as PII_PATTERNS
+# so the identical pattern runs in Spark and the DuckDB oracle.
+URL_PATTERN = r"https?://[^\s/]+"
+
+
+def url_domains(text_col: str = "text") -> Column:
+    """Array of lowercased registrable-ish domains mentioned in the
+    document (scheme and ``www.`` stripped, port kept off by the host
+    charset) — the per-row half of domain-level corpus curation.  Pure
+    JVM regex expressions, no shuffle."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    return F.transform(
+        urls,
+        lambda u: F.regexp_replace(
+            F.regexp_replace(F.lower(u), r"^https?://", ""),
+            r"^www\.",
+            "",
+        ),
+    )
+
+
+def domain_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide domain histogram: ``(domain, n_docs, n_urls)`` —
+    the audit behind URL-blocklist curation.  One explode + one
+    map-side-combined aggregate; only (id, domain) pairs shuffle."""
+    exploded = docs.select(
+        F.col(id_col), F.explode(url_domains(text_col)).alias("domain")
+    )
+    return (
+        exploded.groupBy("domain")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+        .orderBy("domain")
+    )
+
+
+def domain_filter(
+    blocklist: "list[str]", text_col: str = "text"
+) -> Column:
+    """Join-free keep-mask: True when the document mentions NO
+    blocklisted domain.  Literal-array intersection per row — zero
+    shuffle, stateless, STREAMING-SAFE (same contract as
+    ``decontam.contamination_filter``).  For blocklists too large to
+    ship as a literal, anti-join ``domain_counts`` output instead."""
+    blocked = F.lit([d.lower() for d in blocklist]).cast("array<string>")
+    return (
+        F.size(F.array_intersect(F.array_distinct(url_domains(text_col)), blocked))
+        == 0
+    )
+
+
 def repetition_features(
     text_col: str = "text", line_sep: str = "\n", ngram: int = 2
 ) -> dict[str, Column]:
