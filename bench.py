@@ -232,6 +232,7 @@ def main() -> None:
         "docs_decontaminate",
         "docs_dup_clusters",
         "docs_training_mixture",
+        "docs_domain_counts",
         "emb_kmeans_profile",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)

@@ -151,3 +151,25 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_compose_mixture_plan_is_narrow(spark):
+    """The assembled mixture (before any report aggregate) must be a
+    narrow plan: filters + explodes + union, NO Exchange — membership
+    and epoch replication are per-row decisions."""
+    from pyspark.sql import functions as F
+
+    from tinyolap_spark.pipeline.mixture import compose_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10) for i in range(50)], ["doc_id", "text"]
+    ).withColumn("text", F.trim("text"))
+    mix = compose_mixture(
+        {"a": docs.where(F.col("doc_id") % 2 == 0),
+         "b": docs.where(F.col("doc_id") % 2 == 1)},
+        {"a": 2.0, "b": 1.0},
+        1500,
+    )
+    plan = mix._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
