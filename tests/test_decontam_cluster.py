@@ -524,3 +524,40 @@ def test_corpus_dedup_index_reuse(docs, spark):
             )
     finally:
         idx2.release()
+
+
+def test_corpus_dedup_index_save_load(docs, spark, tmp_path):
+    """A saved index reloads with identical parameters and produces the
+    identical pair set — the restart path of a long-lived ingestion
+    service (no corpus re-shingling)."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = docs.where(F.col("doc_id") < 200)
+    idx = dedup.CorpusDedupIndex(corpus, bands=8, num_hashes=32)
+    idx.save(str(tmp_path / "ix"))
+    batch = (
+        corpus.where(F.col("doc_id") < 6)
+        .withColumn("doc_id", F.col("doc_id") + 700_000)
+    )
+    before = sorted(
+        (r.doc_a, r.doc_b)
+        for r in dedup.near_duplicates_against(
+            batch, idx, threshold=0.999, bands=8, num_hashes=32
+        ).collect()
+    )
+    idx.release()
+    idx2 = dedup.CorpusDedupIndex.load(spark, str(tmp_path / "ix"))
+    try:
+        assert (idx2.num_hashes, idx2.bands, idx2.shingle_n) == (32, 8, 5)
+        after = sorted(
+            (r.doc_a, r.doc_b)
+            for r in dedup.near_duplicates_against(
+                batch, idx2, threshold=0.999, bands=8, num_hashes=32
+            ).collect()
+        )
+        assert before == after
+        assert {(i + 700_000, i) for i in range(6)} <= set(after)
+        with pytest.raises(ValueError):  # param guard survives reload
+            dedup.near_duplicates_against(batch, idx2, bands=16)
+    finally:
+        idx2.release()

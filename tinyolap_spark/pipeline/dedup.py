@@ -594,6 +594,35 @@ class CorpusDedupIndex:
         self.shingles.unpersist()
         self.banded.unpersist()
 
+    def save(self, path: str) -> None:
+        """Persist the index to ``path`` (parquet shingles + banded keys
+        + a params record) so a NEW driver resumes ingestion without
+        re-shingling the corpus — at 100 TB the corpus pass dominates
+        index construction, and an ingestion service restarting daily
+        must not repeat it.  Plain parquet: splittable, any filesystem
+        Spark can reach."""
+        spark = self.shingles.sparkSession
+        self.shingles.write.mode("overwrite").parquet(f"{path}/shingles")
+        self.banded.write.mode("overwrite").parquet(f"{path}/banded")
+        spark.createDataFrame(
+            [(self.num_hashes, self.bands, self.shingle_n)],
+            "num_hashes int, bands int, shingle_n int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CorpusDedupIndex":
+        """Reopen a saved index: shingles/banded read back and persisted,
+        parameters restored (so the parameter-mismatch guard in
+        :func:`near_duplicates_against` still applies)."""
+        obj = cls.__new__(cls)
+        p = spark.read.parquet(f"{path}/params").collect()[0]
+        obj.num_hashes, obj.bands = int(p["num_hashes"]), int(p["bands"])
+        obj.shingle_n = int(p["shingle_n"])
+        obj.shingles = spark.read.parquet(f"{path}/shingles").persist()
+        obj.banded = spark.read.parquet(f"{path}/banded").persist()
+        obj.banded.count()
+        return obj
+
 
 def near_duplicates_against(
     new_docs: DataFrame,
