@@ -85,6 +85,96 @@ class DecoderStub:
         return [c / total for c in counts]
 
 
+def decode_wav_samples(
+    content: bytes,
+) -> "Optional[tuple[list[float], int, int]]":
+    """Pure-stdlib RIFF/WAVE PCM decode -> (samples in [-1, 1],
+    sample_rate, n_channels); channels are averaged to mono.
+
+    Supports the uncompressed common case: PCM (format 1) at 8 or 16
+    bits.  Compressed codecs (MP3/AAC/FLAC) genuinely need a codec and
+    return None — same contract as the PNG-vs-JPEG split on the image
+    side."""
+    import struct
+
+    if (
+        content is None
+        or len(content) < 44
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return None
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or n_ch < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // 2
+        ints = struct.unpack(f"<{n}h", data[: n * 2])
+        vals = [x / 32768.0 for x in ints]
+    else:  # 8-bit PCM is unsigned
+        vals = [(x - 128) / 128.0 for x in data]
+    if n_ch > 1:
+        vals = [
+            sum(vals[i:i + n_ch]) / n_ch
+            for i in range(0, len(vals) - n_ch + 1, n_ch)
+        ]
+    return vals, rate, n_ch
+
+
+class AudioDecoder:
+    """REAL audio decode inside ``mapInPandas`` (the WAV twin of
+    ``ImageDecoder``): pure-stdlib RIFF/PCM parsing — real samples, real
+    statistics — for the uncompressed container; compressed codecs fall
+    back to ``strict`` raise / zero features, marking the integration
+    point for a real codec (ffmpeg/torchaudio).
+
+    Feature layout (``dim >= 8``, zero-padded):
+    ``[sample_rate, n_channels, n_samples, has_samples, mean, rms,
+    min, max]`` over the mono-averaged signal."""
+
+    def __init__(self, strict: bool = False, dim: int = 8):
+        self.strict = strict
+        self.dim = max(8, dim)
+
+    def decode_features(self, content: Optional[bytes]) -> list[float]:
+        feat = [0.0] * self.dim
+        if content is None:
+            return feat
+        decoded = decode_wav_samples(bytes(content))
+        if decoded is not None:
+            vals, rate, n_ch = decoded
+            n = len(vals)
+            mean = sum(vals) / n if n else 0.0
+            rms = (sum(v * v for v in vals) / n) ** 0.5 if n else 0.0
+            feat[:8] = [
+                float(rate), float(n_ch), float(n), 1.0,
+                mean, rms,
+                min(vals) if n else 0.0,
+                max(vals) if n else 0.0,
+            ]
+            return feat
+        if self.strict:
+            raise NotImplementedError(
+                f"unrecognized audio container "
+                f"(magic {content[:4]!r}); plug a codec here"
+            )
+        return feat
+
+
 def _png_chunks(b: bytes):
     pos = 8
     while pos + 8 <= len(b):
