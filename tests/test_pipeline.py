@@ -849,3 +849,38 @@ def test_audio_decoder_real_wav_through_extract_features(spark):
     vals, rate, n_ch = multimodal.decode_wav_samples(mono8)
     assert (rate, n_ch) == (8000, 1)
     assert abs(vals[1] - 0.496) < 0.01 and abs(vals[2] + 0.5) < 0.01
+
+
+def test_degenerate_inputs_graceful(spark):
+    """Empty corpora and content-empty documents flow through the dedup/
+    packing surface without errors; NULL/empty/whitespace texts form ONE
+    duplicate cluster (documented semantics) and real docs are
+    unaffected."""
+    from tinyolap_spark.pipeline import dedup
+    from tinyolap_spark.pipeline.packing import pack_documents
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "one"), (5, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    assert dedup.near_duplicates(empty).count() == 0
+    assert dedup.near_duplicates_against(weird, empty).count() == 0
+    assert dedup.near_duplicates_against(empty, weird).count() == 0
+    assert dedup.duplicate_clusters(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).count() == 0
+    assert pack_documents(empty).count() == 0
+    assert pack_documents(weird).count() == 5
+
+    pairs = dedup.near_duplicates(weird, threshold=0.999)
+    clusters = {
+        r.doc: r.cluster
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1}  # the content-empty trio
+    kept = {
+        r.doc_id
+        for r in dedup.cluster_survivors(weird, dedup.duplicate_clusters(pairs)).collect()
+    }
+    assert kept == {1, 4, 5}

@@ -356,6 +356,12 @@ def near_duplicates(
 ) -> DataFrame:
     """MinHash-LSH candidates -> exact Jaccard verification.
 
+    Content-empty documents (NULL, empty, or whitespace-only text) all
+    normalize to the same empty-content shingle and therefore pair with
+    each other at jaccard 1.0 — deliberate: empty documents ARE
+    duplicates of one another in a dedup pass.  Filter them upstream
+    (e.g. a min-token quality gate) if they should be exempt.
+
     The shingle frame is computed/persisted ONCE and shared by signature
     generation and verification.  With ``cleanup`` (default) the pair
     result — orders of magnitude smaller than the shingle frame — is
