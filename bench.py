@@ -316,6 +316,83 @@ def main() -> None:
 
     guarded("ann_section", ann_section)
 
+    # ---- streaming near-dedup ingestion: 2 micro-batches against a
+    # prebuilt CorpusDedupIndex (the ingestion-service steady state;
+    # index build timed separately from the per-batch drain) ----------
+    def stream_dedup_section():
+        import shutil
+        import tempfile
+
+        from tinyolap_spark.pipeline.dedup import CorpusDedupIndex
+        from tinyolap_spark.streaming.ingest import near_dedup_stream
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = timed(
+            "stream_dedup_index_build", lambda: CorpusDedupIndex(docs)
+        )
+        if idx is None:
+            return
+        tmp = tempfile.mkdtemp(prefix="bench_nds_")
+        try:
+            src = f"{tmp}/src"
+            # per batch: 100 planted copies of corpus docs + 400
+            # alphabet-rotated fresh docs
+            az = "abcdefghijklmnopqrstuvwxyz"
+            for bi in range(2):
+                copies = docs.where(
+                    (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 500)
+                ).withColumn(
+                    "doc_id", F.col("doc_id") + 1_000_000 * (bi + 1)
+                )
+                fresh = (
+                    docs.where(
+                        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") < 500)
+                    )
+                    .withColumn(
+                        "text",
+                        F.translate(
+                            F.col("text"),
+                            az,
+                            az[bi + 1:] + az[: bi + 1],
+                        ),
+                    )
+                    .withColumn(
+                        "doc_id", F.col("doc_id") + 2_000_000 * (bi + 1)
+                    )
+                )
+                copies.unionByName(fresh).select(
+                    "doc_id", "text"
+                ).coalesce(1).write.mode(
+                    "overwrite" if bi == 0 else "append"
+                ).parquet(src)
+
+            kept_counts: dict[int, int] = {}
+
+            def sink(kept, bid):
+                kept_counts[bid] = kept.count()
+
+            def drain():
+                kept_counts.clear()
+                q = near_dedup_stream(
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(src),
+                    idx,
+                    f"{tmp}/ck_{len(kept_counts)}_{time.time_ns()}",
+                    sink,
+                )
+                q.awaitTermination(300)
+                return kept_counts
+
+            if timed("stream_near_dedup_2batches", drain) is not None:
+                extra["stream_near_dedup_batches"] = len(kept_counts)
+                extra["stream_near_dedup_kept"] = sum(kept_counts.values())
+        finally:
+            idx.release()
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    guarded("stream_dedup_section", stream_dedup_section)
+
     # ---- rule-cell reads (BASELINE.md mirrors tests/test_cube.py:98-139:
     # base/aggregated/rule-cell read loops).  A 100k-row feeder slice
     # evaluates Sales = Quantity x Price through the EXECUTOR rule tier
