@@ -747,6 +747,33 @@ def _q_docs_pack_sequences(spark, sf_dir):
     return pack_summary(packed)
 
 
+def _q_docs_exact_k_sample(spark, sf_dir):
+    """Exactly-k deterministic sampling (`sampling.deterministic_top_k`):
+    25 docs per 3-way stratum by smallest portable-LCG bucket (ties by
+    id).  Per-stratum counts + id sums value-check every selection
+    decision against the DuckDB row_number twin."""
+    from tinyolap_spark.pipeline.sampling import (
+        deterministic_top_k,
+        portable_lcg_bucket,
+    )
+
+    docs = _raw(spark, sf_dir, "documents").withColumn(
+        "stratum", (F.col("doc_id") % 3).cast("int")
+    )
+    picked = deterministic_top_k(
+        docs, 25, strata_col="stratum",
+        hash_col=portable_lcg_bucket("doc_id"),
+    )
+    return (
+        picked.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("stratum")
+    )
+
+
 def _q_docs_domain_counts(spark, sf_dir):
     """URL/domain curation (`pipeline/text.py::domain_counts`): the
     corpus is clean of URLs, so deterministic ones are planted per doc
@@ -1447,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_payloads": _q_docs_pack_payloads,
         "docs_training_mixture": _q_docs_training_mixture,
         "docs_domain_counts": _q_docs_domain_counts,
+        "docs_exact_k_sample": _q_docs_exact_k_sample,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
     }
 
@@ -2168,6 +2196,21 @@ def oracle_sql() -> dict[str, str]:
             "  COUNT(*) AS n_docs, "
             "  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens "
             "FROM c GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # portable-LCG bucket rank (ties by id) == the Spark window;
+        # id_sum pins the exact selected set, not just counts
+        "docs_exact_k_sample": (
+            "WITH b AS ("
+            "  SELECT doc_id, CAST(doc_id % 3 AS INT) AS stratum, "
+            "    (((doc_id % 1000003) * 1103515245 + 12345) "
+            "     % 2147483648) % 1000000 AS bk "
+            "  FROM documents), "
+            "r AS ("
+            "  SELECT doc_id, stratum, ROW_NUMBER() OVER ("
+            "    PARTITION BY stratum ORDER BY bk, doc_id) AS rn FROM b) "
+            "SELECT stratum, COUNT(*) AS n_docs, "
+            "  CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+            "FROM r WHERE rn <= 25 GROUP BY 1 ORDER BY 1"
         ),
         # identical salt + identical RE2-subset URL regex; scheme/www
         # stripped inside list_transform

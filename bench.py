@@ -233,6 +233,7 @@ def main() -> None:
         "docs_dup_clusters",
         "docs_training_mixture",
         "docs_domain_counts",
+        "docs_exact_k_sample",
         "emb_kmeans_profile",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)

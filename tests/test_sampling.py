@@ -276,3 +276,38 @@ def test_pack_documents_custom_token_col(spark):
     # 60+60 straddles at 100: doc2 stays in pack 0, doc3 starts pack 1
     assert packed[1].pack_id == 0 and packed[2].pack_id == 0
     assert packed[3].pack_id == 1
+
+
+def test_deterministic_top_k(spark):
+    """Exactly-k semantics: k rows per stratum (or globally), stable
+    under repartitioning, boundary-stable under corpus growth."""
+    from pyspark.sql import functions as F
+
+    from tinyolap_spark.pipeline.sampling import deterministic_top_k
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("s")
+    )
+    per = deterministic_top_k(df, 7, strata_col="s")
+    rows = per.collect()
+    assert len(rows) == 28
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r.s, set()).add(r.doc_id)
+    assert all(len(v) == 7 for v in by_s.values())
+    # repartition-stable
+    again = {
+        (r.s, r.doc_id)
+        for r in deterministic_top_k(
+            df.repartition(13), 7, strata_col="s"
+        ).collect()
+    }
+    assert again == {(r.s, r.doc_id) for r in rows}
+    # growth only displaces at the boundary: the k selected from a
+    # SUBSET are a superset-rank prefix — every survivor of the grown
+    # corpus that existed before was already selected or ranked deeper
+    small = deterministic_top_k(df.where("doc_id < 250"), 7, strata_col="s")
+    small_ids = {(r.s, r.doc_id) for r in small.collect()}
+    # selected-from-small that still rank in top-7 of the full corpus
+    # must be exactly the full-corpus selections below 250
+    assert {(s, d) for s, d in again if d < 250} <= small_ids

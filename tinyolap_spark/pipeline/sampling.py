@@ -89,6 +89,37 @@ def split(
     return df.withColumn("__split", expr)
 
 
+def deterministic_top_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    strata_col: Optional[str] = None,
+    hash_col: Optional[Column] = None,
+) -> DataFrame:
+    """EXACTLY ``k`` rows (per stratum), chosen deterministically: the k
+    smallest hash buckets (ties by key) — the "give me a reproducible
+    10k-doc ablation subset" primitive that rate-based sampling can't
+    deliver exactly.
+
+    Scale shape: the GLOBAL variant compiles to per-partition top-k +
+    merge (``TakeOrderedAndProject``) — no full sort, driver holds
+    nothing; the per-stratum variant is one window over a
+    stratum-hash shuffle.  Stable: a row's (bucket, key) rank never
+    changes, so growing the corpus only ever displaces rows at the
+    boundary."""
+    h = hash_bucket(key_col, hash_col)
+    if strata_col is None:
+        return df.orderBy(h, key_col).limit(int(k))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(h, key_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
