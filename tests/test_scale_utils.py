@@ -173,3 +173,63 @@ def test_compose_mixture_plan_is_narrow(spark):
     plan = mix._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_zorder_tightens_minmax_stats_on_all_columns(spark, tmp_path):
+    """Z-order layout MEASURED via parquet row-group statistics: after
+    clustering on (l_orderkey, l_partkey), the per-row-group normalized
+    min/max span collapses on BOTH columns at once (a single-column
+    sort can only do one), so multi-dimensional predicates prune."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tinyolap_spark.sources.zorder import zorder
+
+    li = spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).select("l_orderkey", "l_partkey", "l_quantity")
+    plain_p = str(tmp_path / "plain")
+    z_p = str(tmp_path / "z")
+    li.repartition(32).write.parquet(plain_p)
+    zorder(li, ["l_orderkey", "l_partkey"], partitions=32).write.parquet(z_p)
+
+    def avg_span(path, col):
+        spans = []
+        gmin = gmax = None
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [
+                md.schema.column(i).name for i in range(md.num_columns)
+            ]
+            ci = names.index(col)
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                spans.append((s.min, s.max))
+                gmin = s.min if gmin is None else min(gmin, s.min)
+                gmax = s.max if gmax is None else max(gmax, s.max)
+        width = max(1, gmax - gmin)
+        return sum((b - a) / width for a, b in spans) / len(spans)
+
+    for col in ["l_orderkey", "l_partkey"]:
+        p, z = avg_span(plain_p, col), avg_span(z_p, col)
+        assert p > 0.9, (col, p)  # unsorted: every file spans ~everything
+        assert z < 0.5 * p, (col, p, z)
+
+    # layout only — the row multiset is unchanged
+    a = li.agg(F.sum("l_quantity"), F.count("*")).collect()
+    b = (
+        spark.read.parquet(z_p)
+        .agg(F.sum("l_quantity"), F.count("*"))
+        .collect()
+    )
+    assert a == b
+
+    # guard: too many bits*cols for one long
+    import pytest as _pytest
+
+    from tinyolap_spark.sources.zorder import morton_code
+
+    with _pytest.raises(ValueError):
+        morton_code(li, ["l_orderkey"] * 8, bits=8)
