@@ -115,3 +115,91 @@ def test_recipe_with_decontamination_and_repetition(spark, corpus):
         prof = {r.cluster: r.n_vectors
                 for r in clustering.cluster_profile(res).collect()}
         assert sum(prof.values()) == emb.count()
+
+
+def test_recipe_near_dedup_mixture_packing(spark, corpus):
+    """The round-6 back half of the pipeline: near-dedup clusters ->
+    one survivor per cluster -> domain gate -> weighted two-source
+    mixture with epochs -> packing -> assembled payloads.  Every stage
+    is the library operator; invariants asserted at each step."""
+    from tinyolap_spark.pipeline import mixture as mix
+    from tinyolap_spark.pipeline.packing import (
+        pack_documents,
+        pack_payloads,
+        pack_summary,
+    )
+
+    base = corpus.select("doc_id", "text")
+    # plant near-dups: 15 truncated copies (drop last 10 tokens)
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    copies = base.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 10, F.lit(1))),
+        ).alias("text"),
+    )
+    planted = base.unionByName(copies)
+    n0 = planted.count()
+
+    # 1. near-dedup: pairs -> components -> min-id survivors
+    pairs = dedup.near_duplicates(planted, threshold=0.5)
+    clusters = dedup.duplicate_clusters(pairs)
+    survivors = dedup.cluster_survivors(planted, clusters)
+    n1 = survivors.count()
+    assert 0 < n1 < n0
+    # every planted copy of a LONG-ENOUGH source loses to it: dropping
+    # 10 of n tokens keeps J = (n-14)/(n-4) >= 0.5 only for n >= 24 —
+    # copies of shorter docs legitimately miss the threshold
+    surv_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    long_enough = {
+        r.doc_id
+        for r in base.where(
+            (F.col("doc_id") < 15) & (F.size(toks) >= 24)
+        ).select("doc_id").collect()
+    }
+    assert long_enough  # fixture must exercise the case
+    assert not any(i + 900_000 in surv_ids for i in long_enough)
+
+    # 2. domain gate (corpus is URL-free -> everything passes; the gate
+    #    still exercises the expression path)
+    gated = survivors.where(text.domain_filter(["blocked.example"]))
+    assert gated.count() == n1
+
+    # 3. two-source mixture, 2:1, sized so source a over-subscribes
+    src_a = gated.where(F.col("doc_id") % 2 == 0)
+    src_b = gated.where(F.col("doc_id") % 2 == 1)
+    stats = mix.source_token_stats({"a": src_a, "b": src_b})
+    total_tokens = stats["a"][1] + stats["b"][1]
+    plan = {}
+    blended = mix.compose_mixture(
+        {"a": src_a, "b": src_b},
+        {"a": 3.0, "b": 1.0},
+        target_tokens=(3 * total_tokens) // 2,
+        stats=plan,
+    )
+    assert plan["a"]["epochs"] >= 1  # over-subscribed side repeats
+    rep = mix.mixture_report(blended).collect()
+    assert sum(r.n_docs for r in rep) == blended.count()
+
+    # 4. packing + payload assembly over the blend (epoch-qualified ids
+    #    keep packing keys unique across repeats)
+    keyed = blended.withColumn(
+        "pack_key",
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("epoch")),
+    )
+    packed = pack_documents(
+        keyed, budget=512, num_groups=8, id_col="pack_key"
+    ).cache()
+    assert packed.count() == blended.count()
+    summ = pack_summary(packed).collect()
+    max_doc = packed.agg(F.max("n_tokens")).collect()[0][0]
+    assert all(s.pack_tokens <= 512 + max_doc for s in summ)
+    payloads = pack_payloads(packed, id_col="pack_key").collect()
+    assert sum(p.n_docs for p in payloads) == blended.count()
+    assert all(
+        len(p.payload.split("<|eos|>")) == p.n_docs for p in payloads
+    )
+    packed.unpersist()
