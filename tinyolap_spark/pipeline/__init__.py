@@ -16,5 +16,6 @@ from . import (  # noqa: F401
     packing,
     sampling,
     similarity,
+    skew,
     text,
 )
