@@ -596,6 +596,76 @@ def _q_events_props_rollup(spark, sf_dir):
     return json_prop_rollup(ev, "$.k", 10)
 
 
+def _q_events_asof_join(spark, sf_dir):
+    """General AS-OF JOIN operator: each purchase joined to the nearest
+    at-or-before click of the same user (union + one key-partitioned
+    window, no inequality self-join —
+    `tinyolap_spark/pipeline/joins.py::asof_join`), then a 1h tolerance
+    applied with exact integer microseconds so the ANSI twin matches
+    bit-for-bit.  Ties break by highest click_id, mirroring the oracle's
+    ORDER BY c.ts DESC, c.click_id DESC."""
+    from tinyolap_spark.pipeline.joins import asof_join
+
+    ev = _raw(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id"],
+        tiebreak="click_id",
+        suffix="_c",
+    )
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_c"))
+    within = F.col("ts_c").isNotNull() & (gap <= 3_600_000_000)
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(within, F.col("click_id_c")).alias("click_id"),
+        F.when(within, gap).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+def _q_events_range_join(spark, sf_dir):
+    """Bucketed range join: every click inside the 4h attribution window
+    before a purchase of the same user — intervals exploded into
+    fixed-width buckets, plain equi-join on (user, bucket), exact
+    containment filter on the original timestamps
+    (`tinyolap_spark/pipeline/joins.py::range_join`; the naive spelling
+    is a nested-loop inequality join)."""
+    from tinyolap_spark.pipeline.joins import range_join
+
+    ev = _raw(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    windows = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 4 HOURS")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    pairs = range_join(
+        clicks,
+        windows,
+        on=["user_id"],
+        point_col="click_ts",
+        start_col="win_start",
+        end_col="win_end",
+        bucket_width=14400.0,
+    )
+    return pairs.select("user_id", "purchase_id", "click_id").orderBy(
+        "purchase_id", "click_id"
+    )
+
+
 def _q_docs_pii_scrub(spark, sf_dir):
     """PII redaction: typed-placeholder scrub + per-type match counts.
     The corpus is clean, so deterministic synthetic PII is appended per
@@ -1464,6 +1534,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_windowed": _q_events_funnel_windowed,
         "events_funnel_anyorder": _q_events_funnel_anyorder,
         "events_props_rollup": _q_events_props_rollup,
+        "events_asof_join": _q_events_asof_join,
+        "events_range_join": _q_events_range_join,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_split_counts": _q_docs_split_counts,
@@ -2083,6 +2155,37 @@ def oracle_sql() -> dict[str, str]:
             "      AND ts IS NOT NULL THEN event_type END) AS INT) AS stage "
             "  FROM ev GROUP BY 1) s "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "events_asof_join": (
+            # nearest at-or-before click per purchase (ties: highest
+            # click_id), 1h tolerance applied AFTER the nearest pick in
+            # exact integer microseconds — mirrors asof_join + the
+            # call-site unix_micros gate
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, ts "
+            "  FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS click_id, user_id, ts "
+            "  FROM events WHERE event_type = 'click'), "
+            "j AS ("
+            "  SELECT p.purchase_id, p.user_id, c.click_id, "
+            "    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us, "
+            "    row_number() OVER (PARTITION BY p.purchase_id "
+            "      ORDER BY c.ts DESC, c.click_id DESC) AS rn "
+            "  FROM p LEFT JOIN c "
+            "    ON c.user_id = p.user_id AND c.ts <= p.ts) "
+            "SELECT purchase_id, user_id, "
+            "  CASE WHEN gap_us <= 3600000000 THEN click_id END "
+            "    AS click_id, "
+            "  CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us "
+            "FROM j WHERE rn = 1 ORDER BY purchase_id"
+        ),
+        "events_range_join": (
+            "SELECT c.user_id, p.event_id AS purchase_id, "
+            "  c.event_id AS click_id "
+            "FROM events c JOIN events p "
+            "  ON p.user_id = c.user_id "
+            " AND p.event_type = 'purchase' AND c.event_type = 'click' "
+            " AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts "
+            "ORDER BY purchase_id, click_id"
         ),
         "events_props_rollup": (
             "SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') "

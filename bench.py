@@ -228,6 +228,8 @@ def main() -> None:
         "events_sessionize",
         "events_attribution",
         "events_funnel_windowed",
+        "events_asof_join",
+        "events_range_join",
         "docs_pii_scrub",
         "docs_decontaminate",
         "docs_dup_clusters",

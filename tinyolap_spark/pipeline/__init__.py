@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     decontam,
     dedup,
     events,
+    joins,
     mixture,
     multimodal,
     packing,
