@@ -666,6 +666,41 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Interval-overlap join: per-user 2h activity windows around views
+    overlapped with 2h windows around clicks — both sides bucketed, each
+    overlapping pair emitted exactly once in its canonical bucket, no
+    distinct pass (`tinyolap_spark/pipeline/joins.py::interval_join`)."""
+    from tinyolap_spark.pipeline.joins import interval_join
+
+    ev = _raw(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("v_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("c_end"),
+        "user_id",
+    )
+    pairs = interval_join(
+        views,
+        clicks,
+        on=["user_id"],
+        left_start="v_start",
+        left_end="v_end",
+        right_start="c_start",
+        right_end="c_end",
+        bucket_width=7200.0,
+    )
+    return pairs.select("user_id", "view_id", "click_id").orderBy(
+        "view_id", "click_id"
+    )
+
+
 def _q_docs_pii_scrub(spark, sf_dir):
     """PII redaction: typed-placeholder scrub + per-type match counts.
     The corpus is clean, so deterministic synthetic PII is appended per
@@ -1536,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_rollup": _q_events_props_rollup,
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
+        "events_interval_join": _q_events_interval_join,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_split_counts": _q_docs_split_counts,
@@ -2186,6 +2222,18 @@ def oracle_sql() -> dict[str, str]:
             " AND p.event_type = 'purchase' AND c.event_type = 'click' "
             " AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts "
             "ORDER BY purchase_id, click_id"
+        ),
+        "events_interval_join": (
+            "WITH v AS (SELECT user_id, event_id AS view_id, ts AS vs, "
+            "    ts + INTERVAL 2 HOUR AS ve "
+            "  FROM events WHERE event_type = 'view'), "
+            "c AS (SELECT user_id, event_id AS click_id, ts AS cs, "
+            "    ts + INTERVAL 2 HOUR AS ce "
+            "  FROM events WHERE event_type = 'click') "
+            "SELECT v.user_id, v.view_id, c.click_id "
+            "FROM v JOIN c ON v.user_id = c.user_id "
+            "  AND v.vs <= c.ce AND c.cs <= v.ve "
+            "ORDER BY view_id, click_id"
         ),
         "events_props_rollup": (
             "SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') "

@@ -230,6 +230,7 @@ def main() -> None:
         "events_funnel_windowed",
         "events_asof_join",
         "events_range_join",
+        "events_interval_join",
         "docs_pii_scrub",
         "docs_decontaminate",
         "docs_dup_clusters",

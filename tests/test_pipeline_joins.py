@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from tinyolap_spark.pipeline.joins import asof_join, range_join
+from tinyolap_spark.pipeline.joins import asof_join, interval_join, range_join
 
 
 def _ts(s):
@@ -231,6 +231,104 @@ def test_range_join_guards(spark, interval_frames):
             pts.withColumnRenamed("pid", "iid"), ivs, on=["k"],
             point_col="p", start_col="s", end_col="e",
         )
+
+
+@pytest.fixture(scope="module")
+def overlap_frames(spark):
+    # long spans crossing many buckets — the exactly-once canonical
+    # bucket rule is what keeps these from double-counting
+    left = spark.createDataFrame(
+        [
+            Row(k="u", ls=0.0, le=100.0, lid=1),
+            Row(k="u", ls=100.0, le=150.0, lid=2),   # touches rid=10 at 100
+            Row(k="u", ls=500.0, le=2000.0, lid=3),  # long
+            Row(k="u", ls=3000.0, le=3001.0, lid=4), # matches nothing
+            Row(k="v", ls=0.0, le=10.0, lid=5),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="u", rs=50.0, re=100.0, rid=10),
+            Row(k="u", rs=90.0, re=600.0, rid=11),
+            Row(k="u", rs=1999.0, re=2500.0, rid=12),
+            Row(k="v", rs=10.0, re=20.0, rid=13),    # touches lid=5 at 10
+            Row(k="v", rs=11.0, re=20.0, rid=14),    # does not
+        ]
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("bounds", ["closed", "half_open"])
+@pytest.mark.parametrize("width", [7.0, 100.0, 5000.0])
+def test_interval_join_matches_naive(spark, overlap_frames, bounds, width):
+    left, right = overlap_frames
+    got = (
+        interval_join(
+            left,
+            right,
+            on=["k"],
+            left_start="ls",
+            left_end="le",
+            right_start="rs",
+            right_end="re",
+            bucket_width=width,
+            bounds=bounds,
+        )
+        .select("lid", "rid")
+        .orderBy("lid", "rid")
+        .collect()
+    )
+    op = "<=" if bounds == "closed" else "<"
+    want = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & F.expr(f"l.ls {op} r.re AND r.rs {op} l.le"),
+        )
+        .select("lid", "rid")
+        .orderBy("lid", "rid")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
+    # exactly-once: no pair may appear twice even at tiny widths
+    assert len(got) == len(set(map(tuple, got)))
+
+
+def test_interval_join_bounds_semantics(spark, overlap_frames):
+    left, right = overlap_frames
+    kw = dict(
+        on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_width=50.0,
+    )
+    closed = {
+        (r.lid, r.rid)
+        for r in interval_join(left, right, bounds="closed", **kw).collect()
+    }
+    half = {
+        (r.lid, r.rid)
+        for r in interval_join(left, right, bounds="half_open", **kw).collect()
+    }
+    # endpoint-touching pairs exist only under closed bounds
+    assert (2, 10) in closed and (2, 10) not in half
+    assert (5, 13) in closed and (5, 13) not in half
+    assert (3, 12) in closed and (3, 12) in half  # real overlap survives
+
+
+def test_interval_join_guards_and_plan(spark, overlap_frames):
+    left, right = overlap_frames
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(
+            left.withColumnRenamed("lid", "rid"), right, on=["k"],
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+        )
+    plan = interval_join(
+        left, right, on=["k"], left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket_width=100.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
 def test_range_join_no_nested_loop_plan(spark, interval_frames):

@@ -22,6 +22,9 @@ are the standard large-scale compositions, not nested-loop fallbacks:
   (key, bucket) — a plain shuffled hash/sort-merge join whose fan-out is
   bounded by interval_span/bucket_width.  Each matching pair joins
   EXACTLY once (a point lives in exactly one bucket), so no dedup pass.
+- **interval_join** — interval×interval overlap pairs; same bucketing,
+  with each pair emitted only in the canonical bucket holding the
+  overlap's start point, so exactly-once needs no ``distinct``.
 
 100 TB notes: asof_join's window is skew-bounded by the busiest single
 key (salt upstream if one key dominates); range_join's explode factor is
@@ -231,3 +234,94 @@ def range_join(
         c for c in intervals.columns if c not in keys
     ]
     return joined.where(inside).select(*out)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] = (),
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bucket_width: float = 3600.0,
+    bounds: str = "closed",
+    max_buckets: int = 10_000,
+) -> DataFrame:
+    """All (left interval, right interval) OVERLAP pairs of the same
+    ``on`` key — the interval×interval generalization of
+    :func:`range_join`.  ``bounds='closed'`` treats intervals as
+    ``[s, e]`` (touching endpoints overlap); ``'half_open'`` as
+    ``[s, e)`` (touching endpoints do NOT).
+
+    Exactly-once without a dedup pass: both sides explode into the
+    buckets their span covers, but a pair is emitted only in its
+    CANONICAL bucket — ``floor(greatest(l.start, r.start) / width)``,
+    the bucket holding the overlap's start point.  That point lies in
+    both intervals (intervals are closed at the start under either
+    convention), so both exploded sides are guaranteed present there,
+    and no other bucket passes the equality — no ``distinct`` shuffle.
+
+    100 TB notes identical to :func:`range_join`: explode factor
+    ``ceil(span/width)+1`` per row on BOTH sides, so pick
+    ``bucket_width`` near the median span; ``max_buckets`` fails fast on
+    corrupt spans; the join itself is a plain equi-join on
+    (key, bucket) — no BroadcastNestedLoopJoin.
+    """
+    if bounds not in ("closed", "half_open"):
+        raise ValueError("bounds must be 'closed' or 'half_open'")
+    keys = list(on)
+    clash = (
+        (set(left.columns) - set(keys)) & (set(right.columns) - set(keys))
+    )
+    if clash:
+        raise ValueError(
+            f"column name collision between left and right: "
+            f"{sorted(clash)} — rename before joining"
+        )
+
+    def _bkt(col):
+        return F.floor(F.col(col).cast("double") / float(bucket_width))
+
+    def _explode(df, s, e, side):
+        lo, hi = _bkt(s), _bkt(e)
+        n = hi - lo + 1
+        guarded = F.when(
+            n > max_buckets,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"interval_join: {side} interval spans more than "
+                        f"{max_buckets} buckets of width {bucket_width} ("
+                    ),
+                    n.cast("string"),
+                    F.lit(") — raise bucket_width or max_buckets"),
+                )
+            ).cast("long"),
+        ).otherwise(hi)
+        return df.withColumn("__bkt", F.explode(F.sequence(lo, guarded)))
+
+    joined = _explode(left, left_start, left_end, "left").join(
+        _explode(right, right_start, right_end, "right"),
+        on=keys + ["__bkt"],
+        how="inner",
+    )
+    if bounds == "closed":
+        overlap = (F.col(left_start) <= F.col(right_end)) & (
+            F.col(right_start) <= F.col(left_end)
+        )
+    else:
+        overlap = (F.col(left_start) < F.col(right_end)) & (
+            F.col(right_start) < F.col(left_end)
+        )
+    canonical = F.col("__bkt") == F.floor(
+        F.greatest(
+            F.col(left_start).cast("double"),
+            F.col(right_start).cast("double"),
+        )
+        / float(bucket_width)
+    )
+    out = [c for c in left.columns] + [
+        c for c in right.columns if c not in keys
+    ]
+    return joined.where(overlap & canonical).select(*out)
