@@ -338,3 +338,48 @@ def test_range_join_no_nested_loop_plan(spark, interval_frames):
         bucket_width=100.0,
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_enrich_stream_matches_batch(spark, frames, tmp_path):
+    """Streaming twin: two micro-batches of trades enriched against the
+    static quotes frame produce exactly the batch asof_join rows."""
+    from tinyolap_spark.streaming.ingest import asof_enrich_stream
+
+    trades, quotes = frames
+    src = str(tmp_path / "asof_src")
+    b0 = trades.where(F.col("tid") <= 101)
+    b1 = trades.where(F.col("tid") > 101)
+    b0.coalesce(1).write.mode("overwrite").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    got: dict[int, list] = {}
+
+    def sink(enriched, batch_id):
+        got[batch_id] = sorted(
+            (r.tid, r.px_r, r.qid_r) for r in enriched.collect()
+        )
+
+    stream = (
+        spark.readStream.schema("sym string, ts timestamp, qty long, tid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = asof_enrich_stream(
+        stream,
+        quotes,
+        str(tmp_path / "asof_ckpt"),
+        sink,
+        on=["sym"],
+        tiebreak="qid",
+        tolerance_sec=120.0,
+    )
+    q.awaitTermination(180)
+    assert len(got) == 2, f"expected 2 micro-batches, got {got.keys()}"
+    stream_rows = sorted(r for rows in got.values() for r in rows)
+    batch_rows = sorted(
+        (r.tid, r.px_r, r.qid_r)
+        for r in asof_join(
+            trades, quotes, on=["sym"], tiebreak="qid", tolerance_sec=120.0
+        ).collect()
+    )
+    assert stream_rows == batch_rows

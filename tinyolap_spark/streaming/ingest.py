@@ -497,3 +497,57 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def asof_enrich_stream(
+    stream: DataFrame,
+    reference: DataFrame,
+    checkpoint_dir: str,
+    sink: "Callable[[DataFrame, int], None]",
+    on: "list[str]",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    query_name: str = "asof_enrich",
+    **asof_kwargs,
+):
+    """Streaming AS-OF enrichment: each micro-batch joined to the nearest
+    at-or-before ``reference`` row per key — the streaming twin of
+    :func:`tinyolap_spark.pipeline.joins.asof_join` (same kwargs:
+    direction, tolerance_sec, tiebreak, right_cols, how, ...).
+
+    ``reference`` is a STATIC frame (dimension snapshot, price history,
+    config timeline) — the classic "enrich the stream against slowly
+    changing state" shape.  ``foreachBatch`` rather than a stream-stream
+    join because the right side is bounded and known: no watermark
+    bookkeeping, no state store, and semantics are batch/stream
+    identical by construction (parity-tested in
+    ``tests/test_pipeline_joins.py``).  Refreshing the reference means
+    restarting the query with a new frame — for sub-minute reference
+    churn use Spark's native stream-stream interval join instead.
+
+    100 TB notes: per micro-batch cost is the batch asof_join plan (one
+    shuffle on ``on``); the reference re-shuffles each trigger unless
+    you pre-bucket it on ``on`` or it is small enough to broadcast.
+    """
+    from ..pipeline.joins import asof_join
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        enriched = asof_join(
+            batch_df,
+            reference,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            **asof_kwargs,
+        )
+        sink(enriched, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
