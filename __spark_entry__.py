@@ -1117,6 +1117,30 @@ def _q_docs_quality_histogram(spark, sf_dir):
     )
 
 
+def _q_docs_quality_quantile(spark, sf_dir):
+    """Per-source quality-quantile curation: keep the top 50% of each
+    source by quality score (`pipeline/text.py::quantile_filter`, exact
+    row_number path — the oracle runs the identical window; the
+    approx_percentile scale path is tolerance-tested in
+    tests/test_sampling.py).  Survivor sets summarized with
+    integer-exact aggregates (count, doc_id sum, char sum)."""
+    from tinyolap_spark.pipeline import text as text_ops
+
+    docs = _raw(spark, sf_dir, "documents")
+    kept = text_ops.quantile_filter(
+        docs, text_ops.quality_score("text"), "source", 0.5, exact=True
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def _q_emb_ivf_topk(spark, sf_dir):
     """IVF ANN with a recall oracle (VERDICT r1 #5/#6): 8 query vectors run
     through the batched ``search_many`` (ncells=64, nprobe=48) AND through
@@ -1554,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_language_id": _q_docs_language_id,
         "docs_quality_histogram": _q_docs_quality_histogram,
+        "docs_quality_quantile": _q_docs_quality_quantile,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
@@ -1658,6 +1683,38 @@ def _quality_oracle() -> str:
                len(regexp_extract_all(text, '[0-9]'))
                  / GREATEST(length(text), 1) AS digit_ratio
         FROM documents) f) b
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+def _quality_quantile_oracle() -> str:
+    en = _lang_markers_sql()["en"]
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             LEAST(n_tokens / 100.0, 1.0) * 0.4
+           + LEAST((s_en / GREATEST(n_tokens, 1)) * 4.0, 1.0) * 0.3
+           + (CASE WHEN punct_ratio BETWEEN 0.005 AND 0.2
+                   THEN 1.0 ELSE 0.3 END) * 0.2
+           + (CASE WHEN digit_ratio < 0.3 THEN 1.0 ELSE 0.2 END) * 0.1 AS q
+      FROM (
+        SELECT doc_id, source, n_chars,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+               len(regexp_extract_all(text, '{en}')) AS s_en,
+               len(regexp_extract_all(text, '[.,;:!?''"()-]'))
+                 / GREATEST(length(text), 1) AS punct_ratio,
+               len(regexp_extract_all(text, '[0-9]'))
+                 / GREATEST(length(text), 1) AS digit_ratio
+        FROM documents) f),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY q DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored)
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn <= CEIL(n * 0.5)
     GROUP BY 1 ORDER BY 1
     """
 
@@ -2076,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
+        "docs_quality_quantile": _quality_quantile_oracle(),
         "sql_salted_region_qty": (
             f"SELECT r_name, SUM(l_quantity) AS sum_qty, "
             f"COUNT(l_quantity) AS n_items "

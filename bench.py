@@ -224,6 +224,7 @@ def main() -> None:
         "docs_text_stats",
         "docs_minhash_pairs",
         "docs_quality_histogram",
+        "docs_quality_quantile",
         "emb_topk_cosine",
         "events_sessionize",
         "events_attribution",

@@ -311,3 +311,62 @@ def test_deterministic_top_k(spark):
     # selected-from-small that still rank in top-7 of the full corpus
     # must be exactly the full-corpus selections below 250
     assert {(s, d) for s, d in again if d < 250} <= small_ids
+
+
+class TestQuantileFilter:
+    """Per-group quantile curation: exact window path vs the
+    approx_percentile scale path."""
+
+    @pytest.fixture(scope="class")
+    def scored_docs(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [
+            (int(i), f"g{i % 4}", float(rng.rand()))
+            for i in range(2000)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, s double")
+
+    def test_exact_keeps_ceil_fraction_per_group(self, spark, scored_docs):
+        from tinyolap_spark.pipeline.text import quantile_filter
+
+        kept = quantile_filter(scored_docs, "s", "source", 0.3, exact=True)
+        sizes = {r.source: r.n for r in kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        totals = {r.source: r.n for r in scored_docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        for g, n in totals.items():
+            assert sizes[g] == -(-n * 3 // 10)  # ceil(0.3*n)
+        # and they really are the top-scored rows: min kept > max dropped
+        kept_ids = {r.doc_id for r in kept.collect()}
+        by_g = {}
+        for r in scored_docs.collect():
+            by_g.setdefault(r.source, []).append(r)
+        for g, rows in by_g.items():
+            ks = [r.s for r in rows if r.doc_id in kept_ids]
+            ds = [r.s for r in rows if r.doc_id not in kept_ids]
+            assert min(ks) >= max(ds)
+
+    def test_approx_within_sketch_tolerance(self, spark, scored_docs):
+        from tinyolap_spark.pipeline.text import quantile_filter
+
+        exact = quantile_filter(scored_docs, "s", "source", 0.3, exact=True)
+        approx = quantile_filter(
+            scored_docs, "s", "source", 0.3, exact=False, accuracy=10_000
+        )
+        ne, na = exact.count(), approx.count()
+        # rank error ~ n/accuracy per group (n=500) -> tiny; allow 2%
+        assert abs(na - ne) <= max(4, int(0.02 * ne))
+        # approx plan must stay window-free (no per-group sort)
+        plan = approx._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_keep_frac_one_keeps_everything(self, spark, scored_docs):
+        from tinyolap_spark.pipeline.text import quantile_filter
+
+        kept = quantile_filter(scored_docs, "s", "source", 1.0, exact=True)
+        assert kept.count() == scored_docs.count()
+        with pytest.raises(ValueError):
+            quantile_filter(scored_docs, "s", "source", 0.0)

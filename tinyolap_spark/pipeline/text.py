@@ -9,7 +9,7 @@ column or a DataFrame transformation suitable for a 100 TB corpus scan
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets (heuristic language ID)
@@ -279,6 +279,62 @@ def domain_filter(
         F.size(F.array_intersect(F.array_distinct(url_domains(text_col)), blocked))
         == 0
     )
+
+
+def quantile_filter(
+    docs: DataFrame,
+    score,
+    group_col: str = "source",
+    keep_frac: float = 0.5,
+    exact: bool = True,
+    tiebreak: str = "doc_id",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by ``score`` (a Column
+    or column name) — the per-source quality-cutoff step of corpus
+    curation ("drop the worst half of each domain").
+
+    ``exact=True``: ``row_number`` over (score DESC, tiebreak) per
+    group, keep ``rn <= ceil(keep_frac * group_size)``.  Integer-exact
+    and engine-portable (the oracle twin runs the identical window), but
+    sorts each group — fine up to the tens-of-millions-per-group range.
+
+    ``exact=False`` (the 100 TB path): per-group thresholds via
+    ``approx_percentile(score, 1-keep_frac, accuracy)`` — one map-side
+    combinable aggregate producing a GROUPS-sized frame, broadcast back,
+    ``score >= threshold`` filter.  No sort, no window; kept fraction is
+    within the sketch's rank error (~1/accuracy) of ``keep_frac``,
+    tolerance-tested against the exact path.
+
+    Returns the surviving rows with all original columns.
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    score_col = F.col(score) if isinstance(score, str) else score
+    scored = docs.withColumn("__score", score_col)
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("__score").desc(), F.col(tiebreak)
+        )
+        wn = Window.partitionBy(group_col)
+        out = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wn))
+            .where(
+                F.col("__rn")
+                <= F.ceil(F.col("__n") * F.lit(float(keep_frac)))
+            )
+        )
+    else:
+        thresholds = scored.groupBy(group_col).agg(
+            F.percentile_approx(
+                "__score", 1.0 - keep_frac, accuracy
+            ).alias("__thr")
+        )
+        out = scored.join(F.broadcast(thresholds), on=group_col).where(
+            F.col("__score") >= F.col("__thr")
+        )
+    return out.select(*docs.columns)
 
 
 def repetition_features(
