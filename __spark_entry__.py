@@ -1384,6 +1384,31 @@ def _q_emb_near_dup_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+def _q_emb_semantic_dup_pairs(spark, sf_dir):
+    """SemDeDup pairs: the near-dup-augmented corpus partitioned by
+    nearest seed centroid (vec_id 0..7, the kmeans_profile centroid
+    table), exact cosine >= 0.99 verified WITHIN cells only
+    (`pipeline/similarity.py::semantic_dup_pairs`).  The oracle mirrors
+    both stages in SQL — lowest-index L2 argmin assignment, then a
+    same-cell self-join with list_cosine_similarity — so a planted pair
+    straddling a cell boundary is (correctly) absent from BOTH sides."""
+    from tinyolap_spark.pipeline import similarity
+
+    base = _raw(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in base.where(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    corpus = _emb_with_neardups(spark, sf_dir)
+    pairs = similarity.semantic_dup_pairs(corpus, cents, threshold=0.99)
+    return pairs.select(
+        F.col("cluster").cast("int").alias("cluster"), "id_a", "id_b"
+    ).orderBy("id_a", "id_b")
+
+
 def _q_docs_media_features(spark, sf_dir):
     """Multimodal binary plumbing END-TO-END: the documents table re-cast
     as an opaque media corpus (content = utf-8 bytes, binary column +
@@ -1585,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_clusters": _q_docs_dup_clusters,
         "docs_neardedup_survivors": _q_docs_neardedup_survivors,
         "emb_near_dup_pairs": _q_emb_near_dup_pairs,
+        "emb_semantic_dup_pairs": _q_emb_semantic_dup_pairs,
         "docs_media_features": _q_docs_media_features,
         "events_hourly_stream": _q_events_hourly_stream,
         "events_cube_stream_ingest": _q_events_cube_stream_ingest,
@@ -2123,6 +2149,40 @@ def oracle_sql() -> dict[str, str]:
             "  FROM aug a JOIN aug b ON a.vec_id < b.vec_id"
             "  WHERE list_cosine_similarity(a.embedding, b.embedding)"
             "        >= 0.99 ORDER BY 1, 2"
+        ),
+        "emb_semantic_dup_pairs": (
+            "WITH aug AS ("
+            "  SELECT vec_id, embedding FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 100000,"
+            "         list_transform(embedding,"
+            "           x -> CAST(x * 1.25 AS FLOAT))"
+            "  FROM embeddings WHERE vec_id < 20"
+            "  UNION ALL"
+            "  SELECT vec_id + 200000,"
+            "         list_transform(embedding,"
+            "           x -> CAST(x * (1.0 + 0.02 * sin("
+            "             CAST(x AS DOUBLE) * 1000.0"
+            "             + CAST(vec_id AS DOUBLE))) AS FLOAT))"
+            "  FROM embeddings WHERE vec_id >= 20 AND vec_id < 40"
+            "), cents AS ("
+            "  SELECT vec_id AS cluster, embedding AS cvec "
+            "  FROM embeddings WHERE vec_id < 8"
+            "), best AS ("
+            "  SELECT vec_id, cluster FROM ("
+            "    SELECT a.vec_id, c.cluster, ROW_NUMBER() OVER ("
+            "      PARTITION BY a.vec_id ORDER BY "
+            "      list_distance(a.embedding::DOUBLE[], c.cvec::DOUBLE[]),"
+            "      c.cluster) AS rn"
+            "    FROM aug a CROSS JOIN cents c) WHERE rn = 1"
+            ") SELECT CAST(ba.cluster AS INT) AS cluster, "
+            "    a.vec_id AS id_a, b.vec_id AS id_b"
+            "  FROM aug a JOIN best ba ON a.vec_id = ba.vec_id"
+            "  JOIN best bb ON TRUE = TRUE AND ba.cluster = bb.cluster"
+            "  JOIN aug b ON b.vec_id = bb.vec_id"
+            "  WHERE a.vec_id < b.vec_id"
+            "    AND list_cosine_similarity(a.embedding, b.embedding)"
+            "        >= 0.99 ORDER BY id_a, id_b"
         ),
         # the Spark side computes per-query recall@10 of IVF(nprobe=48)
         # against the exact full-probe top-10 and thresholds it; the oracle

@@ -239,6 +239,7 @@ def main() -> None:
         "docs_domain_counts",
         "docs_exact_k_sample",
         "emb_kmeans_profile",
+        "emb_semantic_dup_pairs",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

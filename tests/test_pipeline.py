@@ -884,3 +884,96 @@ def test_degenerate_inputs_graceful(spark):
         for r in dedup.cluster_survivors(weird, dedup.duplicate_clusters(pairs)).collect()
     }
     assert kept == {1, 4, 5}
+
+
+# ------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dup_pairs_matches_naive_within_cells(spark):
+    """SemDeDup pairs == the naive all-pairs cosine filter RESTRICTED to
+    same-cell pairs (the published contract), and a planted cross-cell
+    near-dup is missed by construction."""
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+    from tinyolap_spark.pipeline.clustering import assign
+
+    rng = np.random.default_rng(11)
+    # two well-separated blobs + planted in-blob near-dups; noise is wide
+    # enough (0.35) that distinct members stay below cosine 0.99 while
+    # scaled copies sit at exactly 1.0
+    blob_a = rng.normal(0.0, 0.35, (30, 16)) + np.r_[[1.0] * 8, [0.0] * 8]
+    blob_b = rng.normal(0.0, 0.35, (30, 16)) + np.r_[[0.0] * 8, [1.0] * 8]
+    vecs = {i: blob_a[i] for i in range(30)}
+    vecs.update({100 + i: blob_b[i] for i in range(30)})
+    for i in range(5):  # in-blob dups: scaled copies (cosine 1)
+        vecs[500 + i] = blob_a[i] * 1.7
+        vecs[600 + i] = blob_b[i] * 0.6
+    rows = [
+        (int(k), [float(x) for x in v]) for k, v in sorted(vecs.items())
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [blob_a.mean(0).tolist(), blob_b.mean(0).tolist()]
+
+    pairs = similarity.semantic_dup_pairs(emb, cents, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+
+    # naive oracle: exact cosine over all pairs, filtered to same cell
+    cell = {
+        r.vec_id: r.cluster for r in assign(emb, cents).collect()
+    }
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            va, vb = np.asarray(vecs[a]), np.asarray(vecs[b])
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= 0.99:
+                want.add((a, b))
+    assert got == want
+    assert {(i, 500 + i) for i in range(5)} <= got  # planted recovered
+
+    # survivors: min id per connected component over the SAME pair set —
+    # expected set derived by a pure-Python union-find over `want`
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in want:
+        parent[find(a)] = find(b)
+    comp = {}
+    for i in ids:
+        comp.setdefault(find(i), set()).add(i)
+    expected_kept = {min(members) for members in comp.values()}
+    survivors = similarity.semantic_dedup(emb, cents, threshold=0.99)
+    kept = {r.vec_id for r in survivors.select("vec_id").collect()}
+    assert kept == expected_kept
+    # every planted scaled copy loses to its original
+    for i in range(5):
+        assert 500 + i not in kept and 600 + i not in kept
+
+
+def test_semantic_dup_pairs_cell_cap_drops_degenerate_cell(spark):
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+
+    rng = np.random.default_rng(3)
+    big = [(int(i), [float(x) for x in rng.normal(0, 0.01, 8) + 1.0])
+           for i in range(50)]
+    small = [(1000 + int(i), [float(x) for x in rng.normal(0, 0.01, 8) - 1.0])
+             for i in range(3)]
+    emb = spark.createDataFrame(big + small, "vec_id long, embedding array<float>")
+    cents = [[1.0] * 8, [-1.0] * 8]
+    pairs = similarity.semantic_dup_pairs(
+        emb, cents, threshold=0.0, max_cell=10
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the 50-vector cell is capped away; only the 3-vector cell pairs up
+    assert got == {(1000, 1001), (1000, 1002), (1001, 1002)}

@@ -485,3 +485,96 @@ def lsh_bucket_topk(
             probes.add(qb ^ (1 << i) ^ (1 << j))
     subset = bucketed.where(F.col("bucket").isin([int(b) for b in probes]))
     return brute_force_topk(subset, qvec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate PAIRS: partition the corpus
+    by nearest centroid (one Arrow argmin pass —
+    ``clustering.assign``), then exact-cosine-verify pairs ONLY within
+    each cell (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — the published recipe:
+    k-means cells confine the quadratic step).
+
+    Complements :func:`embedding_near_duplicates` (hyperplane-LSH
+    candidates): LSH targets a cosine threshold directly; SemDeDup's
+    cells follow the corpus's cluster structure, so the SAME cells later
+    drive per-cluster diversity keeps.  Train ``centroids`` with
+    ``clustering.kmeans`` (full corpus) or sample-fit.
+
+    Known, documented recall tradeoff: a near-dup pair STRADDLING a cell
+    boundary is missed — that is the SemDeDup contract (tested
+    explicitly).  Raise k (more, smaller cells) for speed; lower k for
+    recall.
+
+    Scale shape: O(1)-plan assignment (centroid matrix in the task
+    closure, no shuffle) -> one shuffle on ``cluster`` for the
+    within-cell self-join; quadratic work bounded per cell and
+    ``max_cell`` caps degenerate cells (dropped cells = recall loss,
+    like the LSH bucket caps).  Returns (cluster, id_a, id_b, cosine).
+    """
+    from .clustering import assign
+
+    assigned = assign(emb, centroids).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster"
+    )
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    capped = assigned.join(
+        F.broadcast(sizes.where(F.col("sz") <= max_cell).select("cluster")),
+        on="cluster",
+        how="leftsemi",
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    cos = dot / (_norm("__va") * _norm("__vb"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("cluster", "id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup survivors: connected components over
+    :func:`semantic_dup_pairs` (min-label propagation,
+    ``dedup.duplicate_clusters``), keep ONE representative (the minimum
+    id) per component, pass untouched rows through.  Returns surviving
+    rows of ``emb`` with all original columns."""
+    from .dedup import duplicate_clusters
+
+    pairs = semantic_dup_pairs(
+        emb, centroids, threshold, id_col, vec_col, max_cell
+    )
+    labels = duplicate_clusters(pairs, "id_a", "id_b")
+    losers = labels.where(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias(id_col)
+    )
+    return emb.join(losers, on=id_col, how="left_anti")
