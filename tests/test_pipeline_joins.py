@@ -383,3 +383,19 @@ def test_asof_enrich_stream_matches_batch(spark, frames, tmp_path):
         ).collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_invalid_intervals_skipped_and_reserved_names_guarded(spark):
+    pts = spark.createDataFrame([Row(p=5.0, pid=1)])
+    ivs = spark.createDataFrame(
+        [Row(s=10.0, e=0.0, iid=1), Row(s=0.0, e=10.0, iid=2)]
+    )
+    got = range_join(
+        pts, ivs, on=[], point_col="p", start_col="s", end_col="e",
+        bucket_width=5.0,
+    ).collect()
+    assert [(r.pid, r.iid) for r in got] == [(1, 2)]
+    left = spark.createDataFrame([Row(k=1, ts=1.0, __pay="boom")])
+    right = spark.createDataFrame([Row(k=1, ts=0.0, v=1)])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts")

@@ -93,6 +93,12 @@ def asof_join(
         if right_cols is not None
         else [c for c in right.columns if c not in keys and c != right_ts]
     )
+    reserved = {"__t", "__pay", "__tb", "__is_left", "__ord", "__m"}
+    bad = reserved & set(left.columns)
+    if bad:
+        raise ValueError(
+            f"left frame uses reserved column names {sorted(bad)}"
+        )
     for c in (left_ts, *keys):
         if c not in left.columns:
             raise ValueError(f"left frame lacks column {c!r}")
@@ -221,9 +227,13 @@ def range_join(
             )
         ).cast("long"),
     ).otherwise(hi)
-    iv = intervals.withColumn(
-        "__bkt", F.explode(F.sequence(lo, guarded))
-    )
+    # rows with end < start match nothing by definition; drop them BEFORE
+    # the explode — sequence(hi, lo) would otherwise run DESCENDING and
+    # generate wrong-bucket candidates (harmless to correctness, the
+    # exact filter kills them, but wasted rows at scale)
+    iv = intervals.where(
+        F.col(start_col) <= F.col(end_col)
+    ).withColumn("__bkt", F.explode(F.sequence(lo, guarded)))
     joined = p.join(iv, on=keys + ["__bkt"], how="inner")
     inside = F.col(start_col) <= F.col(point_col)
     if bounds == "closed":
@@ -299,7 +309,11 @@ def interval_join(
                 )
             ).cast("long"),
         ).otherwise(hi)
-        return df.withColumn("__bkt", F.explode(F.sequence(lo, guarded)))
+        # invalid (end < start) rows match nothing; dropped before the
+        # explode so sequence() never runs descending
+        return df.where(F.col(s) <= F.col(e)).withColumn(
+            "__bkt", F.explode(F.sequence(lo, guarded))
+        )
 
     joined = _explode(left, left_start, left_end, "left").join(
         _explode(right, right_start, right_end, "right"),
