@@ -977,3 +977,29 @@ def test_semantic_dup_pairs_cell_cap_drops_degenerate_cell(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     # the 50-vector cell is capped away; only the 3-vector cell pairs up
     assert got == {(1000, 1001), (1000, 1002), (1001, 1002)}
+
+
+def test_semantic_dedup_keep_farthest_policy(spark):
+    """keep='farthest' retains the component member farthest from its
+    centroid (the SemDeDup paper policy) — which here is NOT the min id."""
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+
+    c = np.array([1.0] * 8)
+    # id 0 sits nearly ON the centroid; id 1/2 are scaled copies of the
+    # same direction, farther out — all three mutually cosine 1.0
+    rows = [
+        (0, (c * 1.0).tolist()),
+        (1, (c * 3.0).tolist()),
+        (2, (c * 2.0).tolist()),
+        (50, (-c).tolist()),  # other cell, untouched
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [c.tolist(), (-c).tolist()]
+    near = similarity.semantic_dedup(emb, cents, threshold=0.99, keep="min_id")
+    far = similarity.semantic_dedup(emb, cents, threshold=0.99, keep="farthest")
+    assert {r.vec_id for r in near.collect()} == {0, 50}
+    assert {r.vec_id for r in far.collect()} == {1, 50}  # 3x scale wins
+    with pytest.raises(ValueError):
+        similarity.semantic_dedup(emb, cents, keep="nope")

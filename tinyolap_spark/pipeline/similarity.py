@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -562,19 +562,44 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell: int = 100_000,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup survivors: connected components over
     :func:`semantic_dup_pairs` (min-label propagation,
-    ``dedup.duplicate_clusters``), keep ONE representative (the minimum
-    id) per component, pass untouched rows through.  Returns surviving
-    rows of ``emb`` with all original columns."""
+    ``dedup.duplicate_clusters``), keep ONE representative per
+    component, pass untouched rows through.  Returns surviving rows of
+    ``emb`` with all original columns.
+
+    ``keep='min_id'``: the minimum id wins — deterministic and join-free
+    (one anti-join).  ``keep='farthest'``: the member FARTHEST from its
+    assigned centroid wins (ties: lowest id) — the policy from the
+    SemDeDup paper (§3: keeping low-similarity-to-centroid examples
+    preserves diversity at the cell fringe); costs one extra shuffle on
+    the component label for the per-component argmax window."""
+    from .clustering import _assign
     from .dedup import duplicate_clusters
 
+    if keep not in ("min_id", "farthest"):
+        raise ValueError("keep must be 'min_id' or 'farthest'")
     pairs = semantic_dup_pairs(
         emb, centroids, threshold, id_col, vec_col, max_cell
     )
     labels = duplicate_clusters(pairs, "id_a", "id_b")
-    losers = labels.where(F.col("doc") != F.col("cluster")).select(
-        F.col("doc").alias(id_col)
-    )
+    if keep == "min_id":
+        losers = labels.where(F.col("doc") != F.col("cluster")).select(
+            F.col("doc").alias(id_col)
+        )
+    else:
+        d2 = _assign(emb, vec_col, centroids).select(
+            F.col(id_col).alias("doc"), "__d2"
+        )
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("__d2").desc(), F.col("doc")
+        )
+        losers = (
+            labels.join(d2, on="doc")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") > 1)
+            .select(F.col("doc").alias(id_col))
+        )
     return emb.join(losers, on=id_col, how="left_anti")
