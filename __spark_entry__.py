@@ -1334,6 +1334,23 @@ def _q_docs_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_docs_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup: |S(in) ∩ S(out)| / |S(in)| >= 0.9
+    over distinct word-5-grams via a df-capped shingle posting-list join
+    (`pipeline/dedup.py::containment_pairs`) — catches the
+    small-doc-quoted-inside-big-doc case symmetric Jaccard misses.  The
+    truncated +300000 corpus plants prefix copies whose forward
+    containment is exactly 1.0 while their Jaccard spreads 0.2-0.85; the
+    oracle recomputes postings, the df cap, and the integer counts from
+    scratch in SQL."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_trunc(spark, sf_dir)
+    return dedup.containment_pairs(
+        corpus, threshold=0.9, max_shingle_df=1000
+    ).orderBy("doc_in", "doc_out")
+
+
 def _emb_with_neardups(spark, sf_dir):
     """Embeddings corpus augmented with deterministic near-duplicates:
 
@@ -1611,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_neardedup_survivors": _q_docs_neardedup_survivors,
         "emb_near_dup_pairs": _q_emb_near_dup_pairs,
         "emb_semantic_dup_pairs": _q_emb_semantic_dup_pairs,
+        "docs_containment_pairs": _q_docs_containment_pairs,
         "docs_media_features": _q_docs_media_features,
         "events_hourly_stream": _q_events_hourly_stream,
         "events_cube_stream_ingest": _q_events_cube_stream_ingest,
@@ -2014,6 +2032,39 @@ def oracle_sql() -> dict[str, str]:
             r"   AND 2 * least(len(a.s), len(b.s)) >="
             r"       greatest(len(a.s), len(b.s))"
             r") WHERE ji / ju >= 0.5 ORDER BY 1, 2"
+        ),
+        "docs_containment_pairs": (
+            r"WITH corpus AS ("
+            r"  SELECT doc_id, text FROM documents"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 300000,"
+            r"         array_to_string(t[1:greatest(len(t)-15, 1)], ' ')"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents WHERE doc_id < 20)"
+            r"), sh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+4], ' ')"
+            r"     for i in range(1, greatest(len(t)-4, 1)+1)]) AS s"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM corpus)"
+            r"), posts AS (SELECT doc_id, unnest(s) AS g FROM sh"
+            r"), keptg AS ("
+            r"  SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 1000"
+            r"), kept AS ("
+            r"  SELECT p.doc_id, p.g FROM posts p JOIN keptg USING (g)"
+            r"), sz AS ("
+            r"  SELECT doc_id, COUNT(*) AS n_in FROM kept GROUP BY 1"
+            r"), pr AS ("
+            r"  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out,"
+            r"         COUNT(*) AS n_common"
+            r"  FROM kept a JOIN kept b"
+            r"    ON a.g = b.g AND a.doc_id <> b.doc_id"
+            r"  GROUP BY 1, 2) "
+            r"SELECT doc_in, doc_out, n_common, n_in "
+            r"FROM pr JOIN sz ON sz.doc_id = pr.doc_in "
+            r"WHERE n_common >= n_in * 0.9 ORDER BY 1, 2"
         ),
         # pairs recomputed all-pairs (same shingle arithmetic as
         # docs_jaccard_pairs) over the CHAIN corpus, then connected

@@ -240,6 +240,7 @@ def main() -> None:
         "docs_exact_k_sample",
         "emb_kmeans_profile",
         "emb_semantic_dup_pairs",
+        "docs_containment_pairs",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

@@ -1003,3 +1003,73 @@ def test_semantic_dedup_keep_farthest_policy(spark):
     assert {r.vec_id for r in far.collect()} == {1, 50}  # 3x scale wins
     with pytest.raises(ValueError):
         similarity.semantic_dedup(emb, cents, keep="nope")
+
+
+def test_containment_pairs_finds_embedded_doc(docs, spark):
+    """A truncated copy (40-word prefix of an 80+-word doc) is contained in its source with
+    containment 1.0 even though symmetric Jaccard is only ~0.6 — the
+    case Jaccard-tuned dedup misses.  hash_keys gives identical pairs."""
+    from tinyolap_spark.pipeline import dedup
+
+    base = docs.where(F.col("doc_id") < 60)
+    toks = F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "))
+    # plant prefixes only from LONG sources, so the 60-word prefix is a
+    # strict subset and the reverse direction cannot clear the threshold
+    long_ids = [
+        r.doc_id
+        for r in base.withColumn("n", toks)
+        .where(F.col("n") > 80)
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    ]
+    assert len(long_ids) == 5, "fixture lacks long docs for the plant"
+    prefix = base.where(F.col("doc_id").isin(long_ids)).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+                1,
+                40,
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(prefix)
+    stats = {}
+    pairs = dedup.containment_pairs(
+        corpus, threshold=0.95, capped_stats=stats
+    ).collect()
+    got = {(r.doc_in, r.doc_out): (r.n_common, r.n_in) for r in pairs}
+    for i in long_ids:
+        key = (700_000 + i, i)
+        assert key in got, f"containment pair {key} missed"
+        c, n = got[key]
+        assert c == n  # full prefix containment
+        # the reverse direction (big in small) must NOT clear 0.95
+        assert (i, 700_000 + i) not in got
+    assert stats == {"capped_buckets": 0, "capped_doc_bands": 0}
+    hashed = {
+        (r.doc_in, r.doc_out)
+        for r in dedup.containment_pairs(
+            corpus, threshold=0.95, hash_keys=True
+        ).collect()
+    }
+    assert hashed == set(got)
+
+
+def test_containment_df_cap_reports_and_bounds(spark):
+    """A boilerplate shingle shared by 40 docs is dropped by the df cap;
+    the drop is reported and the pair fan-out collapses."""
+    from tinyolap_spark.pipeline import dedup
+
+    boiler = "all rights reserved contact us for terms"
+    rows = [(i, f"unique words {i} alpha beta gamma delta {boiler}")
+            for i in range(40)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    pairs = dedup.containment_pairs(
+        corpus, threshold=0.5, max_shingle_df=10, capped_stats=stats
+    ).collect()
+    assert stats["capped_buckets"] > 0
+    assert pairs == []  # all cross-doc shingles were boilerplate

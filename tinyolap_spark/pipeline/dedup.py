@@ -346,6 +346,71 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    threshold: float = 0.9,
+    max_shingle_df: int = 1000,
+    hash_keys: bool = False,
+    capped_stats: "dict | None" = None,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs: ``(doc_in, doc_out)`` where
+    ``|S(in) ∩ S(out)| / |S(in)| >= threshold`` over distinct word
+    ``shingle_n``-grams — the "small document verbatim inside a big
+    one" case that symmetric Jaccard (and minhash LSH tuned for it)
+    structurally misses: a tweet quoted inside an article has Jaccard
+    ~|tweet|/|article| ≈ 0 but containment 1.0.
+
+    Candidate generation is a shingle posting-list self-join — no LSH,
+    no all-pairs: only documents SHARING a shingle ever meet.  The
+    posting df cap (``max_shingle_df``) drops boilerplate shingles that
+    appear in more than N documents, bounding the join fan-out at
+    sum(df^2) <= corpus_shingles * max_shingle_df; drops are reported
+    via ``capped_stats`` ({"capped_buckets": distinct shingles dropped,
+    "capped_doc_bands": postings inside them}) exactly like the LSH
+    caps.  Both the numerator AND |S(in)| are measured over the capped
+    shingle universe, so the ratio stays a true containment in that
+    universe.
+
+    ``hash_keys=True`` shuffles 8-byte ``xxhash64`` keys instead of raw
+    gram strings — the 100 TB shape (a 2^-64-ish collision can inflate a
+    count; breaks exact-oracle parity, so the driver query keeps raw
+    strings).  Near-identical documents appear in BOTH directions; each
+    direction clears the threshold independently.  Returns
+    ``(doc_in, doc_out, n_common, n_in)`` — integer-exact, ratio left
+    to the caller.
+    """
+    posts = _spread(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(text_col, shingle_n)).alias("g"),
+    )
+    if hash_keys:
+        posts = posts.select("doc", F.xxhash64("g").alias("g"))
+    dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
+    _report_capped(dfreq, max_shingle_df, capped_stats, "containment_pairs")
+    kept = posts.join(
+        dfreq.where(F.col("sz") <= max_shingle_df).select("g"),
+        on="g",
+        how="leftsemi",
+    )
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_in"))
+    a = kept.select(F.col("doc").alias("doc_in"), "g")
+    b = kept.select(F.col("doc").alias("doc_out"), "g")
+    common = (
+        a.join(b, on="g")
+        .where(F.col("doc_in") != F.col("doc_out"))
+        .groupBy("doc_in", "doc_out")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_in"), on="doc_in")
+        .where(F.col("n_common") >= F.col("n_in") * F.lit(float(threshold)))
+        .select("doc_in", "doc_out", "n_common", "n_in")
+    )
+
+
 def near_duplicates(
     docs: DataFrame,
     text_col: str = "text",
