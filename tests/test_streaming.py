@@ -299,3 +299,83 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     assert {r.user_id: r.stage for r in funnel_stages(
         all_events, ["view", "click", "purchase"], max_gap_sec=1800
     ).collect()}[3] == 1
+
+
+def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
+    """Native watermarked stream-stream interval join == the batch
+    bucketed range_join pair set (watermark >> fixture span, so nothing
+    is ever late-dropped)."""
+    from tinyolap_spark.pipeline.joins import range_join
+    from tinyolap_spark.streaming.ingest import (
+        interval_join_stream,
+        normalize_events,
+    )
+
+    ev = normalize_events(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    csrc, psrc = str(tmp_path / "c"), str(tmp_path / "p")
+    clicks.coalesce(2).write.parquet(csrc)
+    purchases.coalesce(2).write.parquet(psrc)
+
+    cs = spark.readStream.schema(
+        "click_id long, user_id long, click_ts timestamp"
+    ).parquet(csrc)
+    ps = spark.readStream.schema(
+        "purchase_id long, user_id long, purchase_ts timestamp"
+    ).parquet(psrc)
+    # clicks within the 4h window BEFORE each purchase:
+    # purchase_ts - 4h <= click_ts <= purchase_ts
+    joined = interval_join_stream(
+        ps,
+        cs,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lower_sec=14400,
+        upper_sec=0,
+        watermark="3650 days",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT purchase_id, click_id FROM ssij").collect()
+    }
+    windows = purchases.select(
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts") - F.expr("INTERVAL 4 HOURS")).alias("ws"),
+        F.col("purchase_ts").alias("we"),
+    )
+    want = {
+        (r.purchase_id, r.click_id)
+        for r in range_join(
+            clicks,
+            windows,
+            on=["user_id"],
+            point_col="click_ts",
+            start_col="ws",
+            end_col="we",
+            bucket_width=14400.0,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="must differ"):
+        interval_join_stream(ps, cs, on=["user_id"], left_ts="t", right_ts="t")

@@ -551,3 +551,59 @@ def asof_enrich_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def interval_join_stream(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: "list[str]",
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int = 0,
+    upper_sec: int = 3600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM interval join on Spark's native watermarked
+    join — the streaming twin of
+    :func:`tinyolap_spark.pipeline.joins.range_join`: emit every
+    (left, right) pair of the same ``on`` key with
+    ``left_ts - lower_sec <= right_ts <= left_ts + upper_sec``.
+
+    Unlike the foreachBatch recipes (static right side), BOTH sides
+    stream here, so this uses the one join Spark supports natively in
+    streaming: inner equi-join plus event-time range condition, with
+    watermarks on both inputs so the state store can evict rows that can
+    no longer match (state per key is bounded by
+    ``watermark + upper_sec`` of history — the 100 TB/day requirement).
+    ``left_ts``/``right_ts`` must be DISTINCT column names (rename
+    upstream) — they both appear in the output.
+
+    Correctness/latency tradeoff inherent to streaming joins: a row
+    arriving later than ``watermark`` past the stream's max event time
+    is dropped and its pairs are silently missing.  The batch-parity
+    test uses a watermark far larger than the fixture's time span, where
+    the result equals the batch :func:`range_join` exactly.
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must differ (both appear in the output)"
+        )
+    lw = left_stream.withWatermark(left_ts, watermark)
+    rw = right_stream.withWatermark(right_ts, watermark)
+    cond = None
+    for k in on:
+        c = lw[k] == rw[k]
+        cond = c if cond is None else cond & c
+    lo = F.expr(
+        f"{right_ts} >= {left_ts} - INTERVAL {int(lower_sec)} SECONDS"
+    )
+    hi = F.expr(
+        f"{right_ts} <= {left_ts} + INTERVAL {int(upper_sec)} SECONDS"
+    )
+    cond = (cond & lo & hi) if cond is not None else (lo & hi)
+    out_right = [c for c in right_stream.columns if c not in on]
+    return lw.join(rw, cond, "inner").select(
+        *[lw[k] for k in on],
+        *[c for c in left_stream.columns if c not in on],
+        *out_right,
+    )
