@@ -1141,6 +1141,19 @@ def _q_docs_quality_quantile(spark, sf_dir):
     )
 
 
+def _q_docs_novelty(spark, sf_dir):
+    """Rare-gram novelty: per-doc count of distinct word-3-grams with
+    corpus document frequency <= 2 (`pipeline/text.py::rare_gram_stats`)
+    — the templated-text signal; integer-exact so the posting-list SQL
+    twin hashes identically."""
+    from tinyolap_spark.pipeline import text as text_ops
+
+    docs = _raw(spark, sf_dir, "documents")
+    return text_ops.rare_gram_stats(docs, ngram=3, max_df=2).orderBy(
+        "doc_id"
+    )
+
+
 def _q_emb_ivf_topk(spark, sf_dir):
     """IVF ANN with a recall oracle (VERDICT r1 #5/#6): 8 query vectors run
     through the batched ``search_many`` (ncells=64, nprobe=48) AND through
@@ -1621,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": _q_docs_language_id,
         "docs_quality_histogram": _q_docs_quality_histogram,
         "docs_quality_quantile": _q_docs_quality_quantile,
+        "docs_novelty": _q_docs_novelty,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
@@ -2245,6 +2259,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
         "docs_quality_quantile": _quality_quantile_oracle(),
+        "docs_novelty": (
+            r"WITH sh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+2], ' ')"
+            r"     for i in range(1, greatest(len(t)-2, 1)+1)]) AS s"
+            r"  FROM (SELECT doc_id, str_split(trim(lower("
+            r"          regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"        FROM documents)"
+            r"), posts AS (SELECT doc_id, unnest(s) AS g FROM sh"
+            r"), dfreq AS ("
+            r"  SELECT g, COUNT(*) AS df FROM posts GROUP BY 1) "
+            r"SELECT p.doc_id, COUNT(*) AS n_grams, "
+            r"  CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            r"    AS n_rare "
+            r"FROM posts p JOIN dfreq USING (g) "
+            r"GROUP BY 1 ORDER BY 1"
+        ),
         "sql_salted_region_qty": (
             f"SELECT r_name, SUM(l_quantity) AS sum_qty, "
             f"COUNT(l_quantity) AS n_items "

@@ -241,6 +241,7 @@ def main() -> None:
         "emb_kmeans_profile",
         "emb_semantic_dup_pairs",
         "docs_containment_pairs",
+        "docs_novelty",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

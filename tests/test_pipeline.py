@@ -1073,3 +1073,21 @@ def test_containment_df_cap_reports_and_bounds(spark):
     ).collect()
     assert stats["capped_buckets"] > 0
     assert pairs == []  # all cross-doc shingles were boilerplate
+
+
+def test_rare_gram_stats_flags_templated_text(spark):
+    """A doc built entirely from grams that 30 template copies share has
+    zero rare grams; a unique-prose doc is ~all rare."""
+    from tinyolap_spark.pipeline.text import rare_gram_stats
+
+    template = "click here to claim your free prize now"
+    rows = [(i, template) for i in range(30)]
+    rows.append((100, "the marmoset carefully disassembled an antique barometer"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_rare) for r in
+           rare_gram_stats(docs, ngram=3, max_df=2).collect()}
+    assert len(got) == 31
+    n_g, n_r = got[0]
+    assert n_g == 6 and n_r == 0          # template grams have df=30
+    n_g, n_r = got[100]
+    assert n_g == 5 and n_r == 5          # unique prose: every gram rare

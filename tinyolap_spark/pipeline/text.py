@@ -281,6 +281,53 @@ def domain_filter(
     )
 
 
+def rare_gram_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    max_df: int = 2,
+) -> DataFrame:
+    """Per-document NOVELTY signal: of the doc's distinct word
+    ``ngram``-grams, how many are corpus-rare (document frequency <=
+    ``max_df``)?  Templated / boilerplate / model-generated text reuses
+    grams the corpus already has (low rare fraction); genuinely novel
+    prose coins grams nobody else uses.  The integer pair
+    ``(n_rare, n_grams)`` hashes identically across engines — ratio and
+    threshold are the caller's.
+
+    Scale shape: one distinct-gram explode (narrow), one map-side
+    combinable df aggregate over gram keys, one join of postings back to
+    the df frame, one per-doc aggregate — grams shuffle as strings here
+    for oracle parity; at 100 TB hash them first (`xxhash64`) like
+    ``containment_pairs(hash_keys=True)``.
+
+    Returns ``(id_col, n_grams, n_rare)``; docs whose text produces zero
+    grams still appear (0, 0).
+    """
+    from .dedup import shingles
+
+    posts = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")
+    )
+    dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        posts.join(dfreq, on="g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("df") <= max_df).cast("long")
+            ).alias("n_rare"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .na.fill({"n_grams": 0, "n_rare": 0})
+    )
+
+
 def quantile_filter(
     docs: DataFrame,
     score,
