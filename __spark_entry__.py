@@ -1141,6 +1141,19 @@ def _q_docs_quality_quantile(spark, sf_dir):
     )
 
 
+def _q_docs_chunk(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, 8 overlap):
+    pure JVM split/sequence/slice fan-out
+    (`pipeline/text.py::chunk_documents`); the SQL twin replicates the
+    minimal-cover chunk-count arithmetic and 1-based list slicing."""
+    from tinyolap_spark.pipeline import text as text_ops
+
+    docs = _raw(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(
+        docs, chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
 def _q_docs_novelty(spark, sf_dir):
     """Rare-gram novelty: per-doc count of distinct word-3-grams with
     corpus document frequency <= 2 (`pipeline/text.py::rare_gram_stats`)
@@ -1635,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_histogram": _q_docs_quality_histogram,
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_novelty": _q_docs_novelty,
+        "docs_chunk": _q_docs_chunk,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
@@ -2259,6 +2273,24 @@ def oracle_sql() -> dict[str, str]:
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
         "docs_quality_quantile": _quality_quantile_oracle(),
+        "docs_chunk": (
+            r"WITH t AS ("
+            r"  SELECT doc_id, str_split(trim("
+            r"    regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t"
+            r"  FROM documents"
+            r"), c AS ("
+            r"  SELECT doc_id, t,"
+            r"    CAST(CEIL(GREATEST(len(t) - 32, 0) / 24.0) AS INT) + 1"
+            r"      AS nc FROM t"
+            r"), x AS ("
+            r"  SELECT doc_id, t, unnest(range(0, nc)) AS chunk_id FROM c) "
+            r"SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,"
+            r"  array_to_string(t[chunk_id*24+1 : chunk_id*24+32], ' ')"
+            r"    AS chunk_text,"
+            r"  CAST(len(t[chunk_id*24+1 : chunk_id*24+32]) AS INT)"
+            r"    AS n_chunk_tokens "
+            r"FROM x ORDER BY doc_id, chunk_id"
+        ),
         "docs_novelty": (
             r"WITH sh AS ("
             r"  SELECT doc_id, list_distinct("

@@ -242,6 +242,7 @@ def main() -> None:
         "emb_semantic_dup_pairs",
         "docs_containment_pairs",
         "docs_novelty",
+        "docs_chunk",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

@@ -1091,3 +1091,43 @@ def test_rare_gram_stats_flags_templated_text(spark):
     assert n_g == 6 and n_r == 0          # template grams have df=30
     n_g, n_r = got[100]
     assert n_g == 5 and n_r == 5          # unique prose: every gram rare
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from tinyolap_spark.pipeline.text import chunk_documents
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(100)),   # multi-chunk
+        2: " ".join(f"w{i}" for i in range(32)),    # exactly one chunk
+        3: "short doc",                             # shorter than chunk
+        4: " ".join(f"w{i}" for i in range(33)),    # one token past
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    stride = 24
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        n = len(texts[did].split())
+        # minimal cover: last chunk reaches the end, one fewer would not
+        assert (len(rows) - 1) * stride + 32 >= n
+        assert len(rows) == 1 or (len(rows) - 2) * stride + 32 < n
+        # chunk i starts at token i*stride; consecutive chunks share
+        # `overlap` tokens; every token appears in some chunk
+        seen = set()
+        for r in rows:
+            words = r.chunk_text.split()
+            assert r.n_chunk_tokens == len(words)
+            assert words[0] == texts[did].split()[r.chunk_id * stride]
+            seen.update(
+                range(r.chunk_id * stride, r.chunk_id * stride + len(words))
+            )
+        assert seen == set(range(n))
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1
+    assert len(by_doc[4]) == 2
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=32, overlap=32)

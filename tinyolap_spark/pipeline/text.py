@@ -281,6 +281,55 @@ def domain_filter(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the standard pre-training / RAG chunking step.  Chunk ``i`` covers
+    whitespace tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the chunk count is the minimum
+    that covers every token (last chunk may be short; a doc shorter than
+    one chunk yields exactly one).
+
+    Pure JVM (split + sequence/explode + slice) — zero Python, zero
+    shuffle; rows fan out by ~n_tokens/stride.  Deterministic, so the
+    oracle twin replicates it structurally in SQL.  Returns
+    ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)) + 1
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return (
+        docs.select(
+            F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc")
+        )
+        .withColumn(
+            "chunk_id",
+            F.explode(F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+            F.size(chunk).alias("n_chunk_tokens"),
+        )
+    )
+
+
 def rare_gram_stats(
     docs: DataFrame,
     text_col: str = "text",
