@@ -354,9 +354,11 @@ def rare_gram_stats(
     Returns ``(id_col, n_grams, n_rare)``; docs whose text produces zero
     grams still appear (0, 0).
     """
-    from .dedup import shingles
+    from .dedup import _spread, shingles
 
-    posts = docs.select(
+    # _spread: a small parquet arrives as ONE partition and the shingle
+    # explode would run single-threaded (measured 7s -> <1s at sf0.1)
+    posts = _spread(docs).select(
         F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")
     )
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
