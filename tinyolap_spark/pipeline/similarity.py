@@ -517,8 +517,11 @@ def semantic_dup_pairs(
     closure, no shuffle) -> ONE shuffle on ``cluster`` ->
     ``applyInPandas`` per cell computing the pairwise cosine matrix as
     chunked BLAS matmuls (the paper's exact computation; a per-pair
-    expression lane was measured 10x+ slower).  Quadratic work and
-    memory (O(chunk x cell)) are bounded per cell; ``max_cell`` caps
+    expression lane was measured 10x+ slower).  Per-task memory is
+    O(cell x dim) for the vector matrix plus O(chunk x cell) for each
+    score block — at the default ``max_cell=100_000`` and dim 1024
+    that is ~800 MB worst case, so size ``max_cell`` to your executor
+    (k controls expected cell size = corpus/k); ``max_cell`` also caps
     degenerate cells (dropped cells = recall loss, like the LSH bucket
     caps).  Returns (cluster, id_a, id_b, cosine); zero vectors never
     pair (cosine undefined), matching
