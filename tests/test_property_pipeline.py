@@ -149,3 +149,84 @@ def test_cluster_survivors_random(spark):
     }
     expected = {i for i in range(80) if ref.get(i, i) == i}
     assert kept == expected
+
+
+# ----------------------------------------------------------------- asof
+
+
+def _py_asof(lefts, rights, direction, exact, tol):
+    """Pure-Python merge_asof reference: per left row, the nearest right
+    (ts, tb, val) of the same key at-or-before/after; ties on ts break
+    to max tb (backward) / min tb (forward); tolerance nulls the match."""
+    out = {}
+    for k, lts, lid in lefts:
+        best = None
+        for rk, rts, tb, val in rights:
+            if rk != k:
+                continue
+            if direction == "backward":
+                ok = rts <= lts if exact else rts < lts
+            else:
+                ok = rts >= lts if exact else rts > lts
+            if not ok:
+                continue
+            cand = (rts, tb, val)
+            if best is None:
+                best = cand
+            elif direction == "backward" and (cand[0], cand[1]) > (
+                best[0],
+                best[1],
+            ):
+                best = cand  # nearest-before: max ts, then max tiebreak
+            elif direction == "forward" and (cand[0], cand[1]) < (
+                best[0],
+                best[1],
+            ):
+                best = cand  # nearest-after: min ts, then min tiebreak
+        if best is not None and tol is not None and abs(lts - best[0]) > tol:
+            best = None
+        out[lid] = best
+    return out
+
+
+def test_asof_join_randomized_differential(spark):
+    """Random keys/timestamps (with deliberate exact-tie collisions)
+    across all 4 direction/exact combos and a tolerance — Spark asof_join
+    equals the pure-Python nearest-scan reference row for row."""
+    from tinyolap_spark.pipeline.joins import asof_join
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        keys = ["a", "b", "c"]
+        # coarse integer timestamps force plenty of exact ties
+        lefts = [
+            (rng.choice(keys), rng.randrange(0, 40), i)
+            for i in range(60)
+        ]
+        rights = [
+            (rng.choice(keys), rng.randrange(0, 40), j, float(j))
+            for j in range(50)
+        ]
+        ldf = spark.createDataFrame(lefts, "k string, ts long, lid long")
+        rdf = spark.createDataFrame(
+            rights, "k string, ts long, tb long, val double"
+        )
+        for direction in ("backward", "forward"):
+            for exact in (True, False):
+                tol = 7.0 if trial == 2 else None
+                got = {
+                    r.lid: (r.ts_r, r.tb_r, r.val_r)
+                    if r.ts_r is not None
+                    else None
+                    for r in asof_join(
+                        ldf,
+                        rdf,
+                        on=["k"],
+                        direction=direction,
+                        allow_exact_match=exact,
+                        tiebreak="tb",
+                        tolerance_sec=tol,
+                    ).collect()
+                }
+                want = _py_asof(lefts, rights, direction, exact, tol)
+                assert got == want, (trial, direction, exact)
