@@ -1154,6 +1154,22 @@ def _q_docs_chunk(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def _q_docs_clip_outliers(spark, sf_dir):
+    """Per-source winsorization: n_chars clamped to the source's exact
+    [0.05, 0.95] quantiles (`pipeline/text.py::clip_outliers`, broadcast
+    bounds, no window) — per-row output so no cross-row float summation
+    enters the hash; Spark sort-based percentile is bit-identical to
+    DuckDB quantile_cont (same guarantee as sql_acctbal_quantiles)."""
+    from tinyolap_spark.pipeline.text import clip_outliers
+
+    docs = _raw(spark, sf_dir, "documents")
+    return (
+        clip_outliers(docs, "n_chars", "source", 0.05, 0.95, exact=True)
+        .select("doc_id", "source", "n_chars", "n_chars_clipped")
+        .orderBy("doc_id")
+    )
+
+
 def _q_docs_novelty(spark, sf_dir):
     """Rare-gram novelty: per-doc count of distinct word-3-grams with
     corpus document frequency <= 2 (`pipeline/text.py::rare_gram_stats`)
@@ -1649,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_novelty": _q_docs_novelty,
         "docs_chunk": _q_docs_chunk,
+        "docs_clip_outliers": _q_docs_clip_outliers,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
@@ -2273,6 +2290,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
         "docs_quality_quantile": _quality_quantile_oracle(),
+        "docs_clip_outliers": (
+            "WITH b AS ("
+            "  SELECT source, quantile_cont(n_chars, 0.05) AS lo,"
+            "         quantile_cont(n_chars, 0.95) AS hi"
+            "  FROM documents GROUP BY 1) "
+            "SELECT d.doc_id, d.source, d.n_chars,"
+            "  LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_clipped "
+            "FROM documents d JOIN b USING (source) ORDER BY doc_id"
+        ),
         "docs_chunk": (
             r"WITH t AS ("
             r"  SELECT doc_id, str_split(trim("

@@ -243,6 +243,7 @@ def main() -> None:
         "docs_containment_pairs",
         "docs_novelty",
         "docs_chunk",
+        "docs_clip_outliers",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

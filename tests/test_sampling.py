@@ -370,3 +370,37 @@ class TestQuantileFilter:
         assert kept.count() == scored_docs.count()
         with pytest.raises(ValueError):
             quantile_filter(scored_docs, "s", "source", 0.0)
+
+
+def test_clip_outliers_exact_and_approx(spark):
+    """Winsorization clamps exactly at the group quantiles; the approx
+    path lands within sketch tolerance; pass-through columns survive."""
+    import numpy as np
+
+    from tinyolap_spark.pipeline.text import clip_outliers
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(i), "g" + str(i % 2), float(v), "x")
+        for i, v in enumerate(rng.normal(100, 10, 1000))
+    ]
+    rows.append((5000, "g0", 1e9, "x"))   # the corrupt outlier
+    rows.append((5001, "g1", -1e9, "x"))
+    df = spark.createDataFrame(rows, "rid long, source string, v double, tag string")
+    out = clip_outliers(df, "v", "source", 0.01, 0.99, exact=True)
+    got = {r.rid: r for r in out.collect()}
+    assert set(out.columns) == {"rid", "source", "v", "tag", "v_clipped"}
+    # outliers clamped into the group's bulk; originals untouched
+    assert got[5000].v == 1e9 and got[5000].v_clipped < 200
+    assert got[5001].v == -1e9 and got[5001].v_clipped > 0
+    # interior values pass through unclipped
+    import numpy as np
+    vs = sorted(r.v for r in out.collect() if r.source == "g0")
+    mid = vs[len(vs) // 2]
+    interior = [r for r in got.values() if abs(r.v - mid) < 1][0]
+    assert interior.v_clipped == interior.v
+    approx = clip_outliers(df, "v", "source", 0.01, 0.99, exact=False)
+    ga = {r.rid: r.v_clipped for r in approx.collect()}
+    assert abs(ga[5000] - got[5000].v_clipped) < 5.0
+    with pytest.raises(ValueError):
+        clip_outliers(df, "v", "source", 0.9, 0.1)
