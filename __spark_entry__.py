@@ -1154,6 +1154,17 @@ def _q_docs_chunk(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def _q_docs_salient_terms(spark, sf_dir):
+    """Per-doc top-5 terms by tf (ties lexicographic) with corpus df —
+    integer-exact keyword extraction
+    (`pipeline/text.py::salient_terms`); the float idf weighting is left
+    to callers so the SQL twin hashes identically."""
+    from tinyolap_spark.pipeline.text import salient_terms
+
+    docs = _raw(spark, sf_dir, "documents")
+    return salient_terms(docs, k=5, min_len=3).orderBy("doc_id", "rank")
+
+
 def _q_docs_clip_outliers(spark, sf_dir):
     """Per-source winsorization: n_chars clamped to the source's exact
     [0.05, 0.95] quantiles (`pipeline/text.py::clip_outliers`, broadcast
@@ -1666,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_novelty": _q_docs_novelty,
         "docs_chunk": _q_docs_chunk,
         "docs_clip_outliers": _q_docs_clip_outliers,
+        "docs_salient_terms": _q_docs_salient_terms,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
@@ -2290,6 +2302,23 @@ def oracle_sql() -> dict[str, str]:
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
         "docs_quality_quantile": _quality_quantile_oracle(),
+        "docs_salient_terms": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id, unnest(str_split(trim(lower("
+            r"    regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term"
+            r"  FROM documents"
+            r"), f AS ("
+            r"  SELECT doc_id, term, COUNT(*) AS tf FROM toks"
+            r"  WHERE len(term) >= 3 GROUP BY 1, 2"
+            r"), d AS (SELECT term, COUNT(*) AS df FROM f GROUP BY 1"
+            r"), r AS ("
+            r"  SELECT f.doc_id, f.term, f.tf, d.df,"
+            r"    CAST(row_number() OVER (PARTITION BY f.doc_id"
+            r"      ORDER BY f.tf DESC, f.term) AS INT) AS rank"
+            r"  FROM f JOIN d USING (term)) "
+            r"SELECT doc_id, term, tf, df, rank FROM r "
+            r"WHERE rank <= 5 ORDER BY doc_id, rank"
+        ),
         "docs_clip_outliers": (
             "WITH b AS ("
             "  SELECT source, quantile_cont(n_chars, 0.05) AS lo,"

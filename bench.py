@@ -244,6 +244,7 @@ def main() -> None:
         "docs_novelty",
         "docs_chunk",
         "docs_clip_outliers",
+        "docs_salient_terms",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

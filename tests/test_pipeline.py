@@ -1131,3 +1131,28 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
     assert len(by_doc[4]) == 2
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=32, overlap=32)
+
+
+def test_salient_terms_ranking_and_df(spark):
+    from tinyolap_spark.pipeline.text import salient_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta beta gamma an of"),
+            (2, "beta delta delta delta gamma gamma x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.doc_id, r.term, r.tf, r.df, r.rank)
+        for r in salient_terms(docs, k=2, min_len=3)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+    # short tokens (an, of, x) dropped; df counts docs containing a term
+    assert got == [
+        (1, "alpha", 3, 1, 1),
+        (1, "beta", 2, 2, 2),
+        (2, "delta", 3, 1, 1),
+        (2, "gamma", 2, 2, 2),
+    ]

@@ -281,6 +281,49 @@ def domain_filter(
     )
 
 
+def salient_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_len: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` terms by term frequency (ties: term
+    lexicographic), each annotated with its corpus document frequency —
+    integer-exact keyword extraction (the tf-idf SELECTION without the
+    float idf: callers compute ``tf * ln(N/df)`` themselves; keeping
+    floats out makes the result hash identically across engines).
+
+    Scale shape: one (doc, term) aggregate with map-side combine, one
+    terms-sized df aggregate joined back, one doc-partitioned window for
+    the top-k — the same single-shuffle-per-stage profile as
+    ``vocab_topk``, fanned per document.  Tokens shorter than
+    ``min_len`` (articles, stray punctuation) are dropped before
+    counting.
+
+    Returns ``(id_col, term, tf, df, rank)`` with ``rank`` 1-based.
+    """
+    toks = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.length("term") >= min_len)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, on="term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )
+
+
 def clip_outliers(
     df: DataFrame,
     value_col: str,
