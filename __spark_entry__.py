@@ -1154,6 +1154,27 @@ def _q_docs_chunk(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def _q_docs_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: top-3
+    docs per source by the key u^(1/n_chars), u from the portable-LCG
+    uniform so DuckDB draws the IDENTICAL sample
+    (`pipeline/sampling.py::weighted_sample`).  Integer output columns;
+    the float key only orders the selection (ties break by doc_id)."""
+    from tinyolap_spark.pipeline.sampling import (
+        portable_lcg_bucket,
+        weighted_sample,
+    )
+
+    docs = _raw(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs,
+        3,
+        "n_chars",
+        group_col="source",
+        hash_col=portable_lcg_bucket("doc_id"),
+    ).select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
 def _q_docs_salient_terms(spark, sf_dir):
     """Per-doc top-5 terms by tf (ties lexicographic) with corpus df —
     integer-exact keyword extraction
@@ -1678,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk": _q_docs_chunk,
         "docs_clip_outliers": _q_docs_clip_outliers,
         "docs_salient_terms": _q_docs_salient_terms,
+        "docs_weighted_sample": _q_docs_weighted_sample,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "docs_fingerprints": _q_docs_fingerprints,
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,
@@ -2302,6 +2324,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_language_id": _langid_oracle(),
         "docs_quality_histogram": _quality_oracle(),
         "docs_quality_quantile": _quality_quantile_oracle(),
+        "docs_weighted_sample": (
+            # identical LCG arithmetic to portable_lcg_bucket (positive
+            # ids, so plain % == pmod), u = (bucket + 0.5)/1e6,
+            # key = u^(1/n_chars), top-3 per source, ties by doc_id
+            "WITH s AS ("
+            "  SELECT source, doc_id, n_chars,"
+            "    POW((((doc_id % 1000003) * 1103515245 + 12345)"
+            "      % 2147483648 % 1000000 + 0.5) / 1000000.0,"
+            "      1.0 / n_chars) AS k"
+            "  FROM documents"
+            "  WHERE n_chars IS NOT NULL AND n_chars > 0) "
+            "SELECT source, doc_id, n_chars FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY source"
+            "    ORDER BY k DESC, doc_id) AS rn FROM s) "
+            "WHERE rn <= 3 ORDER BY source, doc_id"
+        ),
         "docs_salient_terms": (
             r"WITH toks AS ("
             r"  SELECT doc_id, unnest(str_split(trim(lower("

@@ -245,6 +245,7 @@ def main() -> None:
         "docs_chunk",
         "docs_clip_outliers",
         "docs_salient_terms",
+        "docs_weighted_sample",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 

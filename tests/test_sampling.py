@@ -404,3 +404,40 @@ def test_clip_outliers_exact_and_approx(spark):
     assert abs(ga[5000] - got[5000].v_clipped) < 5.0
     with pytest.raises(ValueError):
         clip_outliers(df, "v", "source", 0.9, 0.1)
+
+
+def test_weighted_sample_without_replacement(spark):
+    """Efraimidis-Spirakis: inclusion tracks weight (a 1000x-weight item
+    appears in almost every group's sample), results are deterministic,
+    non-positive weights never sampled, exactly k per group."""
+    from tinyolap_spark.pipeline.sampling import weighted_sample
+
+    rows = []
+    for g in range(200):
+        rows.append((g * 100, f"g{g}", 1000.0))      # heavy item
+        for j in range(1, 10):
+            rows.append((g * 100 + j, f"g{g}", 1.0))  # light items
+        rows.append((g * 100 + 50, f"g{g}", 0.0))     # never sampled
+        rows.append((g * 100 + 51, f"g{g}", None))    # never sampled
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+
+    out = weighted_sample(df, 2, "w", group_col="source")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) == 2 for v in got.values()) and len(got) == 200
+    heavy_hits = sum(1 for g in range(200) if g * 100 in got[f"g{g}"])
+    assert heavy_hits > 180  # weight-1000 item ~always drawn
+    assert not any(
+        d % 100 in (50, 51) for v in got.values() for d in v
+    )
+    # deterministic across invocations
+    again = {}
+    for r in weighted_sample(df, 2, "w", group_col="source").collect():
+        again.setdefault(r.source, set()).add(r.doc_id)
+    assert again == got
+    # global top-k plan avoids a global sort
+    plan = weighted_sample(df, 5, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")

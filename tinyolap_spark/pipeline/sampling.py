@@ -136,3 +136,54 @@ def stratified_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
     return df.where(b < (rate * _BUCKETS).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    group_col: Optional[str] = None,
+    hash_col: Optional[Column] = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006):
+    each row draws the key ``u^(1/w)`` from a deterministic per-row
+    uniform ``u``; the ``k`` largest keys are an exact weighted sample
+    without replacement (inclusion probability proportional to weight,
+    no rejection loop, one pass).
+
+    Deterministic and engine-portable like every sampler here: ``u``
+    comes from the key's hash bucket (``xxhash64`` by default; pass
+    ``hash_col=portable_lcg_bucket(...)`` for the DuckDB-twin
+    arithmetic), so the same rows are drawn on every run and on every
+    engine — identical-u collisions and equal weights tie-break by key.
+    Rows with NULL or non-positive weight are excluded (never sampled).
+
+    Scale shape: global sampling compiles to TakeOrderedAndProject
+    (per-partition top-k + driver merge of k rows — no global sort);
+    ``group_col`` switches to one row_number window per group.  Returns
+    the sampled rows with original columns.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (hash_bucket(key_col, hash_col) + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    sampled = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__esk", key)
+    if group_col is None:
+        out = sampled.orderBy(
+            F.col("__esk").desc(), F.col(key_col)
+        ).limit(k)
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("__esk").desc(), F.col(key_col)
+        )
+        out = sampled.withColumn(
+            "__rn", F.row_number().over(w)
+        ).where(F.col("__rn") <= k)
+    return out.select(*df.columns)
