@@ -1664,62 +1664,22 @@ def _q_events_hourly_stream(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Active driver-checked registry — kept at <= 50 entries so EVERY row
+    gets a driver CORRECTNESS check each round (the driver caps at 50).
+
+    Ordering (VERDICT r6 #1): the 17 entries that had never received a
+    driver row (registry positions >50 in r6) come FIRST; long-green rows
+    follow.  Redundant long-green rows (5-6 consecutive green rounds, each
+    shadowed by a same-shaped survivor) moved to :func:`retired_queries`,
+    which stays under pytest oracle parity via tests/test_oracle_parity.py.
+    """
     return {
-        "cube_total_revenue": _q_cube_total_revenue,
-        "cube_region_year_revenue": _q_cube_region_year_revenue,
-        "cube_nation_revenue_1995": _q_cube_nation_revenue_1995,
-        "cube_weighted_net_price": _q_cube_weighted_net_price,
-        "cube_multiparent_overlap": _q_cube_multiparent_overlap,
-        "cube_quarter_quantity": _q_cube_quarter_quantity,
-        "cube_area_sum": _q_cube_area_sum,
-        "cube_cell_batch": _q_cube_cell_batch,
-        "cube_sql_dialect": _q_cube_sql_dialect,
-        "view_region_measure": _q_view_region_measure,
-        "sql_pricing_summary": _q_sql_pricing_summary,
-        "sql_top_nations": _q_sql_top_nations,
-        "sql_orders_by_priority": _q_sql_orders_by_priority,
-        "sql_customer_top_order": _q_sql_customer_top_order,
-        "sql_part_type_stats": _q_sql_part_type_stats,
-        "sql_ship_delay_histogram": _q_sql_ship_delay_histogram,
-        "sql_mktsegment_acctbal": _q_sql_mktsegment_acctbal,
-        "sql_acctbal_quantiles": _q_sql_acctbal_quantiles,
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_text_stats": _q_docs_text_stats,
-        "docs_dedup_survivors": _q_docs_dedup_survivors,
-        "emb_topk_cosine": _q_emb_topk_cosine,
-        "events_sessionize": _q_events_sessionize,
-        "cube_attr_filter": _q_cube_attr_filter,
-        "cube_two_level_rollup": _q_cube_two_level_rollup,
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "docs_language_id": _q_docs_language_id,
-        "docs_quality_histogram": _q_docs_quality_histogram,
-        "docs_quality_quantile": _q_docs_quality_quantile,
-        "docs_novelty": _q_docs_novelty,
-        "docs_chunk": _q_docs_chunk,
-        "docs_clip_outliers": _q_docs_clip_outliers,
-        "docs_salient_terms": _q_docs_salient_terms,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "docs_fingerprints": _q_docs_fingerprints,
-        "docs_jaccard_pairs": _q_docs_jaccard_pairs,
-        "docs_dup_clusters": _q_docs_dup_clusters,
-        "docs_neardedup_survivors": _q_docs_neardedup_survivors,
-        "emb_near_dup_pairs": _q_emb_near_dup_pairs,
-        "emb_semantic_dup_pairs": _q_emb_semantic_dup_pairs,
-        "docs_containment_pairs": _q_docs_containment_pairs,
-        "docs_media_features": _q_docs_media_features,
-        "events_hourly_stream": _q_events_hourly_stream,
-        "events_cube_stream_ingest": _q_events_cube_stream_ingest,
-        "sql_salted_region_qty": _q_sql_salted_region_qty,
-        "events_attribution": _q_events_attribution,
-        "events_funnel": _q_events_funnel,
-        "events_funnel_windowed": _q_events_funnel_windowed,
-        "events_funnel_anyorder": _q_events_funnel_anyorder,
-        "events_props_rollup": _q_events_props_rollup,
+        # -- never driver-checked before r7 (VERDICT r6 "What's missing" #1)
         "events_asof_join": _q_events_asof_join,
         "events_range_join": _q_events_range_join,
         "events_interval_join": _q_events_interval_join,
+        "events_funnel_anyorder": _q_events_funnel_anyorder,
+        "events_props_rollup": _q_events_props_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_split_counts": _q_docs_split_counts,
@@ -1732,7 +1692,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_counts": _q_docs_domain_counts,
         "docs_exact_k_sample": _q_docs_exact_k_sample,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
+        # -- cube / view / sql surface ------------------------------------
+        "cube_weighted_net_price": _q_cube_weighted_net_price,
+        "cube_multiparent_overlap": _q_cube_multiparent_overlap,
+        "cube_area_sum": _q_cube_area_sum,
+        "cube_cell_batch": _q_cube_cell_batch,
+        "cube_sql_dialect": _q_cube_sql_dialect,
+        "cube_attr_filter": _q_cube_attr_filter,
+        "cube_two_level_rollup": _q_cube_two_level_rollup,
+        "view_region_measure": _q_view_region_measure,
+        "sql_top_nations": _q_sql_top_nations,
+        "sql_customer_top_order": _q_sql_customer_top_order,
+        "sql_ship_delay_histogram": _q_sql_ship_delay_histogram,
+        "sql_acctbal_quantiles": _q_sql_acctbal_quantiles,
+        # -- documents / text pipeline ------------------------------------
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_text_stats": _q_docs_text_stats,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_quality_quantile": _q_docs_quality_quantile,
+        "docs_novelty": _q_docs_novelty,
+        "docs_chunk": _q_docs_chunk,
+        "docs_clip_outliers": _q_docs_clip_outliers,
+        "docs_salient_terms": _q_docs_salient_terms,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_dup_clusters": _q_docs_dup_clusters,
+        "docs_neardedup_survivors": _q_docs_neardedup_survivors,
+        "docs_containment_pairs": _q_docs_containment_pairs,
+        "docs_media_features": _q_docs_media_features,
+        # -- embeddings ----------------------------------------------------
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_near_dup_pairs": _q_emb_near_dup_pairs,
+        "emb_semantic_dup_pairs": _q_emb_semantic_dup_pairs,
+        # -- events / streaming ---------------------------------------------
+        "events_sessionize": _q_events_sessionize,
+        "events_cube_stream_ingest": _q_events_cube_stream_ingest,
+        "events_attribution": _q_events_attribution,
+        "events_funnel": _q_events_funnel,
+        "events_funnel_windowed": _q_events_funnel_windowed,
     }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Long-green rows rotated out of the driver's 50-row check window
+    (VERDICT r6 #9 registry hygiene).  Every one was driver-green for 5-6
+    consecutive rounds and is shape-shadowed by an active survivor (noted
+    inline).  They keep full DuckDB oracle parity in
+    tests/test_oracle_parity.py, which runs active + retired.
+    """
+    return {
+        "cube_total_revenue": _q_cube_total_revenue,  # shadowed: cube_area_sum
+        "cube_region_year_revenue": _q_cube_region_year_revenue,  # cube_two_level_rollup
+        "cube_nation_revenue_1995": _q_cube_nation_revenue_1995,  # cube_sql_dialect
+        "cube_quarter_quantity": _q_cube_quarter_quantity,  # cube_multiparent_overlap
+        "sql_pricing_summary": _q_sql_pricing_summary,  # sql_ship_delay_histogram
+        "sql_orders_by_priority": _q_sql_orders_by_priority,  # sql_top_nations
+        "sql_part_type_stats": _q_sql_part_type_stats,  # sql_top_nations
+        "sql_mktsegment_acctbal": _q_sql_mktsegment_acctbal,  # sql_acctbal_quantiles
+        "sql_salted_region_qty": _q_sql_salted_region_qty,  # cube_weighted_net_price
+        "docs_dedup_survivors": _q_docs_dedup_survivors,  # docs_exact_dedup
+        "docs_fingerprints": _q_docs_fingerprints,  # docs_minhash_pairs
+        "docs_quality_histogram": _q_docs_quality_histogram,  # docs_quality_quantile
+        "docs_simhash_pairs": _q_docs_simhash_pairs,  # docs_minhash_pairs
+        "docs_jaccard_pairs": _q_docs_jaccard_pairs,  # docs_neardedup_survivors
+        "docs_language_id": _q_docs_language_id,  # docs_text_stats
+        "events_hourly_stream": _q_events_hourly_stream,  # events_cube_stream_ingest
+        "emb_topk_cosine": _q_emb_topk_cosine,  # emb_ivf_topk (recall vs brute force)
+    }
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Active + retired — the full oracle-checked surface (bench + pytest)."""
+    return {**queries(), **retired_queries()}
 
 
 def _pii_scrub_oracle() -> str:

@@ -214,7 +214,7 @@ def main() -> None:
     guarded("star_section", star_section)
 
     # ---- driver-contract queries over raw tables --------------------------
-    q = entry_mod.queries()
+    q = entry_mod.all_queries()
     # reps=2 across the whole loop (VERDICT r5 #3): single runs of these
     # narrow scans read session noise (GC/page-cache swings) as regressions
     for name in [
@@ -723,7 +723,7 @@ def main() -> None:
 
         timed("sf1_view_refresh", sf1_view, reps=2)
 
-        q1 = entry_mod.queries()
+        q1 = entry_mod.all_queries()
         timed(
             "sf1_docs_minhash_pairs",
             lambda: q1["docs_minhash_pairs"](spark, sf1_dir).collect(),

@@ -53,12 +53,20 @@ def normalize(rows, colnames):
     return sorted(out, key=repr), [colnames[i] for i in order]
 
 
-QUERIES = sorted(entry_mod.queries().keys())
+QUERIES = sorted(entry_mod.all_queries().keys())
+
+
+def test_active_registry_fits_driver_window():
+    """Driver checks at most 50 rows; every active entry must get one
+    (VERDICT r6 #1/#9)."""
+    assert len(entry_mod.queries()) <= 50
+    overlap = set(entry_mod.queries()) & set(entry_mod.retired_queries())
+    assert not overlap, f"query registered twice: {overlap}"
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, ddb, name):
-    q = entry_mod.queries()[name]
+    q = entry_mod.all_queries()[name]
     oracles = entry_mod.oracle_sql()
     sdf = q(spark, SF_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
