@@ -20,8 +20,12 @@ DataFrame/window compositions — no UDFs, whole-stage codegen end to end:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def with_last_touch(
@@ -124,6 +128,8 @@ def funnel_stages(
     type_col: str = "event_type",
     max_gap_sec: "int | None" = None,
     ordered: bool = True,
+    max_events_per_user: "int | None" = None,
+    capped_stats: "dict | None" = None,
 ) -> DataFrame:
     """Funnel stage per user; three modes, all ONE groupBy shuffle:
 
@@ -142,35 +148,83 @@ def funnel_stages(
     Ordered modes collect each user's (ts, type) pairs and run a single
     JVM ``aggregate`` higher-order scan over the sorted array — no UDF,
     no k-way self-join (the naive funnel is k chained range joins; this
-    is one pass).  Any-order is a plain ``count_distinct``.  Per-user
-    state is that user's event list: bounded by the busiest user, the
-    same envelope as any sessionization.
+    is one pass).  Any-order is a plain ``count_distinct``.
+
+    Per-user state: events whose type is not a funnel step (or whose
+    timestamp is NULL) can never advance the scan, so the collect is
+    CONDITIONAL — ``collect_list(when(is_step, ...))`` skips NULLs, so
+    the aggregation buffer holds step events only while stage-0 users
+    (no step events at all) still get a group and a row.  A bot user
+    spamming step events is still unbounded; pass
+    ``max_events_per_user`` to keep only each user's EARLIEST N step
+    events — a conditional running count over a window on the SAME key,
+    so the window sort spills to disk instead of the aggregation buffer
+    OOMing, the planner reuses the hash partitioning for the groupBy,
+    and the plan stays one Exchange with no join (test-asserted).  A
+    user truncated at the cap under-reports their stage iff the
+    completing events lie beyond their first N step events — quantified
+    via ``capped_stats`` (opt-in dict, mirrors the dedup skew-cap
+    reporting: keys ``truncated_users`` / ``dropped_events``, costs one
+    extra job, and a non-zero drop is logged at WARNING).
 
     Returns ``(user_col, stage)`` with stage in ``0..len(steps)``.
     """
-    if not ordered:
-        if max_gap_sec is not None:
-            raise ValueError(
-                "max_gap_sec requires ordered=True (a conversion window "
-                "between steps is meaningless without step order)"
-            )
-        # null-ts events never count (consistent with the ordered scan)
-        seen = F.count_distinct(
-            F.when(
-                F.col(type_col).isin(list(steps))
-                & F.col(ts_col).isNotNull(),
-                F.col(type_col),
-            )
+    if not ordered and max_gap_sec is not None:
+        raise ValueError(
+            "max_gap_sec requires ordered=True (a conversion window "
+            "between steps is meaningless without step order)"
         )
-        return (
-            events.select(user_col, ts_col, type_col)
-            .groupBy(user_col)
-            .agg(seen.cast("int").alias("stage"))
+    is_step = F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
+    ev = events.select(user_col, ts_col, type_col)
+    if max_events_per_user is not None:
+        if max_events_per_user < 1:
+            raise ValueError("max_events_per_user must be >= 1")
+        # rank of each STEP event within its user (non-step rows pass
+        # through untouched — they keep stage-0 users alive downstream)
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(F.col(ts_col).asc_nulls_last(), F.col(type_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rank = F.sum(F.when(is_step, 1).otherwise(0)).over(w)
+        ev = ev.withColumn("__over", is_step & (rank > max_events_per_user))
+        if capped_stats is not None:
+            row = (
+                ev.where(F.col("__over"))
+                .agg(
+                    F.count(F.lit(1)).alias("e"),
+                    F.count_distinct(F.col(user_col)).alias("u"),
+                )
+                .collect()[0]
+            )
+            capped_stats["truncated_users"] = int(row["u"])
+            capped_stats["dropped_events"] = int(row["e"])
+            if row["u"]:
+                _log.warning(
+                    "funnel_stages: max_events_per_user=%d truncated %d "
+                    "user(s), dropping %d step event(s) — stages for "
+                    "those users are computed from their first %d step "
+                    "events only",
+                    max_events_per_user, row["u"], row["e"],
+                    max_events_per_user,
+                )
+        ev = ev.where(~F.col("__over")).drop("__over")
+    if not ordered:
+        # count_distinct skips the NULL the when() leaves for non-steps
+        return ev.groupBy(user_col).agg(
+            F.count_distinct(F.when(is_step, F.col(type_col)))
+            .cast("int")
+            .alias("stage")
         )
     steps_lit = F.array(*[F.lit(s) for s in steps])
     arr = F.sort_array(
-        F.collect_list(F.struct(F.col(ts_col).alias("ts"),
-                                F.col(type_col).alias("tp")))
+        F.collect_list(
+            F.when(
+                is_step,
+                F.struct(F.col(ts_col).alias("ts"),
+                         F.col(type_col).alias("tp")),
+            )
+        )
     )
     init = F.struct(
         F.lit(0).alias("stage"),
@@ -203,11 +257,7 @@ def funnel_stages(
             ),
         ).otherwise(acc),
     )
-    return (
-        events.select(user_col, ts_col, type_col)
-        .groupBy(user_col)
-        .agg(scan["stage"].alias("stage"))
-    )
+    return ev.groupBy(user_col).agg(scan["stage"].alias("stage"))
 
 
 def funnel_summary(

@@ -69,10 +69,13 @@ def asof_join(
     Semantics mirror pandas ``merge_asof``: ``allow_exact_match``
     controls whether ``right_ts == left_ts`` counts; ``tolerance_sec``
     NULLs the match (or drops the row under ``'inner'``) when the time
-    gap exceeds it (seconds for timestamps — comparisons happen on a
-    ``double`` cast, so sub-microsecond boundary gaps are approximate;
-    apply an exact integer tolerance at the call site via
-    ``unix_micros`` when bit-exactness at the boundary matters).  Ties
+    gap exceeds it.  For timestamp columns the gap is computed on
+    ``unix_micros`` INTEGERS against ``round(tolerance_sec * 1e6)``
+    microseconds, so the boundary is exact (gap == tolerance matches,
+    gap == tolerance + 1µs does not); numeric ts columns keep the
+    ``double`` comparison.  A left row whose timestamp is NULL never
+    matches (pandas ``merge_asof`` raises on NULL keys; here the row
+    survives with a NULL match under ``'left'``).  Ties
     among right rows at the same timestamp break by ``tiebreak``
     (backward: highest wins; forward: lowest wins); without one, ties
     are nondeterministic — pass it whenever right timestamps can repeat.
@@ -98,6 +101,13 @@ def asof_join(
     if bad:
         raise ValueError(
             f"left frame uses reserved column names {sorted(bad)}"
+        )
+    out_names = {f"{right_ts}{suffix}"} | {f"{c}{suffix}" for c in payload}
+    clash = out_names & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"output column(s) {sorted(clash)} collide with left frame "
+            f"columns; pass a different suffix or rename"
         )
     for c in (left_ts, *keys):
         if c not in left.columns:
@@ -150,13 +160,33 @@ def asof_join(
         "__m", F.last("__pay", ignorenulls=True).over(w)
     ).where(F.col("__is_left"))
 
+    # a NULL left timestamp must never match: under 'forward' it sorts
+    # after every right row (desc_nulls_last), so last(ignorenulls) would
+    # otherwise hand it the smallest-timestamp right payload
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), F.col("__m"))
+    )
+
     if tolerance_sec is not None:
-        gap = F.abs(
-            F.col("__t").cast("double")
-            - F.col("__m.__rts").cast("double")
-        )
+        ts_types = ("timestamp", "timestamp_ntz")
+        l_type = dict(unioned.dtypes)["__t"]
+        r_type = r.schema["__pay"].dataType["__rts"].dataType.simpleString()
+        if l_type in ts_types and r_type in ts_types:
+            # exact integer microseconds — the storage resolution — so the
+            # boundary (gap == tolerance) is bit-exact, not double-rounded
+            gap = F.abs(
+                F.unix_micros(F.col("__t").cast("timestamp"))
+                - F.unix_micros(F.col("__m.__rts").cast("timestamp"))
+            )
+            limit = F.lit(int(round(float(tolerance_sec) * 1_000_000)))
+        else:
+            gap = F.abs(
+                F.col("__t").cast("double")
+                - F.col("__m.__rts").cast("double")
+            )
+            limit = F.lit(float(tolerance_sec))
         matched = matched.withColumn(
-            "__m", F.when(gap <= float(tolerance_sec), F.col("__m"))
+            "__m", F.when(gap <= limit, F.col("__m"))
         )
     if how == "inner":
         matched = matched.where(F.col("__m").isNotNull())

@@ -529,7 +529,7 @@ def semantic_dup_pairs(
     """
     from .clustering import assign
 
-    assigned = assign(emb, centroids).select(
+    assigned = assign(emb, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "cluster"
     )
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))

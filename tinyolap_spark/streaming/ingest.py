@@ -46,8 +46,29 @@ def normalize_events(df: DataFrame) -> DataFrame:
     timestamps as UTC.  Every events consumer (entry queries, streaming
     tests, bench) goes through here so a future fixture-schema change is a
     one-line fix.
+
+    .. warning:: **Session-wide side effect.** The UTC pin is
+       ``spark.conf.set("spark.sql.session.timeZone", "UTC")`` and it
+       STAYS set — it cannot be restored after this call because the
+       returned DataFrame is lazy and the session timezone is read at
+       EXECUTION time, not construction time.  Timestamp rendering and
+       NTZ casts in unrelated queries on the same session change too.
+       If the session ran under a different explicit timezone, a
+       ``UserWarning`` names the change; pin UTC at session setup to
+       silence it.
     """
     spark = df.sparkSession
+    prior = spark.conf.get("spark.sql.session.timeZone", None)
+    if prior not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        import warnings
+
+        warnings.warn(
+            f"normalize_events pinned spark.sql.session.timeZone to UTC "
+            f"for the WHOLE session (was {prior!r}); timestamp rendering "
+            f"in other queries on this session changes too",
+            UserWarning,
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get("ts")
     if dt in ("bigint", "long"):
