@@ -1093,6 +1093,21 @@ def test_rare_gram_stats_flags_templated_text(spark):
     assert n_g == 5 and n_r == 5          # unique prose: every gram rare
 
 
+def test_rare_gram_stats_hash_keys_same_answer(spark):
+    """hash_keys=True (xxhash64 grams before the shuffle — the 100 TB
+    path) must produce the identical per-doc counts as string keys."""
+    from tinyolap_spark.pipeline.text import rare_gram_stats
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    strs = {r.doc_id: (r.n_grams, r.n_rare) for r in
+            rare_gram_stats(docs, ngram=3, max_df=2).collect()}
+    hashed = {r.doc_id: (r.n_grams, r.n_rare) for r in
+              rare_gram_stats(docs, ngram=3, max_df=2,
+                              hash_keys=True).collect()}
+    assert strs == hashed and len(strs) > 0
+
+
 def test_chunk_documents_covers_every_token_with_overlap(spark):
     from tinyolap_spark.pipeline.text import chunk_documents
 

@@ -421,6 +421,7 @@ def rare_gram_stats(
     id_col: str = "doc_id",
     ngram: int = 3,
     max_df: int = 2,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Per-document NOVELTY signal: of the doc's distinct word
     ``ngram``-grams, how many are corpus-rare (document frequency <=
@@ -432,9 +433,14 @@ def rare_gram_stats(
 
     Scale shape: one distinct-gram explode (narrow), one map-side
     combinable df aggregate over gram keys, one join of postings back to
-    the df frame, one per-doc aggregate — grams shuffle as strings here
-    for oracle parity; at 100 TB hash them first (`xxhash64`) like
-    ``containment_pairs(hash_keys=True)``.
+    the df frame, one per-doc aggregate.  ``hash_keys=True`` replaces
+    each gram with its ``xxhash64`` fingerprint BEFORE the shuffle, so
+    the df aggregate and the postings join move fixed 8-byte longs
+    instead of arbitrary-length strings — the 100 TB path, mirroring
+    ``containment_pairs(hash_keys=True)``.  Counts are identical up to
+    64-bit hash collisions (a collision can only merge two grams'
+    df counts — vanishing at any df threshold that matters); keep
+    string keys when the oracle must reproduce the grouping exactly.
 
     Returns ``(id_col, n_grams, n_rare)``; docs whose text produces zero
     grams still appear (0, 0).
@@ -443,9 +449,10 @@ def rare_gram_stats(
 
     # _spread: a small parquet arrives as ONE partition and the shingle
     # explode would run single-threaded (measured 7s -> <1s at sf0.1)
-    posts = _spread(docs).select(
-        F.col(id_col), F.explode(shingles(text_col, ngram)).alias("g")
-    )
+    gram = F.explode(shingles(text_col, ngram)).alias("g")
+    posts = _spread(docs).select(F.col(id_col), gram)
+    if hash_keys:
+        posts = posts.select(id_col, F.xxhash64("g").alias("g"))
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         posts.join(dfreq, on="g")
