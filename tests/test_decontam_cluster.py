@@ -484,6 +484,111 @@ def test_near_dedup_stream_against_corpus(docs, spark, tmp_path):
         idx.release()
 
 
+def test_corpus_dedup_index_update_incremental(docs, spark):
+    """VERDICT r6 #6 (index half): folding an accepted batch into the
+    index makes the NEXT batch pair against it."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = docs.where(F.col("doc_id") < 200)
+    idx = dedup.CorpusDedupIndex(corpus)
+    try:
+        newcomer = (
+            docs.where(F.col("doc_id") == 400)
+            .select("doc_id", "text")
+            .withColumn("doc_id", F.lit(700_000).cast("long"))
+        )
+        dup_of_newcomer = newcomer.withColumn(
+            "doc_id", F.lit(800_000).cast("long")
+        )
+        # before the fold: the dup pairs with nothing
+        assert (
+            dedup.near_duplicates_against(
+                dup_of_newcomer, idx, threshold=0.999
+            ).count()
+            == 0
+        )
+        idx.update(newcomer)
+        pairs = dedup.near_duplicates_against(
+            dup_of_newcomer, idx, threshold=0.999
+        ).collect()
+        assert {(r.doc_a, r.doc_b) for r in pairs} == {(800_000, 700_000)}
+        # original corpus still matched after the union (no frame loss)
+        copy_of_corpus = (
+            corpus.where(F.col("doc_id") == 5)
+            .select("doc_id", "text")
+            .withColumn("doc_id", F.lit(900_000).cast("long"))
+        )
+        assert (
+            dedup.near_duplicates_against(
+                copy_of_corpus, idx, threshold=0.999
+            ).count()
+            == 1
+        )
+    finally:
+        idx.release()
+
+
+def test_near_dedup_stream_fold_survivors_catches_intra_stream(
+    docs, spark, tmp_path
+):
+    """VERDICT r6 #6 (streaming half): with fold_survivors=True a
+    near-dup pair arriving in batches 1 and 2 — NEITHER in the corpus —
+    loses its second member; without the fold both survive (the
+    documented default gap)."""
+    from tinyolap_spark.pipeline import dedup
+    from tinyolap_spark.streaming.ingest import near_dedup_stream
+
+    corpus = docs.where(F.col("doc_id") < 200)
+    src = str(tmp_path / "fold_src")
+    # batch 1: one newcomer (not in corpus); batch 2: a near-dup of that
+    # newcomer plus one genuinely fresh doc
+    newcomer = (
+        docs.where(F.col("doc_id") == 400)
+        .select("doc_id", "text")
+        .withColumn("doc_id", F.lit(700_000).cast("long"))
+    )
+    b2 = (
+        newcomer.withColumn("doc_id", F.lit(800_000).cast("long"))
+        .unionByName(
+            docs.where(F.col("doc_id") == 410)
+            .select("doc_id", "text")
+            .withColumn("doc_id", F.lit(810_000).cast("long"))
+        )
+    )
+    newcomer.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def run(fold):
+        idx = dedup.CorpusDedupIndex(corpus)
+        got = {}
+
+        def sink(kept, batch_id):
+            got[batch_id] = {r.doc_id for r in kept.select("doc_id").collect()}
+
+        try:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = near_dedup_stream(
+                stream,
+                idx,
+                str(tmp_path / f"fold_ckpt_{fold}"),
+                sink,
+                threshold=0.999,
+                fold_survivors=fold,
+            )
+            q.awaitTermination(180)
+        finally:
+            idx.release()
+        assert len(got) == 2, got
+        return set().union(*got.values())
+
+    assert run(fold=False) == {700_000, 800_000, 810_000}  # gap: both live
+    assert run(fold=True) == {700_000, 810_000}  # dup of batch-1 doc dropped
+
+
 def test_corpus_dedup_index_reuse(docs, spark):
     """The ingestion-loop pattern: build the corpus LSH index once, run
     several batches against it — identical results to the one-shot path,

@@ -694,6 +694,53 @@ class CorpusDedupIndex:
         obj.banded.count()
         return obj
 
+    def update(
+        self,
+        accepted: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        """Fold an ACCEPTED batch into the index incrementally, so the
+        next batch is deduped against it too (VERDICT r6 #6) — this is
+        what lets ``streaming.near_dedup_stream`` catch a near-dup pair
+        that arrives across two micro-batches with neither doc in the
+        original corpus: the sink updates the index with each batch's
+        survivors before the next trigger.
+
+        Cost is one shingle+signature pass over the BATCH only (the
+        corpus side is never recomputed), then a union onto the persisted
+        frames.  The batch frames are ``localCheckpoint``-ed first: in a
+        ``foreachBatch`` sink the source DataFrame is not re-readable
+        after the trigger, so the union must never need its lineage
+        again (a cache-evicted block recomputing through a dead stream
+        source would fail).  The batch side is tiny, so the
+        non-reclaimable checkpoint blocks are bounded by stream volume,
+        not corpus size.
+
+        Each update adds one union node to the plan; a long-lived
+        ingestion driver should compact every few thousand batches via
+        ``save()`` + ``load()`` (parquet round-trip → flat lineage).
+        """
+        # sh_raw stays persisted while the banded frame computes (the
+        # signature expressions reference the shingle array per hash
+        # lane — the materialization barrier in shingle_frame), then the
+        # cache is dropped: only the checkpointed copies live on.
+        sh_raw = shingle_frame(accepted, text_col, id_col, self.shingle_n)
+        bd_b = _banded_frame(
+            sh_raw, self.num_hashes, self.bands, checkpoint=False
+        ).localCheckpoint(eager=True)
+        sh_b = sh_raw.localCheckpoint(eager=True)
+        sh_raw.unpersist()
+        old_sh, old_bd = self.shingles, self.banded
+        self.shingles = old_sh.unionByName(sh_b).persist()
+        self.banded = old_bd.unionByName(bd_b).persist()
+        # materialize the NEW frames before dropping the old blocks so
+        # consumers never see a window where neither copy is cached
+        self.banded.count()
+        self.shingles.count()
+        old_sh.unpersist()
+        old_bd.unpersist()
+
 
 def near_duplicates_against(
     new_docs: DataFrame,

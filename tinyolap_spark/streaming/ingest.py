@@ -445,6 +445,7 @@ def near_dedup_stream(
     threshold: float = 0.8,
     max_bucket: int = 200,
     query_name: str = "near_dedup_ingest",
+    fold_survivors: bool = False,
 ):
     """Streaming NEAR-duplicate ingestion against a prebuilt corpus index
     (VERDICT r5 #6) — the streaming half of
@@ -467,10 +468,17 @@ def near_dedup_stream(
     trigger; semantics are batch/stream identical by construction — the
     parity test drives the same batches through both paths.
 
-    Note: survivors are judged against the INDEX corpus only; two
+    By default survivors are judged against the INDEX corpus only; two
     near-dup documents arriving in different micro-batches (neither in
-    the corpus) both survive.  Fold accepted batches into a new index
-    (or periodically rebuild) when intra-stream near-dup matters.
+    the corpus) both survive.  ``fold_survivors=True`` closes that gap:
+    after each batch's survivors reach the sink, they are folded into
+    the index via :meth:`CorpusDedupIndex.update`, so the NEXT batch is
+    deduped against everything accepted so far — intra-stream near-dups
+    one batch apart are caught (within a batch, the batch side still
+    only pairs against the index; compose ``dedup_stream`` upstream for
+    exact same-batch dups).  The fold re-shingles only the batch's
+    survivors; long-lived drivers should compact the index periodically
+    (``save()``/``load()``) as its plan accrues one union per batch.
     """
     from ..pipeline.dedup import dedup_batch_against
 
@@ -485,7 +493,14 @@ def near_dedup_stream(
             threshold,
             max_bucket=max_bucket,
         )
+        if fold_survivors:
+            # the sink may consume `kept` lazily/partially; checkpoint so
+            # both the sink's jobs and the fold see one stable survivor
+            # set computed once
+            kept = kept.localCheckpoint(eager=True)
         sink(kept, batch_id)
+        if fold_survivors:
+            index.update(kept, text_col=text_col, id_col=id_col)
 
     return (
         stream.writeStream.foreachBatch(handle_batch)
