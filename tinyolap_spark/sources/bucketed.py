@@ -63,3 +63,98 @@ def bucketed_join(
     """Join two co-bucketed tables; with equal bucket counts on the join
     keys the physical plan carries no Exchange on either input."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def save_clustered(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "str | list[str]",
+    zorder_cols: "list[str]",
+    num_buckets: int = 32,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Bucketed AND Z-ordered layout in one write — the full 100 TB fact
+    story (VERDICT r6 #8):
+
+    - ``bucketBy(num_buckets, bucket_cols)``: joins/rollups on the
+      bucket key are Exchange-free, and EQUALITY predicates on it prune
+      whole bucket FILES at planning time (bucket pruning);
+    - ``sortBy(__z)`` with ``__z`` = the Morton code of ``zorder_cols``:
+      rows inside each bucket file are Z-clustered, so parquet row-group
+      min/max stats stay tight on EVERY clustered column at once and
+      range predicates on them prune row groups within the surviving
+      files.
+
+    The two compose orthogonally: bucketing owns WHICH files a key
+    lives in, the Z-order owns WHERE inside a file a dim range lives.
+    ``__z`` is materialized as a real column (bucketed ``sortBy`` sorts
+    by table columns only) — 8 bytes/row, and it doubles as the cluster
+    key for future re-layouts.  Returns the re-read table handle.
+    """
+    from .zorder import morton_code
+
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    out = df.withColumn("__z", morton_code(df, zorder_cols, bits))
+    (
+        out.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, cols[0], *cols[1:])
+        .sortBy("__z")
+        .saveAsTable(table)
+    )
+    return df.sparkSession.table(table).drop("__z")
+
+
+def scan_file_metrics(df: DataFrame) -> "dict[str, int]":
+    """Execution metrics of the parquet scan(s) feeding ``df`` — run the
+    query first (collect/count), then call this on the SAME DataFrame.
+
+    Returns summed ``{"files": n, "bytes": n, "rows": n}`` across every
+    scan node in the executed plan, plus ``selected_buckets`` /
+    ``total_buckets`` when a scan is bucket-pruned.  ``files``/``bytes``
+    are the relation's static footprint (Spark's ``numFiles`` metric
+    reports the file count BEFORE bucket pruning); ``rows`` is what the
+    scan actually produced and ``selected_buckets`` how many bucket
+    files survived pruning — those two are the measured effect of the
+    layout."""
+    import re
+
+    totals = {"files": 0, "bytes": 0, "rows": 0}
+
+    def walk(node):
+        name = node.nodeName()
+        # AQE wrappers keep the real plan behind accessors, not children()
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                key = kv._1()
+                if key == "numFiles":
+                    totals["files"] += int(kv._2().value())
+                elif key == "filesSize":
+                    totals["bytes"] += int(kv._2().value())
+                elif key == "numOutputRows":
+                    totals["rows"] += int(kv._2().value())
+            m = re.search(
+                r"SelectedBucketsCount: (\d+) out of (\d+)",
+                node.simpleString(10_000),
+            )
+            if m:
+                totals["selected_buckets"] = (
+                    totals.get("selected_buckets", 0) + int(m.group(1))
+                )
+                totals["total_buckets"] = (
+                    totals.get("total_buckets", 0) + int(m.group(2))
+                )
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return totals
