@@ -279,8 +279,13 @@ def minhash_lsh_candidates(
     _report_capped(
         bucket_sizes, max_bucket, capped_stats, "minhash_lsh_candidates"
     )
+    # shuffle_hash: the surviving-bucket set scales with the corpus
+    # (AQE would broadcast it) and is already partitioned on the join
+    # key from its groupBy — the hint is exchange-free
     banded = banded.join(
-        bucket_sizes.where(F.col("sz") <= max_bucket).select("band", "bucket"),
+        bucket_sizes.where(F.col("sz") <= max_bucket)
+        .select("band", "bucket")
+        .hint("shuffle_hash"),
         on=["band", "bucket"],
         how="leftsemi",
     )
@@ -390,14 +395,23 @@ def containment_pairs(
         posts = posts.select("doc", F.xxhash64("g").alias("g"))
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
     _report_capped(dfreq, max_shingle_df, capped_stats, "containment_pairs")
+    # shuffle_hash hints on both gram-keyed joins: the df frame and the
+    # self-join side are GRAM-UNIVERSE-sized (AQE would broadcast them
+    # when runtime stats fit the threshold — a driver-side build that
+    # grows with the corpus and is impossible at 100 TB), and both come
+    # out of gram-keyed shuffles already partitioned on ``g``, so the
+    # hints add zero exchanges and skip the sort-merge sorts.  Measured
+    # 11.9s -> 5.7s at 10x local data, identical rows.
     kept = posts.join(
-        dfreq.where(F.col("sz") <= max_shingle_df).select("g"),
+        dfreq.where(F.col("sz") <= max_shingle_df)
+        .select("g")
+        .hint("shuffle_hash"),
         on="g",
         how="leftsemi",
     )
     sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_in"))
     a = kept.select(F.col("doc").alias("doc_in"), "g")
-    b = kept.select(F.col("doc").alias("doc_out"), "g")
+    b = kept.select(F.col("doc").alias("doc_out"), "g").hint("shuffle_hash")
     common = (
         a.join(b, on="g")
         .where(F.col("doc_in") != F.col("doc_out"))
