@@ -687,11 +687,51 @@ class CorpusDedupIndex:
         ).persist()
         self.banded.count()  # materialize now: batches must not re-run
         # the signature stage, and the first batch should not pay for it
+        self._capped_cache: dict = {}
+
+    def banded_capped(
+        self, max_bucket: int, capped_stats: "dict | None" = None
+    ) -> DataFrame:
+        """The banded frame with skew-capped buckets REMOVED, computed
+        once per ``max_bucket`` and cached: the corpus bucket sizes do
+        not change between batches, so the per-batch ingestion path
+        must not pay a corpus-wide groupBy + semi-join every trigger
+        (measured: that aggregate dominated per-batch cost).  The cap's
+        recall loss is counted once at first use and replayed into
+        ``capped_stats`` on every hit.  ``update()`` invalidates the
+        cache (new docs change bucket sizes); ``release()`` frees it."""
+        key = int(max_bucket)
+        hit = self._capped_cache.get(key)
+        if hit is None:
+            sizes = self.banded.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("sz")
+            )
+            stats: dict = {}
+            _report_capped(sizes, key, stats, "CorpusDedupIndex")
+            capped = self.banded.join(
+                sizes.where(F.col("sz") <= key)
+                .select("band", "bucket")
+                .hint("shuffle_hash"),
+                on=["band", "bucket"],
+                how="leftsemi",
+            ).persist()
+            capped.count()
+            hit = (capped, stats)
+            self._capped_cache[key] = hit
+        if capped_stats is not None:
+            capped_stats.update(hit[1])
+        return hit[0]
+
+    def _drop_capped_cache(self) -> None:
+        for frame, _ in self._capped_cache.values():
+            frame.unpersist()
+        self._capped_cache = {}
 
     def release(self) -> None:
         """Free all storage held by this index (blocking=False: lazily)."""
         self.shingles.unpersist()
         self.banded.unpersist()
+        self._drop_capped_cache()
 
     def save(self, path: str) -> None:
         """Persist the index to ``path`` (parquet shingles + banded keys
@@ -720,6 +760,7 @@ class CorpusDedupIndex:
         obj.shingles = spark.read.parquet(f"{path}/shingles").persist()
         obj.banded = spark.read.parquet(f"{path}/banded").persist()
         obj.banded.count()
+        obj._capped_cache = {}
         return obj
 
     def update(
@@ -768,6 +809,9 @@ class CorpusDedupIndex:
         self.shingles.count()
         old_sh.unpersist()
         old_bd.unpersist()
+        # folded docs change bucket sizes — capped variants recompute
+        # lazily on next use
+        self._drop_capped_cache()
 
 
 def near_duplicates_against(
@@ -812,27 +856,36 @@ def near_duplicates_against(
                 "CorpusDedupIndex was built with different LSH parameters "
                 f"({corpus.num_hashes}, {corpus.bands}, {corpus.shingle_n})"
             )
-        sh_corp, bc = corpus.shingles, corpus.banded
+        sh_corp = corpus.shingles
+        # the capped corpus frame is computed ONCE per (index, cap) and
+        # cached — the per-batch path must not re-aggregate the whole
+        # corpus's bucket sizes every trigger
+        bc = corpus.banded_capped(max_bucket, capped_stats)
         corpus_owned = False
     else:
         sh_corp = shingle_frame(corpus, text_col, id_col, shingle_n)
         bc = _banded_frame(sh_corp, num_hashes, bands)
         corpus_owned = True
+        corp_bucket_sizes = bc.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        _report_capped(
+            corp_bucket_sizes,
+            max_bucket,
+            capped_stats,
+            "near_duplicates_against",
+        )
+        ok_buckets = (
+            corp_bucket_sizes.where(F.col("sz") <= max_bucket)
+            .select("band", "bucket")
+            .hint("shuffle_hash")  # bucket-universe-sized: never broadcast
+        )
+        bc = bc.join(ok_buckets, on=["band", "bucket"], how="leftsemi")
     # new side: consumed once by the pair join — no barrier needed
     # (checkpoint blocks would outlive the call until JVM GC; in a
     # per-batch ingestion loop that accumulates).  Corpus side: three
     # consumers, keep the barrier.
     bn = _banded_frame(sh_new, num_hashes, bands, checkpoint=False)
-    corp_bucket_sizes = bc.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("sz")
-    )
-    _report_capped(
-        corp_bucket_sizes, max_bucket, capped_stats, "near_duplicates_against"
-    )
-    ok_buckets = corp_bucket_sizes.where(F.col("sz") <= max_bucket).select(
-        "band", "bucket"
-    )
-    bc = bc.join(ok_buckets, on=["band", "bucket"], how="leftsemi")
     cands = (
         bn.alias("a")
         .join(
