@@ -188,6 +188,55 @@ def test_duplicate_clusters_components(spark):
     assert partial[6] == 5 and partial[2] == 1
 
 
+def test_duplicate_clusters_star_matches_propagation(spark):
+    """Large-star/small-star contraction produces the SAME labeling as
+    min-label propagation on randomized graphs (differential), and on a
+    200-node path — a diameter min-label propagation needs 200 rounds
+    for — it converges within the O(log^2 n) round budget (max_iter=20
+    would truncate propagation, star must be exact)."""
+    import random
+
+    from tinyolap_spark.pipeline import dedup
+
+    rng = random.Random(7)
+    edges = set()
+    # 3 random components over disjoint id ranges + noise edges inside
+    for base in (0, 1000, 2000):
+        ids = [base + i for i in range(40)]
+        rng.shuffle(ids)
+        for a, b in zip(ids, ids[1:]):  # spanning path
+            edges.add((min(a, b), max(a, b)))
+        for _ in range(25):  # chords
+            a, b = rng.sample(ids, 2)
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    want = {
+        r.doc: r.cluster for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    got = {
+        r.doc: r.cluster
+        for r in dedup.duplicate_clusters_star(pairs).collect()
+    }
+    assert got == want
+    assert set(got.values()) == {0, 1000, 2000}
+
+    # adversarial 200-node path, planted high-to-low so labels travel far
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5000, 5200)], "doc_a long, doc_b long"
+    )
+    star = {
+        r.doc: r.cluster
+        for r in dedup.duplicate_clusters_star(path, max_iter=20).collect()
+    }
+    assert len(star) == 201 and set(star.values()) == {5000}
+    # the same round budget leaves plain propagation unconverged
+    prop = {
+        r.doc: r.cluster
+        for r in dedup.duplicate_clusters(path, max_iter=20).collect()
+    }
+    assert set(prop.values()) != {5000}
+
+
 def test_corpus_index_release_frees_storage(docs, spark):
     """ADVICE r5: release() must free BOTH the shingle cache and the
     banded frame's storage blocks immediately (not wait for JVM GC)."""
