@@ -666,3 +666,58 @@ def test_corpus_dedup_index_save_load(docs, spark, tmp_path):
             dedup.near_duplicates_against(batch, idx2, bands=16)
     finally:
         idx2.release()
+
+
+def test_decontaminate_stream_matches_batch(docs, spark, tmp_path):
+    """Streaming decontamination: contaminated docs are dropped per
+    micro-batch with the benchmark gram set built once; survivors equal
+    the batch-path decontaminate exactly, and the persisted gram frame
+    is released when the query terminates."""
+    from tinyolap_spark.pipeline import decontam
+    from tinyolap_spark.streaming.ingest import decontaminate_stream
+
+    # benchmark = 8-token windows lifted verbatim from selected docs
+    bench = docs.where(F.col("doc_id") % 61 == 5).select(
+        F.array_join(
+            F.slice(F.split(F.lower("text"), r"\s+"), 3, 8), " "
+        ).alias("text")
+    )
+    src = str(tmp_path / "dc_src")
+    batches = []
+    for bi, lo in enumerate([0, 250]):
+        b = docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 250)
+        ).select("doc_id", "text")
+        b.coalesce(1).write.mode(
+            "overwrite" if bi == 0 else "append"
+        ).parquet(src)
+        batches.append(b)
+
+    got: dict[int, set] = {}
+
+    def sink(kept, batch_id):
+        got[batch_id] = {r.doc_id for r in kept.select("doc_id").collect()}
+
+    q = decontaminate_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        bench,
+        str(tmp_path / "dc_ckpt"),
+        sink,
+    )
+    q.awaitTermination(180)
+    assert len(got) == 2, f"expected 2 micro-batches, got {got.keys()}"
+    stream_kept = set().union(*got.values())
+    batch_kept = {
+        r.doc_id
+        for r in decontam.decontaminate(docs.select("doc_id", "text"), bench)
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_kept == batch_kept
+    # the planted contaminated docs really were dropped in BOTH batches
+    planted = {r.doc_id for r in docs.where(F.col("doc_id") % 61 == 5)
+               .select("doc_id").collect()}
+    assert planted and planted.isdisjoint(stream_kept)
+    assert any(p < 250 for p in planted) and any(p >= 250 for p in planted)

@@ -90,22 +90,28 @@ def benchmark_grams(
 
 def _gram_hits(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: "DataFrame | None",
     n: int,
     text_col: str,
     bench_text_col: str | None,
     id_col: str,
     broadcast: bool,
+    grams_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """``(id_col, n_contaminated)`` for documents with >=1 benchmark-gram
     match — ONE corpus gram scan, broadcast join, one tiny shuffle of
-    matching rows only."""
+    matching rows only.  ``grams_df`` (a persisted
+    :func:`benchmark_grams` result) skips rebuilding the benchmark side
+    — the per-batch ingestion path builds it once and reuses it."""
     from .dedup import _spread
 
-    bench_text_col = bench_text_col or text_col
-    bg = benchmark_grams(benchmark, bench_text_col, n).withColumnRenamed(
-        "gram", "__bgram"
-    )
+    if grams_df is not None:
+        bg = grams_df.withColumnRenamed("gram", "__bgram")
+    else:
+        bench_text_col = bench_text_col or text_col
+        bg = benchmark_grams(
+            benchmark, bench_text_col, n
+        ).withColumnRenamed("gram", "__bgram")
     if broadcast:
         bg = F.broadcast(bg)
     # CPU-bound gram expressions must actually parallelize: a small local
@@ -226,7 +232,7 @@ def contamination_filter(
 
 def decontaminate(
     docs: DataFrame,
-    benchmark: DataFrame,
+    benchmark: "DataFrame | None",
     n: int = 8,
     text_col: str = "text",
     bench_text_col: str | None = None,
@@ -234,6 +240,7 @@ def decontaminate(
     threshold: int = 1,
     broadcast: bool = True,
     broadcast_hits: "bool | None" = None,
+    grams_df: "DataFrame | None" = None,
 ) -> DataFrame:
     """Drop contaminated documents; all original columns survive.
 
@@ -242,9 +249,12 @@ def decontaminate(
     the corpus passes through exactly once.  ``broadcast_hits`` as in
     :func:`contamination`: default lets AQE size the anti-join at
     runtime instead of forcing a broadcast of a set that a pathological
-    benchmark can make corpus-sized."""
+    benchmark can make corpus-sized.  ``grams_df`` (a persisted
+    :func:`benchmark_grams` result) skips rebuilding the benchmark
+    side; ``benchmark`` may then be ``None``."""
     bad = _gram_hits(
-        docs, benchmark, n, text_col, bench_text_col, id_col, broadcast
+        docs, benchmark, n, text_col, bench_text_col, id_col, broadcast,
+        grams_df=grams_df,
     ).where(F.col("n_contaminated") >= threshold)
     bad_ids = bad.select(id_col)
     return docs.join(

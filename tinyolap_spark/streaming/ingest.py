@@ -511,6 +511,98 @@ def near_dedup_stream(
     )
 
 
+def decontaminate_stream(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    checkpoint_dir: str,
+    sink: "Callable[[DataFrame, int], None]",
+    n: int = 8,
+    text_col: str = "text",
+    bench_text_col: "str | None" = None,
+    id_col: str = "doc_id",
+    threshold: int = 1,
+    query_name: str = "decontaminate_ingest",
+):
+    """Streaming benchmark decontamination — the ingestion twin of
+    ``pipeline.decontam.decontaminate``: each micro-batch is scanned for
+    benchmark n-grams and the CLEAN documents are handed to
+    ``sink(kept_df, batch_id)``.
+
+    The benchmark gram set (``pipeline.decontam.benchmark_grams``) is
+    built ONCE at query construction, persisted, and reused by every
+    trigger — the per-batch plan tokenizes only the batch.  Returns the
+    ``StreamingQuery``; the persisted gram frame is released when the
+    query terminates (an ``awaitTermination``-then-release in the
+    caller also works, but the listener makes it automatic).
+
+    Two streaming decontamination shapes, pick by benchmark size:
+
+    - driver-small benchmark (≤200k grams):
+      ``stream.where(decontam.contamination_filter(grams))`` — a pure
+      per-row expression, stateless, no ``foreachBatch`` needed;
+    - bigger benchmarks: THIS operator — the broadcast-join path per
+      trigger, gram set held executor-side, no driver literal.
+
+    Batch/stream parity holds by construction (per-document decision,
+    no cross-batch state); the parity test drives the same batches
+    through both paths.
+    """
+    from ..pipeline.decontam import benchmark_grams, decontaminate
+
+    grams = benchmark_grams(
+        benchmark, bench_text_col or text_col, n
+    ).persist()
+    grams.count()  # materialize: triggers must not re-tokenize
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kept = decontaminate(
+            batch_df,
+            None,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            grams_df=grams,
+        )
+        sink(kept, batch_id)
+
+    query = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+    spark = stream.sparkSession
+
+    # release the gram cache when the query ends; StreamingQueryListener
+    # import kept local so module import stays light
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _ReleaseOnTerm(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: D102
+            pass
+
+        def onQueryProgress(self, event):  # noqa: D102
+            pass
+
+        def onQueryIdle(self, event):  # noqa: D102
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: D102
+            # event.id is a uuid.UUID, query.id a str — compare as str
+            if str(event.id) == str(query.id):
+                grams.unpersist()
+                spark.streams.removeListener(listener)
+
+    listener = _ReleaseOnTerm()
+    spark.streams.addListener(listener)
+    return query
+
+
 def dedup_stream(
     stream: DataFrame,
     key_cols: "list[str]",
