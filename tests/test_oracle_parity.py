@@ -225,7 +225,7 @@ def ddb10x(spark):
 
 @pytest.mark.parametrize("name", SF10X_QUERIES)
 def test_sf10x_query_matches_oracle(spark, ddb10x, name):
-    q = entry_mod.queries()[name]
+    q = entry_mod.all_queries()[name]
     sdf = q(spark, SF10X_DIR)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = list(sdf.columns)
