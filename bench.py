@@ -107,6 +107,30 @@ def main() -> None:
     guarded("warmup", warmup)
     li_rows = extra.get("lineitem_rows", 0)
 
+    # ---- machine-speed canary: a FIXED workload, identical every round,
+    # recorded so cross-round deltas can be attributed — if the canary
+    # moves 40%, the whole-VM speed moved 40% and per-query deltas of the
+    # same magnitude are ambient, not regressions (best-of-3 so the
+    # canary itself is noise-resistant) ---------------------------------
+    def canary():
+        jvm = []
+        py = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(100_000_000).selectExpr(
+                "sum(id * 3) s", "avg(id) a"
+            ).collect()
+            jvm.append(time.time() - t0)
+            t0 = time.time()
+            acc = 0
+            for i in range(5_000_000):
+                acc += i
+            py.append(time.time() - t0)
+        extra["canary_spark_sec"] = round(min(jvm), 4)
+        extra["canary_python_sec"] = round(min(py), 4)
+
+    guarded("canary", canary)
+
     # ---- star-cube section: bulk load, batched reads, view refresh --------
     def star_section():
         def build():
