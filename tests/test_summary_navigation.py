@@ -1,0 +1,118 @@
+"""Aggregate navigation (Cube.add_summary): materialized summary tables
+transparently answer eligible rollups — differential-tested against an
+identical cube with no summaries (same seed, same writes).
+
+Eligibility contract: a query routes to a summary iff every DROPPED
+dimension is requested only at trivial tops (weight-1, all-covering).
+Kept dims stay at leaf grain in the summary, so weighted closure rollups
+(Profit = Sales - Cost; multi-parent products) must be bit-identical.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tinyolap_spark import View
+
+
+@pytest.fixture()
+def pair(spark):
+    from conftest import build_tiny
+
+    _, plain, _ = build_tiny(spark, seed=7)
+    _, summ, _ = build_tiny(spark, seed=7)
+    # drop regions + products: dashboards over time x measures route
+    summ.add_summary(["years", "months", "measures"])
+    yield plain, summ
+    summ.drop_summaries()
+    plain._fact.unpersist()
+    summ._fact.unpersist()
+
+
+MONTH_ROWS = ["Year", "Q1", "Q2", "Jan", "Jun"]
+MEASURE_COLS = ["Sales", "Cost", "Profit"]
+
+
+def _grid(cube):
+    v = View(
+        cube,
+        filters=[
+            ("years", "All years"),
+            ("regions", "Total"),
+            ("products", "Total"),
+        ],
+        rows=[("months", MONTH_ROWS)],
+        columns=[("measures", MEASURE_COLS)],
+    ).refresh()
+    return {
+        (m, msr): v.cell_by_names([m], [msr])
+        for m in MONTH_ROWS
+        for msr in MEASURE_COLS
+    }
+
+
+def test_summary_routed_grid_matches_fact_path(pair):
+    plain, summ = pair
+    want = _grid(plain)
+    hits0 = summ.counter_summary_hits
+    got = _grid(summ)
+    assert got == want
+    assert summ.counter_summary_hits > hits0, "grid did not route"
+    s = summ._summaries[0]
+    assert s["rows"] < summ.fact.count(), "summary is not smaller"
+
+
+def test_summary_routed_point_reads_match(pair):
+    plain, summ = pair
+    addrs = [
+        ("All years", "Year", "Total", "Total", "Profit"),
+        ("2022", "Q3", "Total", "Total", "Sales"),
+        ("2021", "Jan", "Total", "Total", "Cost"),
+    ]
+    want = plain.get_many(addrs)
+    hits0 = summ.counter_summary_hits
+    got = summ.get_many(addrs)
+    assert got == pytest.approx(want)
+    assert summ.counter_summary_hits > hits0
+
+
+def test_dropped_dim_drilldown_stays_on_fact(pair):
+    plain, summ = pair
+    # regions="North" and products="best sellers" are NOT trivial tops of
+    # the dropped dims -> ineligible, must fall back to the fact and agree
+    addrs = [
+        ("All years", "Year", "North", "Total", "Sales"),
+        ("2021", "Q2", "Total", "best sellers", "Profit"),
+    ]
+    want = plain.get_many(addrs)
+    hits0 = summ.counter_summary_hits
+    got = summ.get_many(addrs)
+    assert got == pytest.approx(want)
+    assert summ.counter_summary_hits == hits0, "ineligible query routed"
+
+
+def test_write_invalidates_summary(pair):
+    plain, summ = pair
+    addr = ("All years", "Year", "Total", "Total", "Sales")
+    before = summ.get_many([addr])[0]
+    for cube in (plain, summ):
+        cube["2021", "Jan", "North", "coupe", "Sales"] = 100_000.0
+        cube._cache.clear()
+    # interactive writes buffer until the next read flushes them — the
+    # flush replaces the fact, which must mark the summary stale
+    summ._flush()
+    assert summ._summaries[0]["df"] is None, "write did not mark stale"
+    got = summ.get_many([addr])[0]
+    want = plain.get_many([addr])[0]
+    assert got == pytest.approx(want)
+    assert got != pytest.approx(before)
+    assert summ._summaries[0]["df"] is not None, "summary did not rebuild"
+
+
+def test_add_summary_validation(pair):
+    _, summ = pair
+    with pytest.raises(ValueError):
+        summ.add_summary(["nope"])
+    with pytest.raises(ValueError):
+        summ.add_summary(
+            ["years", "months", "regions", "products", "measures"]
+        )

@@ -515,6 +515,9 @@ class Cube:
         self.counter_aggregations = 0
         self.counter_rule_requests = 0
         self.counter_cache_hits = 0
+        # aggregate navigation (add_summary): materialized summary tables
+        self._summaries: list[dict] = []
+        self.counter_summary_hits = 0
 
     # ------------------------------------------------------------ plumbing
     @property
@@ -584,6 +587,132 @@ class Cube:
                 except Exception:
                     pass
         self._invalidate()
+        # summaries derive from the fact: mark stale (specs survive, the
+        # frames rebuild lazily on next eligible rollup)
+        for s in getattr(self, "_summaries", []):
+            if s.get("df") is not None:
+                try:
+                    s["df"].unpersist()
+                except Exception:
+                    pass
+                s["df"] = None
+
+    # ---------------------------------------------- aggregate navigation
+    def add_summary(self, keep_dims: "Sequence") -> None:
+        """Materialize a SUMMARY TABLE — the fact pre-aggregated over
+        every dimension NOT in ``keep_dims`` — and register it for
+        automatic aggregate navigation: any grid / batched-aggregate
+        query whose request touches the dropped dimensions only through
+        all-covering weight-1 ancestors is transparently answered from
+        the (much smaller) summary instead of the fact.
+
+        This is the classic OLAP summary-table pattern and the 100 TB
+        dashboard story: the fact is scanned ONCE per load to build the
+        summary (one groupBy shuffle at summary grain), and every
+        recurring rollup that doesn't drill into the dropped dims scans
+        summary-grain rows from then on.  Exactness: kept dims stay at
+        LEAF grain, so weighted closure rollups distribute over the
+        partial sums unchanged; dropped dims may only be requested at
+        trivial tops (weight-1, all-covering), whose value IS the total
+        the summary already folded in.  ``value_str`` cells participate
+        as presence only (their value is NULL in the fact and stays NULL
+        through the partial sum — identical to a fact-side rollup).
+
+        ``keep_dims``: dimension names (or Dimension objects).  Writes /
+        loads mark every summary stale; the frame rebuilds lazily on the
+        next eligible query.  Summaries are derived state: not persisted
+        by ``Database.save`` (rebuild after ``open``)."""
+        names = [
+            d.name if hasattr(d, "name") else str(d) for d in keep_dims
+        ]
+        kept_cols = []
+        for nm in names:
+            matches = [
+                c for c, dim in self._dims_spec() if dim.name == nm or c == nm
+            ]
+            if not matches:
+                raise ValueError(
+                    f"unknown dimension {nm!r} (cube dims: "
+                    f"{[d.name for d in self.dimensions]})"
+                )
+            kept_cols.extend(matches)
+        kept = tuple(c for c in self._cols if c in set(kept_cols))
+        if len(kept) == len(self._cols):
+            raise ValueError(
+                "summary must drop at least one dimension "
+                "(keeping all of them is just the fact)"
+            )
+        if not hasattr(self, "_summaries"):
+            self._summaries: list[dict] = []
+        if any(s["kept"] == kept for s in self._summaries):
+            return
+        spec = {"kept": kept, "df": None, "rows": None}
+        self._summaries.append(spec)
+        self._summary_df(spec)  # build eagerly — callers add at load time
+
+    def drop_summaries(self) -> None:
+        """Unregister and free every summary table."""
+        for s in getattr(self, "_summaries", []):
+            if s.get("df") is not None:
+                try:
+                    s["df"].unpersist()
+                except Exception:
+                    pass
+        self._summaries = []
+
+    def _summary_df(self, spec: dict) -> DataFrame:
+        if spec["df"] is None:
+            df = (
+                self.fact.groupBy(*spec["kept"])
+                .agg(F.sum("value").alias("value"))
+                .persist()
+            )
+            spec["rows"] = df.count()
+            spec["df"] = df
+        return spec["df"]
+
+    def _rollup_fact(
+        self, requested: "dict[str, Sequence[int]] | None"
+    ) -> DataFrame:
+        """Aggregate navigation: the smallest registered summary whose
+        dropped dimensions are requested only at trivial tops (or not at
+        all), else the full fact.  ``requested`` maps fact column ->
+        requested member ids (grid axes, or the per-column union of a
+        batch of addresses)."""
+        summaries = getattr(self, "_summaries", None)
+        if not summaries or requested is None:
+            return self.fact
+        dim_by_col = dict(self._dims_spec())
+        best = None
+        for s in summaries:
+            kept = set(s["kept"])
+            ok = True
+            for c, ids in requested.items():
+                if c in kept or ids is None:
+                    continue
+                if not set(int(i) for i in ids) <= dim_by_col[c]._trivial_tops:
+                    ok = False
+                    break
+            if ok and (
+                best is None
+                or (s["rows"] or 0) < (best["rows"] or float("inf"))
+            ):
+                best = s
+        if best is None:
+            return self.fact
+        self.counter_summary_hits = getattr(
+            self, "counter_summary_hits", 0
+        ) + 1
+        return self._summary_df(best)
+
+    def _rollup_fact_for_addresses(
+        self, addresses: "dict[int, Sequence[int]]"
+    ) -> DataFrame:
+        req = {
+            c: sorted({int(a[i]) for a in addresses.values()})
+            for i, c in enumerate(self._cols)
+        }
+        return self._rollup_fact(req)
 
     def _invalidate(self) -> None:
         self._cache.clear()
@@ -851,7 +980,10 @@ class Cube:
         if aggs:
             self.counter_aggregations += len(aggs)
             vals2 = engine.aggregate_cells(
-                self._fact, self.spark, self._dims_spec(), aggs
+                self._rollup_fact_for_addresses(aggs),
+                self.spark,
+                self._dims_spec(),
+                aggs,
             )
             for i, addr in aggs.items():
                 self._cache[addr] = vals2[i]
@@ -1052,7 +1184,10 @@ class Cube:
         self._flush()
         self.counter_aggregations += 1
         vals = engine.aggregate_cells(
-            self._fact, self.spark, self._dims_spec(), {0: idx_address}
+            self._rollup_fact_for_addresses({0: idx_address}),
+            self.spark,
+            self._dims_spec(),
+            {0: idx_address},
         )
         v = vals[0]
         if use_cache and self.caching:

@@ -144,7 +144,8 @@ class View:
         group_positions = self.row_axis.dims + self.col_axis.dims
         group_cols = [cube._cols[p] for p in group_positions]
         grid_df = engine.aggregate_grid(
-            cube.fact, cube.spark, cube._dims_spec(), axes, group_cols
+            cube._rollup_fact(axes), cube.spark, cube._dims_spec(),
+            axes, group_cols,
         )
         collected = {
             tuple(r[c] for c in group_cols): r["value"] for r in grid_df.collect()
@@ -355,7 +356,8 @@ class View:
             axes[cube._cols[pos]] = list(idxs)
         group_cols = [cube._cols[p] for p in self.row_axis.dims + self.col_axis.dims]
         grid = engine.aggregate_grid(
-            cube.fact, cube.spark, cube._dims_spec(), axes, group_cols
+            cube._rollup_fact(axes), cube.spark, cube._dims_spec(),
+            axes, group_cols,
         )
         # join member names for readability
         for p in self.row_axis.dims + self.col_axis.dims:
