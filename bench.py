@@ -633,6 +633,20 @@ def main() -> None:
         hv = timed("huge_view_refresh", huge_view)
         if hv is not None:
             extra["huge_view_cells"] = hv.stats["cells"]
+
+        # aggregate navigation: one summary build (the per-load cost),
+        # then the same 1,111-cell view answered from summary-grain rows
+        # — the recurring-dashboard story at scale
+        timed(
+            "huge_summary_build",
+            lambda: hcube.add_summary(["h0", "h1"]),
+        )
+        sv = timed("huge_view_refresh_summary", huge_view, reps=2)
+        if sv is not None and hv is not None:
+            assert sv.stats["cells"] == hv.stats["cells"]
+            extra["huge_summary_rows"] = hcube._summaries[0]["rows"]
+            extra["huge_summary_hits"] = hcube.counter_summary_hits
+        hcube.drop_summaries()
         # blocking: the sf1 section's 10M-record load must not compete
         # with lazy eviction of this cube's storage blocks
         hcube._fact.unpersist(blocking=True)
