@@ -66,8 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _grid_df(sc, axes_names, group_dims, out_names):
-    """aggregate_grid + member-name joins, fully distributed."""
+def _grid_df(sc, axes_names, group_dims, out_names, route=False):
+    """aggregate_grid + member-name joins, fully distributed.  ``route``
+    sends the request through the cube's aggregate-navigation router
+    (``Cube._rollup_fact``) so an eligible registered summary answers it."""
     from tinyolap_spark import engine
 
     cube = sc.cube
@@ -78,7 +80,11 @@ def _grid_df(sc, axes_names, group_dims, out_names):
         axes[cube._cols[pos]] = [dim.member(m).index for m in members]
     group_cols = [cube._cols[cube._dim_position(d)] for d in group_dims]
     grid = engine.aggregate_grid(
-        cube.fact, cube.spark, cube._dims_spec(), axes, group_cols
+        cube._rollup_fact(axes) if route else cube.fact,
+        cube.spark,
+        cube._dims_spec(),
+        axes,
+        group_cols,
     )
     for d, out in zip(group_dims, out_names):
         pos = cube._dim_position(d)
@@ -145,6 +151,36 @@ def _q_cube_nation_revenue_1995(spark, sf_dir):
         ["geo"],
         ["nation"],
     )
+    return grid.select("nation", (F.col("value") / 100).alias("revenue"))
+
+
+def _q_cube_summary_rollup(spark, sf_dir):
+    """Aggregate navigation (`cube.py::add_summary`): nation-level revenue
+    answered from a MATERIALIZED (geo, measures) summary — calendar and
+    brand are requested at their trivial tops, so the router transparently
+    swaps the summary for the fact (asserted via the hit counter; a
+    silent fall-back to the fact would pass values but fail the assert).
+    The oracle is the plain fact-side SQL rollup, so a hash match proves
+    the summary path is value-identical to scanning the fact."""
+    sc = _star(spark, sf_dir)
+    cube = sc.cube
+    if not cube._summaries:
+        cube.add_summary(["geo", "measures"])
+    hits0 = cube.counter_summary_hits
+    nations = [m.name for m in sc.geo.leaf_members]
+    grid = _grid_df(
+        sc,
+        {
+            "geo": nations,
+            "calendar": ["All Time"],
+            "brand": ["All Brands"],
+            "measures": ["revenue"],
+        },
+        ["geo"],
+        ["nation"],
+        route=True,
+    )
+    assert cube.counter_summary_hits > hits0, "summary was not routed"
     return grid.select("nation", (F.col("value") / 100).alias("revenue"))
 
 
@@ -1699,7 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_cell_batch": _q_cube_cell_batch,
         "cube_sql_dialect": _q_cube_sql_dialect,
         "cube_attr_filter": _q_cube_attr_filter,
-        "cube_two_level_rollup": _q_cube_two_level_rollup,
+        "cube_summary_rollup": _q_cube_summary_rollup,
         "view_region_measure": _q_view_region_measure,
         "sql_top_nations": _q_sql_top_nations,
         "sql_customer_top_order": _q_sql_customer_top_order,
@@ -1744,6 +1780,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_region_year_revenue": _q_cube_region_year_revenue,  # cube_two_level_rollup
         "cube_nation_revenue_1995": _q_cube_nation_revenue_1995,  # cube_sql_dialect
         "cube_quarter_quantity": _q_cube_quarter_quantity,  # cube_multiparent_overlap
+        "cube_two_level_rollup": _q_cube_two_level_rollup,  # cube_summary_rollup (same grid machinery + routing assert)
         "sql_pricing_summary": _q_sql_pricing_summary,  # sql_ship_delay_histogram
         "sql_orders_by_priority": _q_sql_orders_by_priority,  # sql_top_nations
         "sql_part_type_stats": _q_sql_part_type_stats,  # sql_top_nations
@@ -2071,6 +2108,15 @@ def oracle_sql() -> dict[str, str]:
         "cube_attr_filter": (
             f"SELECT n_name AS nation, SUM({_REV_CENTS}) / 100 AS revenue "
             f"FROM {_GEO_JOIN} WHERE r_name = 'ASIA' GROUP BY 1"
+        ),
+        # oracle = the plain fact-side rollup: a hash match proves the
+        # summary-routed path is value-identical to scanning the fact
+        "cube_summary_rollup": (
+            f"SELECT n_name AS nation, SUM({_REV_CENTS}) / 100 AS revenue "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"JOIN nation ON c_nationkey = n_nationkey "
+            f"GROUP BY 1"
         ),
         "cube_two_level_rollup": (
             f"""
