@@ -116,3 +116,36 @@ def test_add_summary_validation(pair):
         summ.add_summary(
             ["years", "months", "regions", "products", "measures"]
         )
+
+
+def test_additive_load_folds_into_summary(pair, spark):
+    """Streaming-shaped additive loads fold the BATCH into built
+    summaries (batch-sized work) instead of marking them stale for a
+    full-fact rebuild; values equal the no-summary cube afterwards."""
+    plain, summ = pair
+    addr = ("All years", "Year", "Total", "Total", "Sales")
+    warm = summ.get_many([addr])[0]  # ensure the summary frame is built
+    assert summ._summaries[0]["df"] is not None
+    frame_before = summ._summaries[0]["df"]
+
+    cols = summ._cols
+    y = summ.dimensions[0].member("2022").index
+    mth = summ.dimensions[1].member("Feb").index
+    reg = summ.dimensions[2].member("South").index
+    prod = summ.dimensions[3].member("sedan").index
+    msr = summ.dimensions[4].member("Sales").index
+    batch = spark.createDataFrame(
+        [(y, mth, reg, prod, msr, 5_000.0)],
+        schema=f"{cols[0]} int, {cols[1]} int, {cols[2]} int, "
+        f"{cols[3]} int, {cols[4]} int, value double",
+    )
+    for cube in (plain, summ):
+        cube.load_dataframe(batch, additive=True)
+        cube._cache.clear()
+    # the summary frame was REPLACED by a fold, not nulled stale
+    assert summ._summaries[0]["df"] is not None
+    assert summ._summaries[0]["df"] is not frame_before
+    got = summ.get_many([addr])[0]
+    want = plain.get_many([addr])[0]
+    assert got == pytest.approx(want)
+    assert got == pytest.approx(warm + 5_000.0)

@@ -930,7 +930,35 @@ class Cube:
                     F.max("value_str").alias("value_str"),
                 )
             )
+            # summaries fold the batch in ADDITIVELY — batch-sized work
+            # (summary' = summary ∪ rollup(batch), re-grouped) instead of
+            # the full-fact rebuild the stale-marking path would pay on
+            # every micro-batch.  Sound because addition distributes over
+            # the dropped-dim totals; the last-write-wins branch below
+            # cannot fold (replacement isn't additive) and stays on
+            # stale-marking.  Capture the built frames BEFORE the fact
+            # swap (it marks them stale).  Like the fact merge itself,
+            # each fold adds one union to the plan; a long-lived ingest
+            # driver should compact periodically (drop_summaries +
+            # add_summary, or Database.save/open).
+            built = [
+                (s, s["df"]) for s in self._summaries
+                if s.get("df") is not None
+            ]
             self._replace_fact(merged)
+            for s, old in built:
+                kept = list(s["kept"])
+                delta = df.groupBy(*kept).agg(F.sum("value").alias("value"))
+                new = (
+                    old.select(*kept, "value")
+                    .unionByName(delta)
+                    .groupBy(*kept)
+                    .agg(F.sum("value").alias("value"))
+                    .persist()
+                )
+                s["rows"] = new.count()
+                s["df"] = new
+                old.unpersist()
         else:
             keep = base.join(df.select(*self._cols), on=self._cols, how="left_anti")
             self._replace_fact(keep.unionByName(df))
