@@ -149,3 +149,34 @@ def test_additive_load_folds_into_summary(pair, spark):
     want = plain.get_many([addr])[0]
     assert got == pytest.approx(want)
     assert got == pytest.approx(warm + 5_000.0)
+
+
+def test_summary_specs_survive_save_open(spark, tmp_path):
+    """Database.save persists summary SPECS (frames are derived state);
+    open re-registers them and the frame rebuilds lazily on the first
+    eligible query, answering identically."""
+    from conftest import build_tiny
+    from tinyolap_spark import Database
+
+    db, cube, _ = build_tiny(spark, seed=11)
+    cube.add_summary(["years", "months", "measures"])
+    addr = ("All years", "Year", "Total", "Total", "Profit")
+    want = cube.get_many([addr])[0]
+    p = str(tmp_path / "db")
+    db.save(p)
+    cube.drop_summaries()
+    cube._fact.unpersist()
+
+    db2 = Database.open(p, spark)
+    cube2 = db2.cube("sales")
+    assert [s["kept"] for s in cube2._summaries] == [
+        ("years", "months", "measures")
+    ]
+    assert cube2._summaries[0]["df"] is None  # lazy until first use
+    hits0 = cube2.counter_summary_hits
+    got = cube2.get_many([addr])[0]
+    assert got == pytest.approx(want)
+    assert cube2.counter_summary_hits > hits0
+    assert cube2._summaries[0]["df"] is not None
+    cube2.drop_summaries()
+    cube2._fact.unpersist()

@@ -2071,6 +2071,10 @@ class Cube:
         }
         if len(self.comments):
             out["comments"] = self.comments.to_list()
+        if self._summaries:
+            # summary SPECS persist (frames are derived state — they
+            # rebuild lazily on the first eligible query after open)
+            out["summaries"] = [list(s["kept"]) for s in self._summaries]
         return out
 
     def _rules_to_dicts(self) -> list[dict]:

@@ -511,6 +511,11 @@ class Database:
                 cube.load_rules_from_dicts(cdata["rules"])
             if cdata.get("comments"):
                 cube.comments.load_list(cdata["comments"])
+            for kept in cdata.get("summaries", []):
+                # specs only — the frames rebuild lazily on first use
+                cube._summaries.append(
+                    {"kept": tuple(kept), "df": None, "rows": None}
+                )
         # restore the persisted undo AND redo stacks (lazy parquet reads; a
         # version only materializes if the user actually undoes into it).
         # Entries re-append in global `seq` order so cross-cube interleaving
