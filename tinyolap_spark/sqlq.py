@@ -152,8 +152,11 @@ class Query:
         positions = list(range(len(cube.dimensions)))
         axes = {cube._cols[p]: member_lists[p] for p in positions}
         group_cols = [cube._cols[p] for p in positions]
+        # aggregate navigation: an eligible registered summary answers the
+        # dialect query the same way it answers View grids
         grid = engine.aggregate_grid(
-            cube.fact, cube.spark, cube._dims_spec(), axes, group_cols
+            cube._rollup_fact(axes), cube.spark, cube._dims_spec(),
+            axes, group_cols,
         )
         got = {
             tuple(r[c] for c in group_cols): r["value"] for r in grid.collect()
