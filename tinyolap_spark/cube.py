@@ -693,11 +693,19 @@ class Cube:
                 if not set(int(i) for i in ids) <= dim_by_col[c]._trivial_tops:
                     ok = False
                     break
-            if ok and (
-                best is None
-                or (s["rows"] or 0) < (best["rows"] or float("inf"))
-            ):
-                best = s
+            if not ok:
+                continue
+            # prefer an already-built frame (stale/fresh-open specs carry
+            # rows=None); among built, the smallest; among unbuilt, the
+            # fewest kept dims (coarsest grain → smallest build)
+            key = (
+                s["df"] is None,
+                s["rows"] if s["rows"] is not None else float("inf"),
+                len(s["kept"]),
+            )
+            if best is None or key < best[0]:
+                best = (key, s)
+        best = best[1] if best is not None else None
         if best is None:
             return self.fact
         self.counter_summary_hits = getattr(
