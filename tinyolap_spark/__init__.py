@@ -32,6 +32,8 @@ from .history import History
 from .users import User, UserCollection, UserRole, NotAuthorizedError
 from .comments import CellCommentPost, CellComments, CubeComments
 from .tinypandas import TinyPandas, from_pandas
+from .config import Config
+from .package import Snapshot, SnapshotManager
 
 __version__ = "0.1.0"
 
@@ -57,6 +59,9 @@ __all__ = [
     "CubeComments",
     "TinyPandas",
     "from_pandas",
+    "Config",
+    "Snapshot",
+    "SnapshotManager",
     "rule",
     "RuleScope",
     "RuleError",
