@@ -985,8 +985,14 @@ def main() -> None:
         plan = qc._jdf.queryExecution().executedPlan().toString()
         extra["combined_layout_exchange_free"] = "Exchange" not in plan
         assert "Exchange" not in plan, "clustered rollup shuffled"
-        # answers must agree regardless of layout
-        assert qp.collect() == qc.collect()
+        # answers must agree regardless of layout; the float sum is
+        # order-dependent (different file/partition order between the two
+        # layouts), so compare it with a relative tolerance, counts exact
+        [rp], [rc] = qp.collect(), qc.collect()
+        assert (rp["d0"], rp["n"]) == (rc["d0"], rc["n"]), (rp, rc)
+        assert abs(rp["v"] - rc["v"]) <= 1e-9 * max(
+            abs(rp["v"]), abs(rc["v"]), 1.0
+        ), (rp, rc)
         spark.sql("DROP TABLE IF EXISTS graft_layout.fact_c")
         spark.sql("DROP DATABASE IF EXISTS graft_layout")
         shutil.rmtree(base_dir, ignore_errors=True)
