@@ -911,6 +911,14 @@ def main() -> None:
                 extra[f"scaling_{base}_10x"] = round(
                     timings[scaled] / timings[base], 2
                 )
+                # complementary view: relative THROUGHPUT at 10x data
+                # (10 / wall ratio; >1 = rows/sec grew with scale).  The
+                # wall ratio alone over-penalizes fast base queries where
+                # fixed per-job overhead (~0.3-0.4s scheduler + codegen)
+                # is a large share of the sub-second denominator.
+                extra[f"throughput_{base}_10x"] = round(
+                    10.0 * timings[base] / timings[scaled], 2
+                )
 
     # ---- combined layout demo (VERDICT r6 #8): the 10M-row cube fact
     # written bucketed on the rollup dim AND Z-ordered within buckets on
