@@ -165,6 +165,15 @@ def minhash_signature(
     """MinHash signature: per seed h, min(xxhash64(shingle, seed)).
 
     array<bigint> of length ``num_hashes``; all JVM-side.
+
+    Two alternatives measured SLOWER on the 10x corpus and rejected —
+    do not re-try without new evidence: (a) pre-hashing shingles to
+    int64 and re-hashing the long per lane (no change — lane cost is
+    HOF evaluation, not hash-input width, unlike the decontam gram
+    scan); (b) the simhash-style explode + groupBy(doc) with 64
+    ``min`` aggregates (1.8x slower — 64 aggregation buffers per group
+    cost more than the interpreted ``array_min(transform(...))``
+    lanes, and it adds a shuffle).
     """
     return F.array(
         *[
