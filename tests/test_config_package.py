@@ -70,3 +70,23 @@ def test_snapshot_create_restore_delete(spark, tmp_path):
 
     assert mgr.delete(before_date=datetime.max) == 1
     assert len(mgr) == 0
+
+
+def test_database_snapshots_property_anchors_to_save_path(spark, tmp_path):
+    import os
+
+    db, cube = _db(spark, "snapdb2")
+    primary = str(tmp_path / "primary")
+    db.save(primary)
+    mgr = db.snapshots          # anchored to the last save() location
+    assert db.snapshots is mgr  # cached
+    s1 = mgr.create()
+    assert s1.path.startswith(os.path.join(primary, "snapshots"))
+    # snapshot + restore-point writes must NOT re-anchor the default
+    # folder: a second snapshot lands beside the first, not inside it
+    db.snapshots.restore(s1, create_restore_point=True)
+    s2 = mgr.create()
+    assert os.path.dirname(s2.path) == os.path.dirname(s1.path)
+    # and a later primary save re-anchors cleanly for a NEW manager
+    db.save(primary)
+    assert db._storage_path == primary

@@ -51,6 +51,10 @@ class Database:
         from .users import UserCollection
 
         self.users = UserCollection()
+        # where this db was last save()d / open()ed from — anchors the
+        # default snapshot folder (reference database.py:117,147-149)
+        self._storage_path: Optional[str] = None
+        self._snapshots = None
 
     def rename(self, new_name: str) -> None:
         """Rename the database (reference ``database.rename``; exercised
@@ -373,6 +377,7 @@ class Database:
         # remains only for incidental metadata (e.g. datetime attributes).
         with open(os.path.join(path, "database.json"), "w") as f:
             json.dump(meta, f, indent=1, default=str)
+        self._storage_path = path
 
     @staticmethod
     def _validate_pending(cube, pending: dict) -> None:
@@ -542,7 +547,25 @@ class Database:
 
         _restore("history", db.history._undo)
         _restore("history_redo", db.history._redo)
+        db._storage_path = path
         return db
+
+    @property
+    def snapshots(self):
+        """Snapshot manager of the database (reference
+        ``database.py:147-149``) — backup/version management.  Snapshots
+        live under ``<storage dir>/snapshots`` where the storage dir is
+        where this db was last ``save()``d/``open()``ed (cwd for a
+        never-saved in-memory db); pass an explicit ``folder`` to
+        :class:`tinyolap_spark.package.SnapshotManager` to place them
+        elsewhere."""
+        if self._snapshots is None:
+            from .package import SnapshotManager
+
+            self._snapshots = SnapshotManager(
+                self, folder=self._storage_path or "."
+            )
+        return self._snapshots
 
     def export(self, path: str) -> None:
         """Snapshot/clone (reference ``database.py:319-380``)."""

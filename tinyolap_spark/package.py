@@ -102,6 +102,20 @@ class SnapshotManager:
                 )
 
     # -- lifecycle ----------------------------------------------------
+    def _save_without_reanchor(self, path: str) -> None:
+        """Save to ``path`` without re-pointing the database's storage
+        anchor at it: snapshot/restore-point writes are side copies, and
+        ``Database.snapshots``'s default folder must keep following the
+        PRIMARY save location (a snapshot re-anchoring would nest the
+        next snapshot inside the previous one)."""
+        db = self._database
+        prev = getattr(db, "_storage_path", None)
+        try:
+            db.save(path)
+        finally:
+            if hasattr(db, "_storage_path"):
+                db._storage_path = prev
+
     def create(self) -> Snapshot:
         """Write a new snapshot; the ``_SNAPSHOT_OK`` marker is written
         LAST, so a crash mid-write never leaves a valid-looking one."""
@@ -112,7 +126,7 @@ class SnapshotManager:
         )
         if os.path.exists(final):
             shutil.rmtree(final)
-        self._database.save(final)
+        self._save_without_reanchor(final)
         with open(os.path.join(final, _OK_MARKER), "w") as f:
             f.write(stamp)
         self.refresh()
@@ -146,7 +160,7 @@ class SnapshotManager:
             rp = os.path.join(
                 self._folder, f"{self._database.name}.{stamp}.restore"
             )
-            self._database.save(rp)
+            self._save_without_reanchor(rp)
         from .database import Database
 
         return Database.open(snapshot.path, spark=self._database.spark)
