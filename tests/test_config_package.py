@@ -90,3 +90,7 @@ def test_database_snapshots_property_anchors_to_save_path(spark, tmp_path):
     # and a later primary save re-anchors cleanly for a NEW manager
     db.save(primary)
     assert db._storage_path == primary
+    # side copies (clone / export) keep the primary anchor too
+    db.clone("c2")
+    db.export(str(tmp_path / "exported"))
+    assert db._storage_path == primary

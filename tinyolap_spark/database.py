@@ -166,7 +166,11 @@ class Database:
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="tinyolap_clone_")
+        prev = self._storage_path
         self.save(tmp)
+        # the temp round-trip is a side copy — keep the SOURCE anchored
+        # to its primary location (snapshots default folder follows it)
+        self._storage_path = prev
         out = Database.open(tmp, spark=self.spark)
         out.name = name or f"{self.name}_clone"
         return out
@@ -568,10 +572,13 @@ class Database:
         return self._snapshots
 
     def export(self, path: str) -> None:
-        """Snapshot/clone (reference ``database.py:319-380``)."""
+        """Snapshot/clone (reference ``database.py:319-380``).  A side
+        copy: does not re-anchor the primary storage location."""
         if os.path.exists(path):
             shutil.rmtree(path)
+        prev = self._storage_path
         self.save(path)
+        self._storage_path = prev
 
     def close(self) -> None:
         for cube in self.cubes.values():
