@@ -75,14 +75,41 @@ def word_ngrams(text_col, n: int) -> Column:
     return _grams_from_tokens(_tokens(text_col), n)
 
 
+def _exploded_grams(frame: DataFrame, n: int, *keep: str) -> DataFrame:
+    """``(*keep, gram)`` — one row per n-gram POSITION (duplicates kept).
+
+    Explodes gram START POSITIONS first and builds each gram string as a
+    plain per-row ``array_join(slice(...))`` projection.  The obvious
+    alternative — building the whole gram array with ``transform`` and
+    exploding it — evaluates the gram constructor inside an interpreted
+    higher-order-function lambda, OUTSIDE whole-stage codegen; moving it
+    to a row expression after the position explode keeps it codegen'd
+    (measured 0.86s -> 0.52s on the sf1 corpus gram scan, same output).
+
+    ``frame`` must already carry a ``__toks`` token-array column
+    (project :func:`_tokens` first — see :func:`_grams_from_tokens` for
+    why the token array must be materialized before gram references).
+    """
+    positions = F.when(
+        F.size("__toks") >= n,
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return frame.select(
+        *keep, F.col("__toks"), F.explode(positions).alias("__i")
+    ).select(
+        *keep,
+        F.array_join(F.slice("__toks", F.col("__i"), n), " ").alias("gram"),
+    )
+
+
 def benchmark_grams(
     benchmark: DataFrame, text_col: str = "text", n: int = 8
 ) -> DataFrame:
     """Distinct benchmark n-grams with their join hash:
     ``(gram, __h)``.  Distinct on the (small) benchmark side only."""
+    toks = benchmark.select(_tokens(text_col).alias("__toks"))
     return (
-        benchmark.select(_tokens(text_col).alias("__toks"))
-        .select(F.explode(_grams_from_tokens("__toks", n)).alias("gram"))
+        _exploded_grams(toks, n)
         .distinct()
         .withColumn("__h", F.xxhash64("gram"))
     )
@@ -118,14 +145,13 @@ def _gram_hits(
     # parquet arrives as one split; _spread repartitions ONLY then (no-op
     # at real scale where input splits >= cores)
     # token array projected FIRST so codegen evaluates split+filter once
-    # per document, not once per gram reference (1.7x on the sf1 scan)
-    doc_grams = (
-        _spread(docs)
-        .select(F.col(id_col), _tokens(text_col).alias("__toks"))
-        .select(
-            id_col, F.explode(_grams_from_tokens("__toks", n)).alias("gram")
-        )
-        .withColumn("__h", F.xxhash64("gram"))
+    # per document, not once per gram reference (1.7x on the sf1 scan);
+    # grams then built per POSITION row, inside codegen (_exploded_grams)
+    doc_toks = _spread(docs).select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    )
+    doc_grams = _exploded_grams(doc_toks, n, id_col).withColumn(
+        "__h", F.xxhash64("gram")
     )
     return (
         doc_grams.join(bg, on="__h")
