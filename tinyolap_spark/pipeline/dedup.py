@@ -369,6 +369,7 @@ def containment_pairs(
     max_shingle_df: int = 1000,
     hash_keys: bool = False,
     capped_stats: "dict | None" = None,
+    share_posts: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC containment pairs: ``(doc_in, doc_out)`` where
     ``|S(in) ∩ S(out)| / |S(in)| >= threshold`` over distinct word
@@ -395,6 +396,15 @@ def containment_pairs(
     direction clears the threshold independently.  Returns
     ``(doc_in, doc_out, n_common, n_in)`` — integer-exact, ratio left
     to the caller.
+
+    ``share_posts=True`` (default) persists the exploded posting frame:
+    it feeds FOUR plan branches (the df aggregate, the capped semi-join
+    probe, the |S(in)| sizes, and both sides of the self-join) and an
+    unpersisted plan re-runs the shingle explode for each.  The pair
+    result — orders of magnitude smaller — is materialized eagerly
+    (``localCheckpoint``) and the posting cache released before
+    returning, mirroring ``rare_gram_stats``/``near_duplicates``.  Pass
+    ``share_posts=False`` for a fully lazy plan.
     """
     posts = _spread(docs).select(
         F.col(id_col).alias("doc"),
@@ -402,6 +412,8 @@ def containment_pairs(
     )
     if hash_keys:
         posts = posts.select("doc", F.xxhash64("g").alias("g"))
+    if share_posts:
+        posts = posts.persist()
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))
     _report_capped(dfreq, max_shingle_df, capped_stats, "containment_pairs")
     # shuffle_hash hints on both gram-keyed joins: the df frame and the
@@ -427,11 +439,15 @@ def containment_pairs(
         .groupBy("doc_in", "doc_out")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("doc", "doc_in"), on="doc_in")
         .where(F.col("n_common") >= F.col("n_in") * F.lit(float(threshold)))
         .select("doc_in", "doc_out", "n_common", "n_in")
     )
+    if share_posts:
+        out = out.localCheckpoint(eager=True)
+        posts.unpersist()
+    return out
 
 
 def near_duplicates(
