@@ -225,3 +225,79 @@ def test_normalize_events_warns_on_tz_change(spark):
             normalize_events(df)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+# ------------------------------------- 7. decontam gram-scan restructure
+def test_exploded_grams_matches_hof_formulation(spark):
+    """The codegen'd position-explode gram scan must emit exactly the
+    rows the higher-order-function formulation emits (duplicates
+    included) — short docs, empty/whitespace text, and runs of
+    separators are where an off-by-one in the position range would
+    show."""
+    from pyspark.sql import functions as F
+
+    from tinyolap_spark.pipeline.decontam import (
+        _exploded_grams,
+        _tokens,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "only three tokens"),
+            (2, ""),
+            (3, None),
+            (4, "a  b   c d e f g h i j"),  # separator runs
+            (5, "x " * 20),                 # repeated gram (dups kept)
+            (6, "exactly eight tokens one two three four five"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (2, 8):
+        hof = docs.select(
+            "doc_id", F.explode(word_ngrams("text", n)).alias("gram")
+        )
+        pos = _exploded_grams(
+            docs.select("doc_id", _tokens("text").alias("__toks")),
+            n,
+            "doc_id",
+        )
+        assert hof.exceptAll(pos).count() == 0, f"n={n}: missing rows"
+        assert pos.exceptAll(hof).count() == 0, f"n={n}: extra rows"
+    # n=8 sanity: only doc 4 (10 tokens), doc 5 (20), doc 6 (8) produce grams
+    counts = dict(
+        _exploded_grams(
+            docs.select("doc_id", _tokens("text").alias("__toks")), 8, "doc_id"
+        )
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    assert counts == {4: 3, 5: 13, 6: 1}
+
+
+# --------------------------------- 8. containment posting-frame sharing
+def test_containment_share_posts_identical(spark):
+    from tinyolap_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "intro words alpha beta gamma delta epsilon zeta eta "
+                "theta trailing content"),
+            (3, "unrelated text entirely different tokens here now"),
+        ],
+        "doc_id long, text string",
+    )
+    shared = {
+        tuple(r)
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    lazy = {
+        tuple(r)
+        for r in dedup.containment_pairs(
+            docs, threshold=0.9, share_posts=False
+        ).collect()
+    }
+    assert shared == lazy
+    assert (1, 2) in {(a, b) for a, b, *_ in shared}

@@ -543,10 +543,28 @@ def base_lookup(
         [StructField("__req_id", LongType(), False)]
         + [StructField(f"__r_{c}", IntegerType(), False) for c in dim_cols]
     )
-    req_rows = [
-        tuple([int(rid)] + [int(m) for m in addr]) for rid, addr in addresses.items()
-    ]
-    reqs = spark.createDataFrame(req_rows, schema=req_schema)
+    # ship the request batch over Arrow (one columnar block) instead of
+    # the py4j pickle path — at 10k addresses x 9 ints the row-by-row
+    # serialization is a measurable driver-side tax on a sub-second read
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "__req_id": [int(rid) for rid in addresses],
+                **{
+                    f"__r_{c}": [int(addr[i]) for addr in addresses.values()]
+                    for i, c in enumerate(dim_cols)
+                },
+            }
+        )
+        reqs = spark.createDataFrame(pdf, schema=req_schema)
+    except Exception:
+        req_rows = [
+            tuple([int(rid)] + [int(m) for m in addr])
+            for rid, addr in addresses.items()
+        ]
+        reqs = spark.createDataFrame(req_rows, schema=req_schema)
     cond = None
     for c in dim_cols:
         this = F.col(c) == F.col(f"__r_{c}")

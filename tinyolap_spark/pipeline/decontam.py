@@ -8,9 +8,10 @@ the benchmark as contaminated.
 
 Scale design (100 TB corpus, benchmark ~10⁴–10⁶ grams):
 
-- the corpus side stays NARROW — tokenize + n-gram build are
-  higher-order SQL functions (JVM codegen), exploded in the same stage;
-  no pre-shuffle, no distinct before the join;
+- the corpus side stays NARROW — tokenize is a JVM split/filter, gram
+  START POSITIONS are exploded, and each gram string is built by a
+  per-row whole-stage-codegen projection (see :func:`_exploded_grams`),
+  all in the same stage; no pre-shuffle, no distinct before the join;
 - the benchmark gram set is tiny by comparison → ``broadcast()`` by
   default, so the only shuffle in the whole plan is the final
   ``groupBy(doc_id)`` over MATCHING rows (usually ≪ corpus size), with
