@@ -34,6 +34,7 @@ from .comments import CellCommentPost, CellComments, CubeComments
 from .tinypandas import TinyPandas, from_pandas
 from .config import Config
 from .package import Snapshot, SnapshotManager
+from . import plans
 
 __version__ = "0.1.0"
 
@@ -62,6 +63,7 @@ __all__ = [
     "Config",
     "Snapshot",
     "SnapshotManager",
+    "plans",
     "rule",
     "RuleScope",
     "RuleError",
