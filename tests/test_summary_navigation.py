@@ -180,3 +180,69 @@ def test_summary_specs_survive_save_open(spark, tmp_path):
     assert cube2._summaries[0]["df"] is not None
     cube2.drop_summaries()
     cube2._fact.unpersist()
+
+
+def test_suggest_summaries_mines_workload_and_applies(spark):
+    """The advisor recommends the keep-set a recurring dashboard needs,
+    estimates its grain from metadata, and apply=True makes the next
+    identical query route to the built summary."""
+    from conftest import build_tiny
+
+    from tinyolap_spark import View
+
+    _, cube, _ = build_tiny(spark, seed=11)
+    try:
+        assert cube.suggest_summaries() == []  # no workload logged yet
+
+        def dashboard():
+            v = View(
+                cube,
+                filters=[("regions", "Total"), ("products", "Total")],
+                rows=[("months", ["Q1", "Q2", "Q3", "Q4"])],
+                columns=[
+                    ("years", ["2021", "2022"]),
+                    ("measures", ["Sales", "Cost", "Profit"]),
+                ],
+            ).refresh()
+            return {
+                (q, y, m): v.cell_by_names([q], [y, m])
+                for q in ["Q1", "Q2", "Q3", "Q4"]
+                for y in ["2021", "2022"]
+                for m in ["Sales", "Cost", "Profit"]
+            }
+
+        fact_path = None
+        for _ in range(3):
+            fact_path = dashboard()
+        sugg = cube.suggest_summaries(max_summaries=1)
+        assert sugg, "recurring dashboard must produce a suggestion"
+        top = sugg[0]
+        assert set(top["keep_dims"]) == {"months", "years", "measures"}
+        assert top["requests_covered"] >= 3
+        assert 0 < top["fraction"] <= 0.5
+        assert top["est_rows"] < cube.cells_count
+
+        # apply and prove the router uses it
+        cube.suggest_summaries(max_summaries=1, apply=True)
+        assert cube._summaries
+        hits0 = cube.counter_summary_hits
+        routed = dashboard()
+        assert cube.counter_summary_hits > hits0, "summary not routed"
+        assert routed == fact_path, "summary path changed values"
+    finally:
+        cube.drop_summaries()
+        cube._fact.unpersist()
+
+
+def test_suggest_summaries_skips_fact_sized_keeps(spark):
+    """A workload that drills into EVERY dimension yields no suggestion —
+    the only serving summary would be the fact itself."""
+    from conftest import build_tiny
+
+    _, cube, _ = build_tiny(spark, seed=12)
+    try:
+        cube._request_sigs.clear()
+        cube._request_sigs[frozenset(cube.dim_cols)] += 5
+        assert cube.suggest_summaries() == []
+    finally:
+        cube._fact.unpersist()

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import inspect
 import itertools
+from collections import Counter
 from typing import Any, Iterable, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
@@ -518,6 +519,9 @@ class Cube:
         # aggregate navigation (add_summary): materialized summary tables
         self._summaries: list[dict] = []
         self.counter_summary_hits = 0
+        # workload log for suggest_summaries: minimal keep-set of every
+        # routed rollup request (grids, mini-SQL, batched agg reads)
+        self._request_sigs: "Counter[frozenset]" = Counter()
 
     # ------------------------------------------------------------ plumbing
     @property
@@ -660,6 +664,99 @@ class Cube:
                     pass
         self._summaries = []
 
+    def suggest_summaries(
+        self,
+        max_summaries: int = 2,
+        max_fraction: float = 0.5,
+        apply: bool = False,
+    ) -> "list[dict]":
+        """Summary-table ADVISOR (the classic warehouse pattern): mine
+        the cube's own rollup workload and rank ``add_summary`` keep-sets
+        by how much fact scanning they would absorb.
+
+        Every routed rollup request (grids, mini-SQL, batched aggregate
+        reads) logs its MINIMAL keep-set — the dimensions it requests
+        below their trivial tops — into ``_request_sigs``; a summary
+        kept on ``K`` answers every logged request whose keep-set ⊆ K.
+        Candidates are the logged keep-sets plus their pairwise unions
+        (one summary often serves several recurring dashboards);
+        candidates whose ESTIMATED grain — ``min(fact_rows, Π
+        leaf-count(kept dims))``, metadata only, no Spark job — exceeds
+        ``max_fraction`` of the fact are discarded (a summary nearly as
+        big as the fact absorbs nothing).  Greedy selection by
+        ``requests_covered × (1 − est_rows/fact_rows)``, re-scoring
+        after each pick so the second suggestion only earns credit for
+        requests the first one misses.
+
+        Returns ranked suggestions ``{keep_dims, est_rows,
+        requests_covered, fraction}`` (``keep_dims`` are dimension
+        names, ready for :meth:`add_summary`); ``apply=True`` registers
+        them immediately.  Driver-side arithmetic over ≤ a few dozen
+        signatures; the only Spark job is one ``fact.count()`` (usually
+        served from the persisted fact) — safe in a live session.
+        """
+        sigs = getattr(self, "_request_sigs", None)
+        if not sigs:
+            return []
+        fact_rows = max(1, self.cells_count)
+        spec = self._dims_spec()
+        dim_by_col = dict(spec)
+        name_by_col = {c: d.name for c, d in spec}
+
+        def est_rows(kept: frozenset) -> int:
+            est = 1
+            for c in kept:
+                est *= max(1, len(dim_by_col[c].leaf_members))
+                if est >= fact_rows:
+                    return fact_rows
+            return est
+
+        common = [s for s, _ in sigs.most_common(8)]
+        candidates = {s for s in common if s}
+        for i, a in enumerate(common):
+            for b in common[i + 1:]:
+                if a | b:
+                    candidates.add(a | b)
+        all_cols = frozenset(self._cols)
+        scored = []
+        for k in candidates:
+            if k == all_cols:
+                continue  # keeping every dim is just the fact
+            rows = est_rows(k)
+            frac = rows / fact_rows
+            if frac > max_fraction:
+                continue
+            scored.append((k, rows, frac))
+        picks: "list[dict]" = []
+        covered: "set[frozenset]" = set()
+        for _ in range(max_summaries):
+            best = None
+            for k, rows, frac in scored:
+                if any(k == p["_kept"] for p in picks):
+                    continue
+                served = [
+                    s for s in sigs if s <= k and s not in covered
+                ]
+                gain = sum(sigs[s] for s in served) * (1.0 - frac)
+                if gain > 0 and (best is None or gain > best[0]):
+                    best = (gain, k, rows, frac, served)
+            if best is None:
+                break
+            _, k, rows, frac, served = best
+            covered.update(served)
+            picks.append({
+                "_kept": k,
+                "keep_dims": sorted(name_by_col[c] for c in k),
+                "est_rows": rows,
+                "fraction": round(frac, 4),
+                "requests_covered": sum(sigs[s] for s in served),
+            })
+        for p in picks:
+            del p["_kept"]
+            if apply:
+                self.add_summary(p["keep_dims"])
+        return picks
+
     def _summary_df(self, spec: dict) -> DataFrame:
         if spec["df"] is None:
             df = (
@@ -679,10 +776,25 @@ class Cube:
         all), else the full fact.  ``requested`` maps fact column ->
         requested member ids (grid axes, or the per-column union of a
         batch of addresses)."""
-        summaries = getattr(self, "_summaries", None)
-        if not summaries or requested is None:
+        if requested is None:
             return self.fact
         dim_by_col = dict(self._dims_spec())
+        # workload log (even with no summaries yet — that's what the
+        # advisor mines): the MINIMAL keep-set that could answer this
+        # request = dims requested below their trivial tops
+        sig = frozenset(
+            c
+            for c, ids in requested.items()
+            if ids is not None
+            and not set(int(i) for i in ids)
+            <= dim_by_col[c]._trivial_tops
+        )
+        if not hasattr(self, "_request_sigs"):
+            self._request_sigs = Counter()
+        self._request_sigs[sig] += 1
+        summaries = getattr(self, "_summaries", None)
+        if not summaries:
+            return self.fact
         best = None
         for s in summaries:
             kept = set(s["kept"])
