@@ -653,18 +653,27 @@ def main() -> None:
         if hv is not None:
             extra["huge_view_cells"] = hv.stats["cells"]
 
-        # aggregate navigation: one summary build (the per-load cost),
-        # then the same 1,111-cell view answered from summary-grain rows
-        # — the recurring-dashboard story at scale
-        timed(
-            "huge_summary_build",
-            lambda: hcube.add_summary(["h0", "h1"]),
-        )
+        # aggregate navigation: the ADVISOR mines the workload the view
+        # refreshes above just logged and must recommend the dashboard's
+        # own keep-set; building that suggestion is the per-load cost,
+        # then the same 1,111-cell view is answered from summary-grain
+        # rows — the recurring-dashboard story at scale
+        def build_suggested():
+            sugg = hcube.suggest_summaries(max_summaries=1)
+            assert sugg and set(sugg[0]["keep_dims"]) >= {"h0"}, sugg
+            hcube.add_summary(sugg[0]["keep_dims"])
+            return sugg[0]
+
+        sg = timed("huge_summary_build", build_suggested)
         sv = timed("huge_view_refresh_summary", huge_view, reps=2)
         if sv is not None and hv is not None:
             assert sv.stats["cells"] == hv.stats["cells"]
             extra["huge_summary_rows"] = hcube._summaries[0]["rows"]
             extra["huge_summary_hits"] = hcube.counter_summary_hits
+            if sg is not None:
+                extra["huge_summary_suggested_keep"] = ",".join(
+                    sg["keep_dims"]
+                )
         hcube.drop_summaries()
         # blocking: the sf1 section's 10M-record load must not compete
         # with lazy eviction of this cube's storage blocks
