@@ -109,3 +109,16 @@ def test_exchange_count_excludes_broadcast_and_reuse():
         f for f in plans.lint(plan, max_exchanges=2)
         if f.code == "many_exchanges"
     ]
+
+
+def test_filter_pushdown_detection(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "cast(id as string) s").write.parquet(p)
+    pushed = spark.read.parquet(p).where(F.col("id") > 50)
+    assert "filter_not_pushed" not in {
+        f.code for f in plans.lint(pushed)
+    }, plans.plan_text(pushed)
+    # predicate on a computed expression cannot push into the reader
+    unpushed = spark.read.parquet(p).where(F.length(F.upper("s")) > 1)
+    codes = {f.code for f in plans.lint(unpushed)}
+    assert "filter_not_pushed" in codes, plans.plan_text(unpushed)

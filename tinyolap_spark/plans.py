@@ -108,6 +108,9 @@ def lint(
                                                     fields (pruning likely
                                                     never reached the
                                                     reader)
+    ``filter_not_pushed``                 warning   a Filter node above a
+                                                    scan whose
+                                                    PushedFilters is empty
     ``no_codegen``                        warning   no WholeStageCodegen
                                                     stage in a non-trivial
                                                     plan
@@ -167,8 +170,55 @@ def lint(
             f"{len(wide)} parquet scan(s) read >20 columns — column "
             "pruning may not have reached the reader",
         ))
-    # a plan with joins/aggregates but no codegen stage runs interpreted
-    if "*(" not in plan and ("Join" in plan or "HashAggregate" in plan):
+    # predicate pushdown check: Catalyst pushes IsNotNull constraints
+    # even for unpushable expression predicates, so "PushedFilters
+    # non-empty" proves nothing.  Warn when a comparison Filter sits
+    # DIRECTLY above a scan that pushed nothing beyond null checks —
+    # that scan reads every row group then filters after the fact
+    # (predicate on a computed expression; materialize the column at
+    # write time to make it pushable).  Positional on purpose: filters
+    # above joins/aggregates (HAVING, join verifies) have nothing to
+    # push and must not warn.
+    def _real_push(lst: str) -> bool:
+        return any(
+            tok.strip()
+            and not tok.strip().startswith(("IsNotNull", "IsNull"))
+            for tok in lst.split(",")
+        )
+
+    lines = plan.splitlines()
+    # node may be the plan root (no tree prefix) or nested ("+- ", ":- ")
+    filter_rx = re.compile(r"^\*?\(?\d*\)? ?Filter .*[<>=]")
+    scan_rx = re.compile(r"Scan parquet|FileScan")
+    pushed_rx = re.compile(r"PushedFilters: \[([^\]]*)\]")
+    for i, line in enumerate(lines):
+        node = re.sub(r"^[\s:+|-]*", "", line)
+        if not filter_rx.search(node):
+            continue
+        for nxt in lines[i + 1: i + 4]:
+            if scan_rx.search(nxt):
+                m = pushed_rx.search(nxt)
+                if m is not None and not _real_push(m.group(1)):
+                    out.append(Finding(
+                        "filter_not_pushed", "warning",
+                        "a comparison filter sits directly above a "
+                        "parquet scan that pushed nothing beyond null "
+                        "checks — every row group is read then "
+                        "filtered; filter on stored columns (not "
+                        "computed expressions) so the reader can skip",
+                    ))
+                break
+        if any(f.code == "filter_not_pushed" for f in out):
+            break
+    # a plan with joins/aggregates but no codegen stage runs interpreted.
+    # Only meaningful on a FINAL plan: an unexecuted AQE plan
+    # (isFinalPlan=false) hasn't compiled its stages yet and would
+    # always look codegen-free — pass execute=True for this check.
+    if (
+        "isFinalPlan=false" not in plan
+        and "*(" not in plan
+        and ("Join" in plan or "HashAggregate" in plan)
+    ):
         out.append(Finding(
             "no_codegen", "warning",
             "no WholeStageCodegen stage in a join/aggregate plan — "
