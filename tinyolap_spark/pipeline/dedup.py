@@ -153,6 +153,51 @@ def shingles(text_col: str = "text", n: int = 5) -> Column:
     )
 
 
+def shingle_posts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Per-doc-DISTINCT shingle POSTING rows ``(id_col, g)`` — the
+    exploded twin of :func:`shingles`.
+
+    Position explode + whole-stage-codegen gram projection + one
+    distinct groupBy.  Exploding the :func:`shingles` array instead
+    needs no shuffle but builds every gram inside an interpreted
+    higher-order lambda — measured 2x slower at 10x local data even
+    counting the distinct shuffle (novelty posting scan 2.5s -> 1.3s).
+    Gram semantics replicate :func:`shingles` exactly: same
+    normalization, docs shorter than ``n`` tokens emit their whole
+    token list as ONE short shingle, and NULL text yields one empty
+    shingle (the ``concat_ws`` rendering the oracles encode).
+
+    ``hash_keys=True`` hashes BEFORE the distinct, so two grams whose
+    ``xxhash64`` collide merge into one posting row — identical up to
+    2^-64 collisions, like every other ``hash_keys`` path here.
+    """
+    toks = F.split(F.trim(_normalized(text_col)), " ")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.size("__toks") - n, F.lit(0)) + 1
+    )
+    posts = (
+        _spread(docs)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, "__toks", F.explode(positions).alias("__i"))
+        .select(
+            id_col,
+            F.coalesce(
+                F.array_join(F.slice("__toks", F.col("__i"), n), " "),
+                F.lit(""),
+            ).alias("g"),
+        )
+    )
+    if hash_keys:
+        posts = posts.select(id_col, F.xxhash64("g").alias("g"))
+    return posts.groupBy(id_col, "g").agg(F.lit(1)).select(id_col, "g")
+
+
 def _seeded_hash(seed: int):
     # NB: must be a closure factory — a `lambda s, i=i:` default arg would
     # make Spark treat the lambda as 2-ary and bind the ARRAY INDEX to i.
@@ -406,12 +451,9 @@ def containment_pairs(
     returning, mirroring ``rare_gram_stats``/``near_duplicates``.  Pass
     ``share_posts=False`` for a fully lazy plan.
     """
-    posts = _spread(docs).select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(text_col, shingle_n)).alias("g"),
-    )
-    if hash_keys:
-        posts = posts.select("doc", F.xxhash64("g").alias("g"))
+    posts = shingle_posts(
+        docs, text_col, id_col, shingle_n, hash_keys=hash_keys
+    ).select(F.col(id_col).alias("doc"), "g")
     if share_posts:
         posts = posts.persist()
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("sz"))

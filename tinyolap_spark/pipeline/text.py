@@ -467,48 +467,12 @@ def rare_gram_stats(
     Returns ``(id_col, n_grams, n_rare)``; docs whose text produces zero
     grams still appear (0, 0).
     """
-    from .dedup import _normalized, _spread
+    from .dedup import shingle_posts
 
-    # _spread: a small parquet arrives as ONE partition and the gram
-    # expressions would run single-threaded (measured 7s -> <1s at sf0.1)
-    #
-    # Posting build = position explode + PER-ROW codegen gram + a
-    # distinct groupBy.  The previous form (explode ``dedup.shingles``:
-    # per-doc distinct gram ARRAYS via a ``transform`` lambda) needed no
-    # shuffle but built every gram inside an interpreted higher-order
-    # function; moving the constructor into whole-stage codegen is worth
-    # 2x even INCLUDING the added distinct shuffle (sf1 posting scan
-    # 2.5s -> 1.3s).  Gram semantics replicate ``shingles`` exactly:
-    # same normalization, and docs shorter than ``ngram`` tokens emit
-    # their whole token list as ONE short shingle (the reference
-    # behavior the oracle encodes — hence ``greatest(size-n, 0) + 1``
-    # positions, never zero).
-    toks = F.split(F.trim(_normalized(text_col)), " ")
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.size("__toks") - ngram, F.lit(0)) + 1
-    )
-    posts = (
-        _spread(docs)
-        .select(F.col(id_col), toks.alias("__toks"))
-        .select(id_col, "__toks", F.explode(positions).alias("__i"))
-        .select(
-            id_col,
-            # coalesce: NULL text yields a NULL token array, and the old
-            # concat_ws form rendered that as "" (one empty shingle) —
-            # array_join propagates the NULL instead, which would then
-            # silently fall out of the equi-joins below
-            F.coalesce(
-                F.array_join(F.slice("__toks", F.col("__i"), ngram), " "),
-                F.lit(""),
-            ).alias("g"),
-        )
-    )
-    if hash_keys:
-        posts = posts.select(id_col, F.xxhash64("g").alias("g"))
-    # per-doc distinct (the array form got this from array_distinct);
-    # with hash_keys the distinct is on the 8-byte key — identical up to
-    # 64-bit collisions, like every other hash_keys path here
-    posts = posts.groupBy(id_col, "g").agg(F.lit(1)).select(id_col, "g")
+    # posting build: position explode + codegen gram projection + one
+    # distinct groupBy — 2x faster than exploding the HOF-built shingle
+    # array even counting the shuffle; see dedup.shingle_posts
+    posts = shingle_posts(docs, text_col, id_col, ngram, hash_keys=hash_keys)
     if share_posts:
         posts = posts.persist()
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
