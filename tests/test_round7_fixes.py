@@ -301,3 +301,52 @@ def test_containment_share_posts_identical(spark):
     }
     assert shared == lazy
     assert (1, 2) in {(a, b) for a, b, *_ in shared}
+
+
+# --------------------------------- 9. shared codegen posting builder
+def test_shingle_posts_matches_shingle_array_explode(spark):
+    """dedup.shingle_posts (position explode + codegen gram + distinct
+    groupBy) must emit exactly the posting rows that exploding the
+    HOF-built shingles() array emits — including the short-doc
+    single-shingle and NULL-text empty-shingle quirks."""
+    from pyspark.sql import functions as F
+
+    from tinyolap_spark.pipeline.dedup import shingle_posts, shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, None),
+            (3, "one two"),                      # shorter than n
+            (4, "a  b\tc   d"),                  # separator runs
+            (5, "x x x x x x x"),                # in-doc duplicates
+            (6, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (3, 5):
+        hof = docs.select(
+            "doc_id", F.explode(shingles("text", n)).alias("g")
+        )
+        new = shingle_posts(docs, "text", "doc_id", n)
+        assert hof.exceptAll(new).count() == 0, f"n={n}: missing"
+        assert new.exceptAll(hof).count() == 0, f"n={n}: extra"
+    # hash_keys: same postings, hashed
+    hashed = {
+        tuple(r) for r in shingle_posts(
+            docs, "text", "doc_id", 3, hash_keys=True
+        ).collect()
+    }
+    plain = {
+        (d, g)
+        for d, g in [
+            tuple(r) for r in shingle_posts(docs, "text", "doc_id", 3).collect()
+        ]
+    }
+    import pyspark.sql.functions as FF
+
+    want = {
+        (d, spark.range(1).select(FF.xxhash64(FF.lit(g))).collect()[0][0])
+        for d, g in plain
+    }
+    assert hashed == want
