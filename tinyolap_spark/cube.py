@@ -624,8 +624,10 @@ class Cube:
 
         ``keep_dims``: dimension names (or Dimension objects).  Writes /
         loads mark every summary stale; the frame rebuilds lazily on the
-        next eligible query.  Summaries are derived state: not persisted
-        by ``Database.save`` (rebuild after ``open``)."""
+        next eligible query.  ``Database.save`` persists the summary
+        SPECS (keep-sets) with the cube metadata; after ``open`` the
+        frames themselves are derived state, rebuilt lazily on the first
+        eligible rollup."""
         names = [
             d.name if hasattr(d, "name") else str(d) for d in keep_dims
         ]
@@ -653,6 +655,29 @@ class Cube:
         spec = {"kept": kept, "df": None, "rows": None}
         self._summaries.append(spec)
         self._summary_df(spec)  # build eagerly — callers add at load time
+
+    def compact_summaries(self) -> None:
+        """Flatten the lineage of every built summary frame.
+
+        Additive loads fold each micro-batch into the summaries as
+        ``summary ∪ rollup(batch)`` — batch-sized work, but one union
+        node per fold, so a long-lived ingest driver accumulates an
+        ever-deeper plan (slower analysis, larger task binaries, and a
+        recompute cliff if persisted blocks are evicted).  This
+        localCheckpoints each built frame (eager — summary frames are
+        summary-grain small), giving a flat lineage at current contents;
+        results are bit-identical.  Call it every few hundred folds, or
+        rely on ``Database.save``/``open`` which rebuild from scratch."""
+        for s in getattr(self, "_summaries", []):
+            old = s.get("df")
+            if old is None:
+                continue
+            flat = old.localCheckpoint(eager=True)
+            s["df"] = flat
+            try:
+                old.unpersist()
+            except Exception:
+                pass
 
     def drop_summaries(self) -> None:
         """Unregister and free every summary table."""
@@ -776,6 +801,13 @@ class Cube:
         all), else the full fact.  ``requested`` maps fact column ->
         requested member ids (grid axes, or the per-column union of a
         batch of addresses)."""
+        # flush pending interactive writes FIRST: the flush path swaps the
+        # fact and stale-marks every summary, so the routed frame below is
+        # rebuilt from the post-write fact.  Without this, a fresh cached
+        # summary would be returned with cube.set() writes silently missing
+        # (Query.execute / View.to_df reach the summary without touching
+        # the flushing ``fact`` property).  No-op when nothing is pending.
+        self._flush()
         if requested is None:
             return self.fact
         dim_by_col = dict(self._dims_spec())
@@ -1056,17 +1088,19 @@ class Cube:
             # every micro-batch.  Sound because addition distributes over
             # the dropped-dim totals; the last-write-wins branch below
             # cannot fold (replacement isn't additive) and stays on
-            # stale-marking.  Capture the built frames BEFORE the fact
-            # swap (it marks them stale).  Like the fact merge itself,
-            # each fold adds one union to the plan; a long-lived ingest
-            # driver should compact periodically (drop_summaries +
-            # add_summary, or Database.save/open).
-            built = [
-                (s, s["df"]) for s in self._summaries
-                if s.get("df") is not None
-            ]
-            self._replace_fact(merged)
-            for s, old in built:
+            # stale-marking.  The folded frames are built and MATERIALIZED
+            # (persist + count) BEFORE the fact swap: _replace_fact
+            # unpersists the old summary frames and may free an old
+            # localCheckpoint fact, so counting afterwards would recompute
+            # the old summary from full lineage every batch (quadratic
+            # over an ingest) or fail outright on dropped checkpoint
+            # blocks.  Use compact_summaries() (or Database.save/open) on
+            # long-lived ingest drivers to flatten the per-fold unions.
+            folded = []
+            for s in self._summaries:
+                old = s.get("df")
+                if old is None:
+                    continue
                 kept = list(s["kept"])
                 delta = df.groupBy(*kept).agg(F.sum("value").alias("value"))
                 new = (
@@ -1076,9 +1110,11 @@ class Cube:
                     .agg(F.sum("value").alias("value"))
                     .persist()
                 )
-                s["rows"] = new.count()
+                folded.append((s, new, new.count()))
+            self._replace_fact(merged)  # stale-marks + unpersists old frames
+            for s, new, rows in folded:
                 s["df"] = new
-                old.unpersist()
+                s["rows"] = rows
         else:
             keep = base.join(df.select(*self._cols), on=self._cols, how="left_anti")
             self._replace_fact(keep.unionByName(df))

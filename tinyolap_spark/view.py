@@ -369,4 +369,6 @@ class View:
             grid = grid.join(F.broadcast(mdf), grid[col] == F.col(f"__id_{col}")).drop(
                 f"__id_{col}"
             )
-        return grid
+        # __cnt is an engine internal (matched-row count at whatever grain
+        # the router chose, fact or summary) — not part of the grid contract
+        return grid.drop("__cnt")
