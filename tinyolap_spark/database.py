@@ -563,12 +563,13 @@ class Database:
         never-saved in-memory db); pass an explicit ``folder`` to
         :class:`tinyolap_spark.package.SnapshotManager` to place them
         elsewhere."""
-        if self._snapshots is None:
+        anchor = self._storage_path or "."
+        # rebuild when the anchor moved (save() to a new path) so the
+        # manager never keeps writing snapshots under the old folder
+        if self._snapshots is None or self._snapshots.folder != anchor:
             from .package import SnapshotManager
 
-            self._snapshots = SnapshotManager(
-                self, folder=self._storage_path or "."
-            )
+            self._snapshots = SnapshotManager(self, folder=anchor)
         return self._snapshots
 
     def export(self, path: str) -> None:

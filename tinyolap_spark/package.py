@@ -58,6 +58,7 @@ class SnapshotManager:
     def __init__(self, database, folder: Optional[str] = None):
         self._database = database
         base = folder or getattr(database, "path", None) or "."
+        self.folder = base  # anchor; Database.snapshots rebuilds on move
         self._folder = os.path.join(base, "snapshots")
         self._snapshots: List[Snapshot] = []
         self.refresh()

@@ -22,6 +22,7 @@ whole-stage-codegen) — no Python in the per-token hot path.
 from __future__ import annotations
 
 import logging
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -767,6 +768,7 @@ def duplicate_clusters_star(
         ).where(F.col("u") != F.col("v")).distinct()
 
     prev = fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
         # ---- large-star: for v in Gamma(u), v > u: emit (v, m(u)),
         # m(u) = min(Gamma(u) + {u})
@@ -797,12 +799,29 @@ def duplicate_clusters_star(
         edges = ss.repartition("u").localCheckpoint(eager=True)
         cur = fingerprint(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
     # fixpoint: edges = (min, child) star forest; label children with
-    # their root, roots (and any isolated pair side) with themselves
-    mapping = edges.select(
-        F.col("v").alias("doc"), F.col("u").alias("lbl")
+    # their root, roots (and any isolated pair side) with themselves.
+    # If max_iter ran out BEFORE the fixpoint, edges is not yet a star
+    # forest and a child may carry several candidate roots — the
+    # groupBy(min) below keeps the output contract (exactly one row per
+    # doc) either way; at fixpoint it is a no-op shuffle over a row set
+    # that is already distinct on ``doc``.
+    if not converged:
+        warnings.warn(
+            f"duplicate_clusters_star: no fixpoint after {max_iter} "
+            "rounds; labels are the per-doc minimum of the partial "
+            "contraction (one row per doc, but components may still be "
+            "split). Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    mapping = (
+        edges.select(F.col("v").alias("doc"), F.col("u").alias("lbl"))
+        .groupBy("doc")
+        .agg(F.min("lbl").alias("lbl"))
     )
     return (
         nodes.join(mapping, on="doc", how="left")
@@ -962,8 +981,8 @@ class CorpusDedupIndex:
         not corpus size.
 
         Each update adds one union node to the plan; a long-lived
-        ingestion driver should compact every few thousand batches via
-        ``save()`` + ``load()`` (parquet round-trip → flat lineage).
+        ingestion driver should call :meth:`compact` every few hundred
+        batches to flatten the lineage.
         """
         # sh_raw stays persisted while the banded frame computes (the
         # signature expressions reference the shingle array per hash
@@ -986,6 +1005,36 @@ class CorpusDedupIndex:
         old_bd.unpersist()
         # folded docs change bucket sizes — capped variants recompute
         # lazily on next use
+        self._drop_capped_cache()
+
+    def compact(self, path: "str | None" = None) -> None:
+        """Flatten the lineage accumulated by per-batch :meth:`update`
+        folds (one union node each) back to a flat scan; contents are
+        identical.  Without ``path`` the frames are eagerly
+        ``localCheckpoint``-ed — instant, but the blocks live on the
+        executors until the session ends.  With ``path`` the index does
+        a parquet round-trip (``save`` + re-read): slower, but the
+        storage is reclaimable, the result survives executor loss, and a
+        restarted driver can :meth:`load` the same files — the right
+        mode for a long-lived ingestion service.  Call every few hundred
+        ``update`` folds; an un-compacted thousand-fold chain costs plan
+        analysis time per batch and recomputes through the whole chain
+        if a persisted block is evicted."""
+        old_sh, old_bd = self.shingles, self.banded
+        if path is not None:
+            spark = old_sh.sparkSession
+            self.save(path)
+            self.shingles = spark.read.parquet(f"{path}/shingles").persist()
+            self.banded = spark.read.parquet(f"{path}/banded").persist()
+        else:
+            self.shingles = old_sh.localCheckpoint(eager=True)
+            self.banded = old_bd.localCheckpoint(eager=True)
+        self.banded.count()
+        self.shingles.count()
+        old_sh.unpersist()
+        old_bd.unpersist()
+        # capped variants still reference the pre-compaction lineage —
+        # rebuild lazily from the flat frames on next use
         self._drop_capped_cache()
 
 
