@@ -246,3 +246,49 @@ def test_sf10x_query_matches_oracle(spark, ddb10x, name):
                 )
             else:
                 assert x == y, f"{name}: {a} vs {b}"
+
+
+# ---------------------------------------------------------------------------
+# session-timezone independence (VERDICT r7 #4): every events_* query must
+# match its oracle even when the session runs under a non-UTC timezone —
+# normalize_events emits TIMESTAMP_NTZ (UTC wall clock) and all epoch math
+# goes through pipeline.timekeys, so no result may depend on
+# spark.sql.session.timeZone.
+# ---------------------------------------------------------------------------
+
+EVENTS_QUERIES = sorted(
+    n for n in entry_mod.all_queries() if n.startswith("events_")
+)
+
+
+@pytest.mark.parametrize("name", EVENTS_QUERIES)
+def test_events_query_tz_independent(spark, ddb, name):
+    q = entry_mod.all_queries()[name]
+    oracles = entry_mod.oracle_sql()
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        sdf = q(spark, SF_DIR)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        spark_cols = list(sdf.columns)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+    if name not in oracles:
+        pytest.skip("rows-only query")
+    res = ddb.execute(oracles[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    s_rows, s_cols = normalize(spark_rows, spark_cols)
+    d_rows, d_cols = normalize(duck_rows, duck_cols)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    for a, b in zip(s_rows, d_rows):
+        for x, y in zip(a, b):
+            if isinstance(x, float) and isinstance(y, float):
+                assert x == pytest.approx(y, rel=1e-9, abs=1e-9), (
+                    f"{name}: {a} vs {b}"
+                )
+            else:
+                assert x == y, f"{name}: {a} vs {b}"

@@ -206,23 +206,38 @@ def test_funnel_cap_single_exchange_no_join(spark):
 
 
 # --------------------------------------------------- 6. normalize_events tz
-def test_normalize_events_warns_on_tz_change(spark):
-    import warnings
+def test_normalize_events_is_session_tz_free(spark):
+    """VERDICT r7 #4 closed the r6-advice warning path for good: the
+    helper must neither read nor write the session timezone — the same
+    input yields the same NTZ wall clock under any session tz."""
+    import datetime as dt
 
     from tinyolap_spark.streaming.ingest import normalize_events
 
-    df = spark.createDataFrame(
-        [(1,)], "x long"
-    )  # no ts column: helper is a no-op beyond the pin
     prior = spark.conf.get("spark.sql.session.timeZone")
+    want = dt.datetime(2024, 6, 1, 12, 0, 30)
     try:
-        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        with pytest.warns(UserWarning, match="session.timeZone"):
-            normalize_events(df)
-        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")  # already UTC: silent
-            normalize_events(df)
+        for tz in ("UTC", "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert (
+                spark.conf.get("spark.sql.session.timeZone") == tz
+            )
+            # bigint epoch-nanos input
+            ns = spark.createDataFrame(
+                [(int(want.replace(tzinfo=dt.timezone.utc).timestamp())
+                  * 1_000_000_000,)],
+                "ts long",
+            )
+            got = normalize_events(ns)
+            assert dict(got.dtypes)["ts"] == "timestamp_ntz"
+            assert got.collect()[0]["ts"] == want, tz
+            # NTZ input passes through untouched
+            ntz = spark.sql(
+                "SELECT TIMESTAMP_NTZ'2024-06-01 12:00:30' AS ts"
+            )
+            assert normalize_events(ntz).collect()[0]["ts"] == want, tz
+            # the session timezone was not mutated
+            assert spark.conf.get("spark.sql.session.timeZone") == tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
 

@@ -379,3 +379,33 @@ def test_interval_join_stream_matches_batch_range_join(spark, tmp_path):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="must differ"):
         interval_join_stream(ps, cs, on=["user_id"], left_ts="t", right_ts="t")
+
+
+def test_events_stream_tz_independent(spark, event_files):
+    """The LTZ streaming read of NTZ-written parquet takes the stored
+    UTC wall micros as epoch micros VERBATIM — the session timezone
+    never shifts event time (locks the events_stream docstring claim;
+    watermarks force the LTZ flavor, so this is the seam where a tz
+    dependency would sneak in)."""
+    from tinyolap_spark.streaming import ingest
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    got = {}
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            # batch read with the stream's schema — same code path as the
+            # file-source stream, without the trigger machinery
+            df = spark.read.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string"
+            ).parquet(event_files)
+            got[tz] = sorted(
+                (r["event_id"], r["us"])
+                for r in df.select(
+                    "event_id", F.unix_micros("ts").alias("us")
+                ).limit(500).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+    assert got["UTC"] == got["America/New_York"]

