@@ -122,3 +122,35 @@ def test_filter_pushdown_detection(spark, tmp_path):
     unpushed = spark.read.parquet(p).where(F.length(F.upper("s")) > 1)
     codes = {f.code for f in plans.lint(unpushed)}
     assert "filter_not_pushed" in codes, plans.plan_text(unpushed)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #2: the engine eats its own cooking — EVERY active registry
+# query's executed plan must pass assert_scale_safe.  A future regression
+# (e.g. a broadcast demoted to SortMergeJoin by a stats change, or a
+# Python row UDF sneaking into a hot path) fails here before the driver
+# sees it.  Allow-listed error codes are documented per query; warnings
+# and infos never block (they are the linter's advice channel).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+import __spark_entry__ as _entry
+
+_LINT_SF_DIR = _os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+# error-severity codes tolerated per query, with the reason they are
+# acceptable AT SCALE (the linter is pattern-based and cannot see intent)
+_LINT_ALLOW: "dict[str, tuple[str, ...]]" = {}
+
+
+@pytest.mark.parametrize("name", sorted(_entry.queries()))
+def test_registry_plan_scale_safe(spark, name):
+    df = _entry.queries()[name](spark, _LINT_SF_DIR)
+    findings = plans.assert_scale_safe(
+        df, execute=True, allow=_LINT_ALLOW.get(name, ())
+    )
+    # surface the advice channel in -v output without failing on it
+    for f in findings:
+        if f.severity != "info":
+            print(f"{name}: {f}")

@@ -246,3 +246,45 @@ def test_suggest_summaries_skips_fact_sized_keeps(spark):
         assert cube.suggest_summaries() == []
     finally:
         cube._fact.unpersist()
+
+
+def test_suggest_summaries_refines_sparse_grain(spark):
+    """VERDICT r7 #8: a sparse cube whose Π-leaf-count estimate exceeds
+    max_fraction must still get its keep-set recommended — the advisor
+    refines metadata-rejected candidates with ONE batched
+    approx_count_distinct pass over the fact."""
+    from tinyolap_spark import Database
+
+    db = Database("sparse", spark=spark)
+    d1 = db.add_dimension("d1").edit()
+    d1.add_many("All1", [f"a{i}" for i in range(200)])
+    d1.commit()
+    d2 = db.add_dimension("d2").edit()
+    d2.add_many("All2", [f"b{i}" for i in range(200)])
+    d2.commit()
+    d3 = db.add_dimension("d3").edit()
+    d3.add_many("All3", [f"c{i}" for i in range(20)])
+    d3.commit()
+    cube = db.add_cube("f", [d1, d2, d3])
+    try:
+        # 50 distinct (d1, d2) combos x 20 d3 members = 1000 rows:
+        # metadata screen sees 200*200 = 40k >> fact -> frac 1.0 ->
+        # rejected; the true grain is 50 rows -> frac 0.05 -> keep
+        rows = [
+            (f"a{i % 50}", f"b{(i * 7) % 50}", f"c{j}", 1.0)
+            for i in range(50)
+            for j in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "d1 string, d2 string, d3 string, v double"
+        )
+        cube.load_dataframe(df, value_col="v", by_name=True)
+        c1, c2 = cube._cols[0], cube._cols[1]
+        cube._request_sigs.clear()
+        cube._request_sigs[frozenset({c1, c2})] += 5
+        sugg = cube.suggest_summaries(max_summaries=1, max_fraction=0.5)
+        assert sugg, "sparse keep-set must survive via the refined grain"
+        assert set(sugg[0]["keep_dims"]) == {"d1", "d2"}
+        assert sugg[0]["fraction"] <= 0.2  # approx distinct, not Π leaves
+    finally:
+        cube._fact.unpersist()

@@ -707,8 +707,12 @@ class Cube:
         (one summary often serves several recurring dashboards);
         candidates whose ESTIMATED grain — ``min(fact_rows, Π
         leaf-count(kept dims))``, metadata only, no Spark job — exceeds
-        ``max_fraction`` of the fact are discarded (a summary nearly as
-        big as the fact absorbs nothing).  Greedy selection by
+        ``max_fraction`` of the fact get ONE second chance: a single
+        batched ``approx_count_distinct`` pass over the fact measures
+        every metadata-rejected candidate's TRUE grain (sparse cubes
+        hold far fewer tuples than the leaf product suggests), and only
+        candidates big by MEASUREMENT are discarded (a summary nearly
+        as big as the fact absorbs nothing).  Greedy selection by
         ``requests_covered × (1 − est_rows/fact_rows)``, re-scoring
         after each pick so the second suggestion only earns credit for
         requests the first one misses.
@@ -717,8 +721,10 @@ class Cube:
         requests_covered, fraction}`` (``keep_dims`` are dimension
         names, ready for :meth:`add_summary`); ``apply=True`` registers
         them immediately.  Driver-side arithmetic over ≤ a few dozen
-        signatures; the only Spark job is one ``fact.count()`` (usually
-        served from the persisted fact) — safe in a live session.
+        signatures; Spark jobs: one ``fact.count()`` (usually served
+        from the persisted fact) plus at most one batched
+        approx-distinct pass when the metadata screen rejects
+        candidates — safe in a live session.
         """
         sigs = getattr(self, "_request_sigs", None)
         if not sigs:
@@ -744,14 +750,38 @@ class Cube:
                     candidates.add(a | b)
         all_cols = frozenset(self._cols)
         scored = []
+        refine: "list[frozenset]" = []
         for k in candidates:
             if k == all_cols:
                 continue  # keeping every dim is just the fact
             rows = est_rows(k)
             frac = rows / fact_rows
             if frac > max_fraction:
+                # Π leaf-counts OVERESTIMATES sparse cubes (VERDICT r7
+                # #8): a dense-looking grain can hold few actual tuples.
+                # Refine before discarding — see the batched job below.
+                refine.append(k)
                 continue
             scored.append((k, rows, frac))
+        if refine:
+            # ONE pass over the (persisted) fact measures every
+            # metadata-rejected candidate's TRUE grain: a batched
+            # approx_count_distinct per kept-tuple (HLL, ~2% default
+            # rsd — plenty for an advisor ranking).  Only candidates
+            # the cheap screen rejected pay this; dense cubes where the
+            # screen is accurate never reach it.
+            aggs = [
+                F.approx_count_distinct(
+                    F.struct(*[F.col(c) for c in sorted(k)])
+                ).alias(f"__g{i}")
+                for i, k in enumerate(refine)
+            ]
+            row = self.fact.agg(*aggs).collect()[0]
+            for i, k in enumerate(refine):
+                rows = int(row[f"__g{i}"])
+                frac = rows / fact_rows
+                if frac <= max_fraction:
+                    scored.append((k, rows, frac))
         picks: "list[dict]" = []
         covered: "set[frozenset]" = set()
         for _ in range(max_summaries):
