@@ -16,8 +16,6 @@
 """
 
 import pytest
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from tinyolap_spark import View
 
