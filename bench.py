@@ -128,6 +128,18 @@ def main() -> None:
             py.append(time.time() - t0)
         extra["canary_spark_sec"] = round(min(jvm), 4)
         extra["canary_python_sec"] = round(min(py), 4)
+        # scheduler-latency canary (round-8 A/B lesson, BENCH_AB_r8.md):
+        # the compute canary read "fast" on a day when same-code queries
+        # ran 1.5x slower than their recorded ambient — sub-second query
+        # drift lives in per-job scheduling/launch latency, not compute.
+        # 20 tiny jobs, wall-clock dominated by job round-trips.
+        tiny = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(20):
+                spark.range(1).collect()
+            tiny.append(time.time() - t0)
+        extra["canary_tiny_jobs_sec"] = round(min(tiny), 4)
 
     guarded("canary", canary)
 

@@ -280,3 +280,77 @@ def test_corpus_dedup_index_compact(spark, tmp_path):
         )
     finally:
         idx.release()
+
+
+# ------------------------------------------- 5c. auto-compaction bounds
+def _union_count(df):
+    return df._jdf.queryExecution().optimizedPlan().toString().count("Union")
+
+
+def test_summary_fold_auto_compacts(spark):
+    """Additive folds flatten the summary lineage every Nth fold by
+    DEFAULT — an unattended streaming ingest has a bounded plan depth
+    without anyone calling compact_summaries()."""
+    from conftest import build_tiny
+
+    _, cube, _ = build_tiny(spark, seed=23)
+    try:
+        cube.SUMMARY_AUTO_COMPACT_EVERY = 4
+        cube.add_summary(["years", "months", "measures"])
+        addr = ("All years", "Year", "Total", "Total", "Sales")
+        base = cube.get_many([addr])[0]
+        cols = cube._cols
+        idx = [
+            cube.dimensions[0].member("2023").index,
+            cube.dimensions[1].member("May").index,
+            cube.dimensions[2].member("North").index,
+            cube.dimensions[3].member("sedan").index,
+            cube.dimensions[4].member("Sales").index,
+        ]
+        batch = spark.createDataFrame(
+            [tuple(idx) + (3.0,)],
+            schema=", ".join(f"{c} int" for c in cols) + ", value double",
+        )
+        depths = []
+        for _ in range(10):
+            cube.load_dataframe(batch, additive=True)
+            depths.append(_union_count(cube._summaries[0]["df"]))
+        # two reset cycles inside 10 folds at threshold 4: every Nth fold
+        # flattens to zero unions, and the growth between resets is
+        # cycle-stable (fold 9's depth == fold 5's — nothing carries
+        # across a compaction), i.e. plan depth is BOUNDED over any
+        # number of folds
+        assert depths[3] == 0 and depths[7] == 0, depths
+        assert depths[8] == depths[4], depths
+        assert max(depths[4:8]) == max(depths[8:] + depths[4:8]), depths
+        cube._cache.clear()
+        assert cube.get_many([addr])[0] == pytest.approx(base + 30.0)
+    finally:
+        cube.drop_summaries()
+        cube._fact.unpersist()
+
+
+def test_corpus_index_update_auto_compacts(spark):
+    from tinyolap_spark.pipeline.dedup import CorpusDedupIndex
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = CorpusDedupIndex(corpus, num_hashes=16, bands=4, shingle_n=3)
+    try:
+        idx.auto_compact_every = 3
+        depths = []
+        for b in range(8):
+            idx.update(
+                spark.createDataFrame(
+                    [(100 + b, f"totally new content {b}")],
+                    "doc_id long, text string",
+                )
+            )
+            depths.append(_union_count(idx.banded))
+        assert max(depths) < 3, depths
+        assert 0 in depths, depths
+        assert idx.shingles.count() == 18  # 10 corpus + 8 folded
+    finally:
+        idx.release()

@@ -482,6 +482,10 @@ class Cube:
         self.description = description
         self.spark = spark
         self.dimensions: list[Dimension] = list(dimensions)
+        #: additive loads flatten each summary's fold lineage every Nth
+        #: fold (see load_dataframe) — plan depth stays bounded without
+        #: the caller ever calling compact_summaries()
+        self.SUMMARY_AUTO_COMPACT_EVERY = 64
         # fact column per dimension; duplicates of the same dimension get a
         # positional suffix (the reference allows using a dimension twice)
         cols: list[str] = []
@@ -666,14 +670,17 @@ class Cube:
         recompute cliff if persisted blocks are evicted).  This
         localCheckpoints each built frame (eager — summary frames are
         summary-grain small), giving a flat lineage at current contents;
-        results are bit-identical.  Call it every few hundred folds, or
-        rely on ``Database.save``/``open`` which rebuild from scratch."""
+        results are bit-identical.  Additive loads also auto-compact
+        every ``SUMMARY_AUTO_COMPACT_EVERY`` folds, so calling this is
+        optional hygiene (e.g. before a long quiescent period);
+        ``Database.save``/``open`` rebuild from scratch."""
         for s in getattr(self, "_summaries", []):
             old = s.get("df")
             if old is None:
                 continue
             flat = old.localCheckpoint(eager=True)
             s["df"] = flat
+            s["folds"] = 0
             try:
                 old.unpersist()
             except Exception:
@@ -1124,8 +1131,9 @@ class Cube:
             # localCheckpoint fact, so counting afterwards would recompute
             # the old summary from full lineage every batch (quadratic
             # over an ingest) or fail outright on dropped checkpoint
-            # blocks.  Use compact_summaries() (or Database.save/open) on
-            # long-lived ingest drivers to flatten the per-fold unions.
+            # blocks.  Fold lineage auto-flattens every
+            # SUMMARY_AUTO_COMPACT_EVERY folds (below); compact_summaries()
+            # / Database.save+open remain for explicit control.
             folded = []
             for s in self._summaries:
                 old = s.get("df")
@@ -1138,13 +1146,27 @@ class Cube:
                     .unionByName(delta)
                     .groupBy(*kept)
                     .agg(F.sum("value").alias("value"))
-                    .persist()
                 )
-                folded.append((s, new, new.count()))
+                # bounded plan depth BY DEFAULT: every Nth fold flattens
+                # the accumulated unions via an eager localCheckpoint
+                # (summary-grain small), so an unattended streaming
+                # ingest never grows an unbounded plan; off-cycle folds
+                # persist+count as usual (compact_summaries() remains
+                # for explicit control)
+                n_folds = s.get("folds", 0) + 1
+                if n_folds >= self.SUMMARY_AUTO_COMPACT_EVERY:
+                    new = new.localCheckpoint(eager=True)
+                    rows = new.count()
+                    n_folds = 0
+                else:
+                    new = new.persist()
+                    rows = new.count()
+                folded.append((s, new, rows, n_folds))
             self._replace_fact(merged)  # stale-marks + unpersists old frames
-            for s, new, rows in folded:
+            for s, new, rows, n_folds in folded:
                 s["df"] = new
                 s["rows"] = rows
+                s["folds"] = n_folds
         else:
             keep = base.join(df.select(*self._cols), on=self._cols, how="left_anti")
             self._replace_fact(keep.unionByName(df))

@@ -882,6 +882,11 @@ class CorpusDedupIndex:
         self.banded.count()  # materialize now: batches must not re-run
         # the signature stage, and the first batch should not pay for it
         self._capped_cache: dict = {}
+        #: update() flattens the fold lineage every Nth fold (in-memory
+        #: compact) so an unattended ingestion driver never grows an
+        #: unbounded plan; compact(path) remains for durable compaction
+        self.auto_compact_every = 128
+        self._updates_since_compact = 0
 
     def banded_capped(
         self, max_bucket: int, capped_stats: "dict | None" = None
@@ -955,6 +960,8 @@ class CorpusDedupIndex:
         obj.banded = spark.read.parquet(f"{path}/banded").persist()
         obj.banded.count()
         obj._capped_cache = {}
+        obj.auto_compact_every = 128
+        obj._updates_since_compact = 0
         return obj
 
     def update(
@@ -980,9 +987,10 @@ class CorpusDedupIndex:
         non-reclaimable checkpoint blocks are bounded by stream volume,
         not corpus size.
 
-        Each update adds one union node to the plan; a long-lived
-        ingestion driver should call :meth:`compact` every few hundred
-        batches to flatten the lineage.
+        Each update adds one union node to the plan; the lineage
+        auto-flattens every ``auto_compact_every`` folds (in-memory
+        :meth:`compact`), and a long-lived driver can also call
+        :meth:`compact` with a path for durable, reclaimable compaction.
         """
         # sh_raw stays persisted while the banded frame computes (the
         # signature expressions reference the shingle array per hash
@@ -1006,6 +1014,12 @@ class CorpusDedupIndex:
         # folded docs change bucket sizes — capped variants recompute
         # lazily on next use
         self._drop_capped_cache()
+        self._updates_since_compact += 1
+        if (
+            self.auto_compact_every
+            and self._updates_since_compact >= self.auto_compact_every
+        ):
+            self.compact()
 
     def compact(self, path: "str | None" = None) -> None:
         """Flatten the lineage accumulated by per-batch :meth:`update`
@@ -1036,6 +1050,7 @@ class CorpusDedupIndex:
         # capped variants still reference the pre-compaction lineage —
         # rebuild lazily from the flat frames on next use
         self._drop_capped_cache()
+        self._updates_since_compact = 0
 
 
 def near_duplicates_against(
