@@ -426,7 +426,10 @@ def main() -> None:
             src = f"{tmp}/src"
             # per batch: 100 planted copies of corpus docs + 400
             # alphabet-rotated fresh docs (same absolute batch at
-            # every corpus scale)
+            # every corpus scale).  Fresh rotations start at 11: the
+            # sf1 corpus already contains rotations 0-9 of every doc,
+            # so rotating by bi+1 would make every "fresh" doc a
+            # near-dup of a corpus copy (r8 first run kept 0 of 1000)
             az = "abcdefghijklmnopqrstuvwxyz"
             for bi in range(2):
                 copies = docs.where(
@@ -443,7 +446,7 @@ def main() -> None:
                         F.translate(
                             F.col("text"),
                             az,
-                            az[bi + 1:] + az[: bi + 1],
+                            az[11 + bi:] + az[: 11 + bi],
                         ),
                     )
                     .withColumn(
