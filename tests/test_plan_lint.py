@@ -144,9 +144,11 @@ _LINT_SF_DIR = _os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 _LINT_ALLOW: "dict[str, tuple[str, ...]]" = {}
 
 
-@pytest.mark.parametrize("name", sorted(_entry.queries()))
+@pytest.mark.parametrize("name", sorted(_entry.all_queries()))
 def test_registry_plan_scale_safe(spark, name):
-    df = _entry.queries()[name](spark, _LINT_SF_DIR)
+    """Active (driver-gated) AND retired registry queries both sweep —
+    a retired row reactivated later must not smuggle a hazard back."""
+    df = _entry.all_queries()[name](spark, _LINT_SF_DIR)
     findings = plans.assert_scale_safe(
         df, execute=True, allow=_LINT_ALLOW.get(name, ())
     )

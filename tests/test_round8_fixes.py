@@ -354,3 +354,53 @@ def test_corpus_index_update_auto_compacts(spark):
         assert idx.shingles.count() == 18  # 10 corpus + 8 folded
     finally:
         idx.release()
+
+
+# ------------------------------------------------ timekeys equivalence
+def test_timekeys_flavor_equivalence(spark):
+    """epoch_micros/epoch_seconds/seconds_double agree across the two
+    timestamp flavors for the same instant — incl. sub-second fractions,
+    pre-1970 values, and DST-season datetimes — under a non-UTC session
+    (the whole point of the module)."""
+    from tinyolap_spark.pipeline.timekeys import (
+        epoch_micros,
+        epoch_seconds,
+        seconds_double,
+    )
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    samples = [
+        "1969-12-31 23:59:59.5",
+        "1970-01-01 00:00:00",
+        # wall times INSIDE the session tz's spring-forward gap are
+        # the regression case: timestampdiff(NTZ) normalizes them +1h
+        # through the session zone (measured), which the calendar-field
+        # assembly in timekeys avoids
+        "2024-03-10 02:30:00.000001",
+        "2024-11-03 01:30:00.5",       # inside a US DST overlap
+        "2024-06-01 12:34:56.789654",
+    ]
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        for wall in samples:
+            df = spark.sql(
+                f"SELECT TIMESTAMP_NTZ'{wall}' AS nt, "
+                f"TIMESTAMP'{wall} UTC' AS lt"
+            )
+            r = df.select(
+                epoch_micros("nt", "timestamp_ntz").alias("a"),
+                epoch_micros("lt", "timestamp").alias("b"),
+                epoch_seconds("nt", "timestamp_ntz").alias("c"),
+                epoch_seconds("lt", "timestamp").alias("d"),
+                seconds_double("nt", "timestamp_ntz").alias("e"),
+                seconds_double("lt", "timestamp").alias("f"),
+            ).collect()[0]
+            assert r["a"] == r["b"], wall
+            assert r["c"] == r["d"], wall
+            assert r["e"] == pytest.approx(r["f"], abs=1e-6), wall
+        # numeric passthrough for the bucketers
+        num = spark.createDataFrame([(7200.5,)], "x double")
+        got = num.select(seconds_double("x", "double").alias("v")).collect()
+        assert got[0]["v"] == 7200.5
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
