@@ -1202,6 +1202,22 @@ def _q_docs_chunk(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def _q_docs_chunk_dedup(spark, sf_dir):
+    """CHUNK-level duplication profile (CCNet-style repeated-passage
+    detection on a line-structure-free corpus): non-overlapping 8-token
+    windows, a window occurring >=2 times corpus-wide is boilerplate;
+    per-doc (n_chunks, boiler_chunks, boiler_tokens).  Chunk text is
+    xxhash64'd before any shuffle
+    (`pipeline/text.py::boilerplate_chunk_stats`); the oracle groups by
+    the chunk text itself — identical counts, engine-native keys."""
+    from tinyolap_spark.pipeline.text import boilerplate_chunk_stats
+
+    docs = _raw(spark, sf_dir, "documents")
+    return boilerplate_chunk_stats(
+        docs, chunk_tokens=8, min_count=2
+    ).orderBy("doc_id")
+
+
 def _q_docs_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling without replacement: top-3
     docs per source by the key u^(1/n_chars), u from the portable-LCG
@@ -1762,7 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_novelty": _q_docs_novelty,
-        "docs_chunk": _q_docs_chunk,
+        "docs_chunk_dedup": _q_docs_chunk_dedup,
         "docs_clip_outliers": _q_docs_clip_outliers,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_weighted_sample": _q_docs_weighted_sample,
@@ -1802,6 +1818,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_mktsegment_acctbal": _q_sql_mktsegment_acctbal,  # sql_acctbal_quantiles
         "sql_salted_region_qty": _q_sql_salted_region_qty,  # cube_weighted_net_price
         "docs_dedup_survivors": _q_docs_dedup_survivors,  # docs_exact_dedup
+        "docs_chunk": _q_docs_chunk,  # docs_chunk_dedup (same chunk arithmetic + dedup on top)
         "docs_fingerprints": _q_docs_fingerprints,  # docs_minhash_pairs
         "docs_quality_histogram": _q_docs_quality_histogram,  # docs_quality_quantile
         "docs_simhash_pairs": _q_docs_simhash_pairs,  # docs_minhash_pairs
@@ -2457,6 +2474,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.source, d.n_chars,"
             "  LEAST(GREATEST(d.n_chars, b.lo), b.hi) AS n_chars_clipped "
             "FROM documents d JOIN b USING (source) ORDER BY doc_id"
+        ),
+        "docs_chunk_dedup": (
+            r"WITH t AS ("
+            r"  SELECT doc_id, str_split(trim("
+            r"    regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t"
+            r"  FROM documents"
+            r"), c AS ("
+            r"  SELECT doc_id, t,"
+            r"    CAST(CEIL(GREATEST(len(t) - 8, 0) / 8.0) AS INT) + 1"
+            r"      AS nc FROM t"
+            r"), x AS ("
+            r"  SELECT doc_id, t, unnest(range(0, nc)) AS i FROM c"
+            r"), ch AS ("
+            r"  SELECT doc_id,"
+            r"    array_to_string(t[i*8+1 : i*8+8], ' ') AS chunk,"
+            r"    len(t[i*8+1 : i*8+8]) AS ntok FROM x"
+            r"), f AS ("
+            r"  SELECT doc_id, ntok,"
+            r"    COUNT(*) OVER (PARTITION BY chunk) AS cnt FROM ch) "
+            r"SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,"
+            r"  CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            r"    AS boiler_chunks,"
+            r"  CAST(SUM(CASE WHEN cnt >= 2 THEN ntok ELSE 0 END) AS BIGINT)"
+            r"    AS boiler_tokens "
+            r"FROM f GROUP BY 1 ORDER BY 1"
         ),
         "docs_chunk": (
             r"WITH t AS ("

@@ -1220,3 +1220,44 @@ def test_salient_terms_ranking_and_df(spark):
         (2, "delta", 3, 1, 1),
         (2, "gamma", 2, 2, 2),
     ]
+
+
+def test_boilerplate_chunk_stats_and_scrub(spark):
+    """Chunk-level boilerplate: aligned 4-token windows repeated >=2
+    times corpus-wide are counted per doc and scrubbed; unique content
+    survives reconstruction in order."""
+    from tinyolap_spark.pipeline.text import (
+        boilerplate_chunk_stats,
+        scrub_boilerplate_chunks,
+    )
+
+    tpl = "one two three four"          # 4-token template chunk
+    docs = spark.createDataFrame(
+        [
+            (1, f"{tpl} alpha beta gamma delta"),
+            (2, f"{tpl} epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu nu xi omicron pi"),
+            (4, f"{tpl} {tpl}"),        # within-doc repeat only
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: (r["n_chunks"], r["boiler_chunks"], r["boiler_tokens"])
+        for r in boilerplate_chunk_stats(
+            docs, chunk_tokens=4, min_count=2
+        ).collect()
+    }
+    assert stats[1] == (2, 1, 4)
+    assert stats[2] == (2, 1, 4)
+    assert stats[3] == (2, 0, 0)
+    assert stats[4] == (2, 2, 8)  # both copies of the template count
+    scrubbed = {
+        r["doc_id"]: r["text"]
+        for r in scrub_boilerplate_chunks(
+            docs, chunk_tokens=4, min_count=2
+        ).collect()
+    }
+    assert scrubbed[1] == "alpha beta gamma delta"
+    assert scrubbed[2] == "epsilon zeta eta theta"
+    assert scrubbed[3] == "iota kappa lambda mu nu xi omicron pi"
+    assert scrubbed[4] == ""  # all-boilerplate doc keeps an empty row

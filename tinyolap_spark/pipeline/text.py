@@ -630,3 +630,108 @@ def profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def boilerplate_chunk_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document CHUNK-level duplication profile — the token-window
+    twin of :func:`remove_boilerplate` (CCNet-style repeated-passage
+    detection).  Line-level boilerplate removal needs line structure;
+    web/OCR corpora often have none, and a template passage pasted
+    mid-paragraph never aligns to a line.  Here each doc splits into
+    NON-overlapping ``chunk_tokens`` windows (:func:`chunk_documents`
+    with ``overlap=0`` — alignment makes cross-doc repeats exact-match
+    detectable) and a window occurring ``min_count``+ times corpus-wide
+    (across OR within docs) counts as boilerplate.
+
+    Returns ``(id_col, n_chunks, boiler_chunks, boiler_tokens)``.
+
+    100 TB shape: the chunk explode fans out ~n_tokens/chunk_tokens rows
+    but only ``(doc, hash, n_tokens)`` leaves the map side — chunk TEXT
+    is hashed (xxhash64, 8 bytes) before any shuffle, like every
+    ``hash_keys`` path in this package.  One groupBy builds the
+    frequency table, one shuffle-hash join annotates (both sides already
+    partitioned by the hash), one final groupBy lands on ``id_col`` —
+    all counts, map-side combinable, no text ever shuffles.
+    """
+    ch = chunk_documents(
+        docs, text_col, id_col, chunk_tokens=chunk_tokens, overlap=0
+    ).select(
+        id_col,
+        F.xxhash64("chunk_text").alias("__h"),
+        F.col("n_chunk_tokens"),
+    )
+    freq = ch.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
+    boiler = F.col("__cnt") >= min_count
+    return (
+        ch.join(freq.hint("shuffle_hash"), on="__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(boiler.cast("long")).alias("boiler_chunks"),
+            F.sum(
+                F.when(boiler, F.col("n_chunk_tokens")).otherwise(0)
+            ).cast("long").alias("boiler_tokens"),
+        )
+    )
+
+
+def scrub_boilerplate_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rebuild each document WITHOUT its boilerplate chunks (the
+    actionable form of :func:`boilerplate_chunk_stats`): kept windows
+    re-concatenate in chunk order.  ``overlap=0`` makes reconstruction
+    exact up to the whitespace normalization chunking applies.  Returns
+    ``(id_col, text_col)`` — docs whose every chunk was boilerplate keep
+    a row with empty text (dropping them is the caller's policy call).
+
+    The rebuild ships chunk TEXT through one groupBy on ``id_col`` —
+    bounded by document size, the same order of bytes the corpus scan
+    already moves.
+    """
+    ch = chunk_documents(
+        docs, text_col, id_col, chunk_tokens=chunk_tokens, overlap=0
+    )
+    freq = (
+        ch.select(F.xxhash64("chunk_text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    kept = ch.join(
+        freq.hint("shuffle_hash"),
+        F.xxhash64(ch["chunk_text"]) == freq["__h"],
+    ).where(F.col("__cnt") < min_count)
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("chunk_id"), F.col("chunk_text")
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+            ).alias(text_col)
+        )
+        .unionByName(
+            # all-boilerplate docs keep an empty-text row
+            docs.select(id_col)
+            .join(kept.select(id_col).distinct(), on=id_col, how="left_anti")
+            .select(id_col, F.lit("").alias(text_col))
+        )
+    )
