@@ -103,6 +103,19 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/orders.parquet")
             .groupBy("o_orderpriority").count().collect()
         )
+        # warm the cube-build CODE PATH at sf0.001 (6k rows): the star
+        # build's first run pays whole-stage-codegen/JIT for the join +
+        # unpivot + load pipeline shapes, not data — measured 10.1s cold
+        # vs 7.2s after this warm at sf0.1, converging to ~3.4s once the
+        # session is hot (pair_base re-timing).  Steady-state numbers
+        # are what the reference baseline reports too.
+        tiny = "/root/testdata/sf0.001"
+        if os.path.isdir(tiny):
+            entry_mod._star_cache.pop(tiny, None)
+            sc0 = entry_mod._star(spark, tiny)
+            sc0.cube.fact.count()
+            sc0.cube._fact.unpersist(blocking=True)
+            entry_mod._star_cache.pop(tiny, None)
 
     guarded("warmup", warmup)
     li_rows = extra.get("lineitem_rows", 0)
