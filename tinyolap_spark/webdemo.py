@@ -195,8 +195,12 @@ class WebDemoServer:
             return html
 
     def info(self) -> dict:
+        from . import __version__
+
+        # reference tesla_web_demo.py:96-102: service + version + catalog
         return {
             "service": "tinyolap_spark",
+            "version": __version__,
             "databases": [
                 {"name": db.name}
                 for db in self.server._databases.values()
