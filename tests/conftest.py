@@ -19,6 +19,10 @@ def spark():
         .config("spark.driver.memory", "6g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # defense-in-depth vs deep-plan explainString blowups (AQE
+        # regenerates the plan string on every stage update; an
+        # unbounded one OOMed the driver in the r9 endurance test)
+        .config("spark.sql.maxPlanStringLength", "5000000")
         .getOrCreate()
     )
     yield s

@@ -74,3 +74,96 @@ def test_webdemo_routes_live(tesla_db):
         assert st == 200
     finally:
         demo.stop()
+
+
+# ---------------- enterprise + tutor variants (reference parity, r9)
+@pytest.fixture(scope="module")
+def enterprise_db(spark):
+    from tinyolap_spark.webdemo import play_enterprise
+
+    db = play_enterprise(spark)
+    yield db
+    for name in ("sales", "pnl"):
+        db.cube(name)._fact.unpersist()
+
+
+def test_enterprise_webdemo_routes_live(enterprise_db):
+    """The enterprise shell (samples/enterprise_web_demo.py): several
+    cubes in one database, a RANDOM one per new report, db name in the
+    title."""
+    demo = WebDemoServer(
+        enterprise_db, ["sales", "pnl"], seed=11, show_db_in_title=True
+    ).start()
+    try:
+        base = demo.url
+
+        def get(path):
+            with urllib.request.urlopen(f"{base}{path}", timeout=240) as r:
+                return r.status, r.read().decode()
+
+        st, first = get("/")
+        assert st == 200 and "<table" in first
+        assert "from database <strong>enterprise</strong>" in first
+        # rolling enough new reports hits BOTH cubes (seeded rng)
+        seen = set()
+        for _ in range(6):
+            st, rolled = get("/nextreport")
+            assert st == 200 and "<table" in rolled
+            for cname in ("sales", "pnl"):
+                if f"cube <strong>{cname}</strong>" in rolled:
+                    seen.add(cname)
+            if len(seen) == 2:
+                break
+        assert seen == {"sales", "pnl"}, seen
+        st, info = get("/info")
+        info = json.loads(info)
+        assert {"name": "enterprise"} in info["databases"]
+    finally:
+        demo.stop()
+
+
+@pytest.fixture(scope="module")
+def tutor_db(spark):
+    import os
+
+    from tinyolap_spark.webdemo import _TUTOR_DIR_DEFAULT, play_tutor
+
+    if not os.path.isdir(_TUTOR_DIR_DEFAULT):
+        pytest.skip("reference tutor_model TXT files not available")
+    db = play_tutor(spark)
+    yield db
+    db.cube("verkauf")._fact.unpersist()
+
+
+def test_tutor_webdemo_routes_live(tutor_db):
+    """The tutor shell (samples/tutor_web_demo.py): the German Verkauf
+    cube served with the same route surface."""
+    demo = WebDemoServer(
+        tutor_db, "verkauf", seed=3, show_db_in_title=True
+    ).start()
+    try:
+        base = demo.url
+
+        def get(path):
+            with urllib.request.urlopen(f"{base}{path}", timeout=240) as r:
+                return r.status, r.read().decode()
+
+        st, first = get("/")
+        assert st == 200 and "<table" in first
+        assert "cube <strong>verkauf</strong>" in first
+        assert "from database <strong>tutor</strong>" in first
+        st, again = get("/report")
+        assert again.split("<footer>")[0] == first.split("<footer>")[0]
+        st, rolled = get("/nextreport")
+        assert st == 200 and "<table" in rolled
+        st, info = get("/info")
+        assert {"name": "tutor"} in json.loads(info)["databases"]
+    finally:
+        demo.stop()
+
+
+def test_demo_server_variant_dispatch(spark):
+    from tinyolap_spark.webdemo import demo_server
+
+    with pytest.raises(ValueError):
+        demo_server(spark, "nope")

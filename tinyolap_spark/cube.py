@@ -482,10 +482,23 @@ class Cube:
         self.description = description
         self.spark = spark
         self.dimensions: list[Dimension] = list(dimensions)
-        #: additive loads flatten each summary's fold lineage every Nth
-        #: fold (see load_dataframe) — plan depth stays bounded without
-        #: the caller ever calling compact_summaries()
+        #: retained for API compatibility (r8 surface); since r9 every
+        #: additive fold flattens the summary lineage eagerly — see the
+        #: load_dataframe fold block for why Nth-fold compaction could
+        #: not bound plan-STRING growth (AQE InMemoryRelation nesting
+        #: doubles explainString per fold)
         self.SUMMARY_AUTO_COMPACT_EVERY = 64
+        #: the FACT accumulates one union+aggregate plan node per
+        #: load_dataframe/write_rows merge; every Nth merge the fact is
+        #: eagerly localCheckpoint-ed so an unattended micro-batch
+        #: ingest has bounded fact-plan depth (r9 endurance finding).
+        #: The cadence must stay SMALL: each nested persisted aggregate
+        #: frame DOUBLES the printed plan (AQE InMemoryRelation prints
+        #: its cached subtree twice), so depth 8 ≈ a few-MB explain
+        #: string — fine — while r8-style 64 would be ~2^64x.  Costs one
+        #: fact-sized materialization every 8th batch.
+        self.FACT_AUTO_COMPACT_EVERY = 8
+        self._fact_folds = 0
         # fact column per dimension; duplicates of the same dimension get a
         # positional suffix (the reference allows using a dimension twice)
         cols: list[str] = []
@@ -579,6 +592,27 @@ class Cube:
         """The (flushed) fact DataFrame."""
         self._flush()
         return self._fact
+
+    def _maybe_compact_fact(
+        self, merged: DataFrame
+    ) -> "tuple[DataFrame, bool]":
+        """Every ``FACT_AUTO_COMPACT_EVERY``-th load merge, flatten the
+        fact's accumulated union+aggregate lineage with an eager
+        localCheckpoint (returns ``(frame, was_checkpointed)``).  Without
+        this an unattended micro-batch ingest grows one plan node per
+        batch: each load's ``isEmpty()`` then recomputes an ever-deeper
+        shuffle chain (persisted ancestors are lazy, so their blocks
+        never fully fill) — quadratic work and unbounded analysis state.
+        Found by the r9 endurance test (100 one-row additive loads OOMed
+        a 6g driver); summaries were already bounded, the fact was not."""
+        self._fact_folds += 1
+        if (
+            self.FACT_AUTO_COMPACT_EVERY
+            and self._fact_folds >= self.FACT_AUTO_COMPACT_EVERY
+        ):
+            self._fact_folds = 0
+            return merged.localCheckpoint(eager=True), True
+        return merged, False
 
     def _replace_fact(self, df: DataFrame, persist: bool = True) -> None:
         old = self._fact
@@ -784,10 +818,19 @@ class Cube:
                 for i, k in enumerate(refine)
             ]
             row = self.fact.agg(*aggs).collect()[0]
+            # approx_count_distinct carries ~2% relative error (default
+            # HLL rsd), so a borderline candidate could flip in/out of
+            # the suggestion list across runs (ADVICE r8).  Accept only
+            # candidates whose measured grain clears the threshold by
+            # the rsd margin — deterministic for the same cube state;
+            # the boundary band [max_fraction*(1-rsd), max_fraction] is
+            # deliberately rejected (a summary that close to the fact
+            # absorbs almost nothing anyway).
+            _HLL_RSD = 0.02
             for i, k in enumerate(refine):
                 rows = int(row[f"__g{i}"])
                 frac = rows / fact_rows
-                if frac <= max_fraction:
+                if frac <= max_fraction * (1.0 - _HLL_RSD):
                     scored.append((k, rows, frac))
         picks: "list[dict]" = []
         covered: "set[frozenset]" = set()
@@ -926,6 +969,7 @@ class Cube:
         )
         merged = keep.unionByName(inserts)
         # cut lineage so thousands of interactive writes don't stack plans
+        self._fact_folds = 0  # fact is flat again: restart the fold count
         self._replace_fact(merged.localCheckpoint(eager=True), persist=False)
 
     # -------------------------------------------------------------- writes
@@ -1049,7 +1093,8 @@ class Cube:
         inserts = new.where(
             F.col("value").isNotNull() | F.col("value_str").isNotNull()
         )
-        self._replace_fact(keep.unionByName(inserts))
+        merged, ckpt = self._maybe_compact_fact(keep.unionByName(inserts))
+        self._replace_fact(merged, persist=not ckpt)
 
     def load_dataframe(
         self,
@@ -1131,9 +1176,9 @@ class Cube:
             # localCheckpoint fact, so counting afterwards would recompute
             # the old summary from full lineage every batch (quadratic
             # over an ingest) or fail outright on dropped checkpoint
-            # blocks.  Fold lineage auto-flattens every
-            # SUMMARY_AUTO_COMPACT_EVERY folds (below); compact_summaries()
-            # / Database.save+open remain for explicit control.
+            # blocks.  Fold lineage stays FLAT (eager checkpoint every
+            # fold, below); compact_summaries() / Database.save+open
+            # remain for explicit control.
             folded = []
             for s in self._summaries:
                 old = s.get("df")
@@ -1147,29 +1192,32 @@ class Cube:
                     .groupBy(*kept)
                     .agg(F.sum("value").alias("value"))
                 )
-                # bounded plan depth BY DEFAULT: every Nth fold flattens
-                # the accumulated unions via an eager localCheckpoint
-                # (summary-grain small), so an unattended streaming
-                # ingest never grows an unbounded plan; off-cycle folds
-                # persist+count as usual (compact_summaries() remains
-                # for explicit control)
-                n_folds = s.get("folds", 0) + 1
-                if n_folds >= self.SUMMARY_AUTO_COMPACT_EVERY:
-                    new = new.localCheckpoint(eager=True)
-                    rows = new.count()
-                    n_folds = 0
-                else:
-                    new = new.persist()
-                    rows = new.count()
-                folded.append((s, new, rows, n_folds))
-            self._replace_fact(merged)  # stale-marks + unpersists old frames
+                # FLAT plan depth EVERY fold via eager localCheckpoint.
+                # r8 compacted every Nth fold and persisted in between —
+                # the r9 endurance test (100 one-row loads) showed why
+                # that cannot work: with AQE on, a persisted frame's
+                # InMemoryRelation prints its cached AdaptiveSparkPlan
+                # subtree twice (final + initial plan), so nesting
+                # persisted aggregate frames makes explainString — which
+                # AQE regenerates on every plan update — grow 2x PER
+                # FOLD (measured: 82KB → 697MB in 14 folds, then driver
+                # OOM).  The checkpoint costs the same materialization
+                # the persist+count already paid; the summary is
+                # grain-bounded small.
+                new = new.localCheckpoint(eager=True)
+                rows = new.count()
+                folded.append((s, new, rows, 0))
+            merged, ckpt = self._maybe_compact_fact(merged)
+            # stale-marks + unpersists old frames
+            self._replace_fact(merged, persist=not ckpt)
             for s, new, rows, n_folds in folded:
                 s["df"] = new
                 s["rows"] = rows
                 s["folds"] = n_folds
         else:
             keep = base.join(df.select(*self._cols), on=self._cols, how="left_anti")
-            self._replace_fact(keep.unionByName(df))
+            merged, ckpt = self._maybe_compact_fact(keep.unionByName(df))
+            self._replace_fact(merged, persist=not ckpt)
 
     # --------------------------------------------------------------- reads
     def get(self, address: Sequence) -> Any:

@@ -13,7 +13,11 @@ partial-aggregate pipelines:
 
 Scale design (100 TB story):
 
-- dimension closure tables are tiny (<= 1e5 rows) → always `F.broadcast`;
+- dimension closure tables are tiny → always `F.broadcast`; the bound is
+  ENFORCED loudly at dimension commit/load (`metadata.Dimension.
+  MAX_BROADCAST_MEMBERS` / `MAX_BROADCAST_CLOSURE_ROWS` raise
+  `DimensionScaleError`), so no silent driver-stall/broadcast-OOM path
+  exists for oversized dimensions;
   the fact side never shuffles for the join itself, only for the final
   aggregate (map-side partial aggregation applies because the plan is a
   plain hash aggregate over a join — whole-stage codegen, no Python in the

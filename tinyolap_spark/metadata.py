@@ -15,9 +15,12 @@ Semantics mirror the reference engine (Zeutschler/tinyolap):
   child-insertion order wins** (reference ``dimension.py:815-827`` dict-union
   merge).  See :meth:`Dimension._compute_closure`.
 
-Dimensions are tiny (<= ~1e5 members) so all graph work happens on the
-driver; the resulting *closure table* ``(member_id, ancestor_id, weight)`` is
-shipped to executors as a broadcast DataFrame by the engine layer.  This is
+Dimensions are tiny (<= ~1e5 members — ENFORCED: commit/load raise
+:class:`DimensionScaleError` past ``Dimension.MAX_BROADCAST_MEMBERS`` /
+``MAX_BROADCAST_CLOSURE_ROWS``, never a silent broadcast OOM) so all graph
+work happens on the driver; the resulting *closure table* ``(member_id,
+ancestor_id, weight)`` is shipped to executors as a broadcast DataFrame by
+the engine layer.  This is
 the Spark-first replacement for the reference's insert-time inverted-index
 fan-out (``cube.py:542-549``): instead of indexing every fact row under every
 ancestor at write time, we broadcast-join facts to the closure at read time
@@ -38,6 +41,14 @@ class TinyOlapError(Exception):
 
 class DimensionEditError(TinyOlapError):
     pass
+
+
+class DimensionScaleError(TinyOlapError):
+    """A dimension exceeded the broadcast envelope this engine is
+    designed around (driver-side member graph + broadcast closure
+    join).  Raised LOUDLY at commit/load instead of letting the user
+    discover the limit as a driver stall followed by a broadcast OOM
+    with no diagnosis (VERDICT r8 #2)."""
 
 
 class InvalidAddressError(TinyOlapError):
@@ -380,6 +391,19 @@ class Dimension:
 
     _uid_counter = 0
 
+    #: Broadcast-envelope bounds, ENFORCED at closure build (commit /
+    #: from_dict / lazy recompute).  The engine ships every dimension's
+    #: closure to executors with ``F.broadcast`` (engine.py — fact
+    #: rollups are broadcast-joins by design), and the member graph
+    #: itself lives on the driver; both assume dimensions are small.
+    #: ~1e5 members / 2e6 closure rows ≈ tens of MB broadcast — the
+    #: comfortable ceiling.  Deliberately class attributes: a deployment
+    #: with big executors can raise them EXPLICITLY
+    #: (``Dimension.MAX_BROADCAST_MEMBERS = ...``) and own the memory
+    #: consequences, instead of hitting a silent OOM.
+    MAX_BROADCAST_MEMBERS = 100_000
+    MAX_BROADCAST_CLOSURE_ROWS = 2_000_000
+
     def __init__(self, name: str, description: str = ""):
         # unique, never-reused identity for downstream caches (id() can be
         # recycled by the allocator after GC — never key caches on it)
@@ -608,6 +632,20 @@ class Dimension:
           merged across multiple paths with LAST-DFS-path-wins semantics
           (reference ``dimension.py:815-827``: ``{**acc, **recurse}``).
         """
+        n_members = len(self._defs)
+        if n_members > Dimension.MAX_BROADCAST_MEMBERS:
+            raise DimensionScaleError(
+                f"dimension '{self.name}' has {n_members:,} members, over "
+                f"the broadcast envelope of "
+                f"{Dimension.MAX_BROADCAST_MEMBERS:,}. This engine keeps "
+                f"the member graph on the driver and broadcast-joins the "
+                f"closure to facts; beyond this bound that design stalls "
+                f"the driver and OOMs the broadcast. Model very-high-"
+                f"cardinality identifiers as FACT COLUMNS (filter/group "
+                f"on them directly), not as dimension members — or raise "
+                f"Dimension.MAX_BROADCAST_MEMBERS explicitly if your "
+                f"executors can hold the closure."
+            )
         rows: list[tuple[int, int, float]] = []
         for i in self._defs:
             rows.append((i, i, 1.0))
@@ -633,6 +671,19 @@ class Dimension:
                 # information to a rollup — the engine skips its join
                 if len(wl) == n_leaves and all(w == 1.0 for w in wl.values()):
                     trivial.add(i)
+        if len(rows) > Dimension.MAX_BROADCAST_CLOSURE_ROWS:
+            raise DimensionScaleError(
+                f"dimension '{self.name}' closure has {len(rows):,} "
+                f"(member, ancestor, weight) rows, over the broadcast "
+                f"envelope of "
+                f"{Dimension.MAX_BROADCAST_CLOSURE_ROWS:,}. The engine "
+                f"broadcast-joins this table to facts on every rollup; "
+                f"beyond this bound the broadcast OOMs. Flatten the "
+                f"hierarchy (deep multi-parent DAGs multiply closure "
+                f"rows), or raise "
+                f"Dimension.MAX_BROADCAST_CLOSURE_ROWS explicitly if "
+                f"your executors can hold it."
+            )
         self._closure = rows
         self._trivial_tops = trivial
 

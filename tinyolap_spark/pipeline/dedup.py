@@ -1037,9 +1037,25 @@ class CorpusDedupIndex:
         old_sh, old_bd = self.shingles, self.banded
         if path is not None:
             spark = old_sh.sparkSession
+            # ``path`` may be the SAME directory this index was loaded /
+            # last compacted from — then mode("overwrite") truncates the
+            # parquet files that still back the live frames' lineage,
+            # and a cache-evicted block recomputing mid-write would read
+            # torn files (ADVICE r8).  Pin the contents first:
+            # localCheckpoint(eager) severs the file-backed lineage
+            # BEFORE the overwrite starts, so the write sources from
+            # executor storage only.  The pinned blocks are transient —
+            # released below once the re-read frames are materialized.
+            pinned_sh = old_sh.localCheckpoint(eager=True)
+            pinned_bd = old_bd.localCheckpoint(eager=True)
+            self.shingles, self.banded = pinned_sh, pinned_bd
             self.save(path)
             self.shingles = spark.read.parquet(f"{path}/shingles").persist()
             self.banded = spark.read.parquet(f"{path}/banded").persist()
+            self.banded.count()
+            self.shingles.count()
+            pinned_sh.unpersist()
+            pinned_bd.unpersist()
         else:
             self.shingles = old_sh.localCheckpoint(eager=True)
             self.banded = old_bd.localCheckpoint(eager=True)

@@ -76,7 +76,13 @@ def epoch_seconds(c: "Column | str", dtype: str) -> Column:
     time-of-day)."""
     col = _as_col(c)
     if dtype.startswith("timestamp_ntz"):
-        return F.floor(_ntz_micros(col) / F.lit(1_000_000)).cast("long")
+        # Exact integer floor-division via DECIMAL: `long / int` in Spark
+        # is DOUBLE division, exact only for |micros| < 2^53 (~year
+        # 2255 / before ~-2255); decimal(20,0)/1e6 → decimal(28,8) is
+        # exact over the full LONG range, so floor never drifts from
+        # what CAST(instant AS LONG) would produce.
+        m = _ntz_micros(col)
+        return F.floor(m.cast("decimal(20,0)") / F.lit(1_000_000)).cast("long")
     return col.cast("long")
 
 

@@ -1,30 +1,39 @@
-"""Web demo — the reference's presentation shell
-(``samples/tesla_web_demo.py:23-106``) over this engine's API surface.
+"""Web demos — the reference's presentation shells over this engine's
+API surface, all three variants:
 
-The reference serves a FastAPI app that renders a RANDOM report over the
-tesla sample cube on every request (``render_report``,
-``tesla_web_demo.py:37-69``) plus a ``/info`` JSON catalog.  This port
-keeps the exact route surface (``/``, ``/report``, ``/nextreport``,
+- tesla (``samples/tesla_web_demo.py:23-106``) — :func:`play_tesla`;
+- enterprise (``samples/enterprise_web_demo.py:22-115``) — serves a
+  LIST of cubes and rolls a random one per new report
+  (``enterprise_web_demo.py:41-44``); :func:`play_enterprise` rebuilds
+  the ported enterprise sales cube from the captured fixture;
+- tutor (``samples/tutor_web_demo.py:20-106``) — the German tutor
+  model parsed from its TXT dimension files; :func:`play_tutor`.
+
+The reference serves a FastAPI app that renders a RANDOM report on
+every request (``render_report``) plus a ``/info`` JSON catalog.  This
+port keeps the exact route surface (``/``, ``/report``, ``/nextreport``,
 ``/info``) but serves it with the standard library's HTTP server — same
 choice :mod:`tinyolap_spark.api` makes, so the engine stays deployable
 anywhere a Python driver runs (FastAPI/uvicorn are not runtime
 dependencies).
 
-Determinism: the reference's report randomness and random Actual data
-make golden-testing impossible; here :func:`play_tesla` writes constant
-Actuals (the differential-port convention of
-``tests/test_tesla_port.py``) and :func:`render_report` takes an
-optional seeded ``random.Random`` so a test can pin the report layout.
+Determinism: the reference's report randomness and random data make
+golden-testing impossible; here the ``play_*`` builders write
+deterministic facts (the differential-port convention of
+``tests/test_tesla_port.py`` / ``test_samples_port.py``) and
+:func:`render_report` takes an optional seeded ``random.Random`` so a
+test can pin the report layout.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import random
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Optional, Sequence
 
 from .database import Database
 from .server import Server
@@ -69,7 +78,147 @@ def play_tesla(spark, actual: float = 600.0) -> Database:
     return db
 
 
-def random_report_def(cube, rng: "random.Random | None" = None) -> dict:
+_ENTERPRISE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "enterprise_model.json.gz",
+)
+
+#: default location of the reference's tutor TXT dimension files; override
+#: via the ``tutor_dir`` argument or ``TINYOLAP_TUTOR_DIR``
+_TUTOR_DIR_DEFAULT = "/root/reference/samples/tutor_model"
+
+
+def play_enterprise(spark, fixture_path: "str | None" = None) -> Database:
+    """The enterprise demo model (reference
+    ``samples/enterprise_web_demo.py:22-23``: several cubes served from
+    one database, a random one per new report), rebuilt from the
+    captured fixture the differential ports use
+    (``tests/fixtures/enterprise_model.json.gz`` — dims/edges/facts
+    recorded by RUNNING the reference's
+    ``samples/enterprise_model/model.py``).  Builds BOTH ported cubes —
+    ``sales`` and ``pnl`` — sharing their identical years/periods/
+    companies dimensions."""
+    import gzip
+
+    from .rules import RuleScope, rule
+
+    with gzip.open(fixture_path or _ENTERPRISE_FIXTURE, "rt") as f:
+        fx = json.load(f)
+
+    db = Database("enterprise", spark=spark)
+
+    def build_dims(dim_specs):
+        dims = []
+        for d in dim_specs:
+            if d["name"] in db.dimensions:
+                dims.append(db.dimensions[d["name"]])
+                continue
+            dim = db.add_dimension(d["name"]).edit()
+            for m in d["order"]:
+                dim.add_many(m)
+            for parent, child, w in d["edges"]:
+                dim.add_member(parent, [child], [w])
+            dim.commit()
+            dims.append(dim)
+        return dims
+
+    sales = db.add_cube("sales", build_dims(fx["dims"]))
+
+    @rule("sales", trigger=["salesfig:Price"], scope=RuleScope.ALL_LEVELS)
+    def price(c):
+        quantity = c["salesfig:Quantity"]
+        if quantity:
+            return c["salesfig:Sales"] / quantity
+
+    sales.register_rule(price)
+    sales.write_rows([tuple(a) + (v,) for a, v in fx["facts"]])
+
+    pnl = db.add_cube("pnl", build_dims(fx["pnl"]["dims"]))
+
+    @rule("pnl", trigger=["ACTvsPL%"], scope=RuleScope.ALL_LEVELS)
+    def actvspl_pct(c):
+        plan = c["datatype:Plan"]
+        if plan:
+            return (c["datatype:Actual"] - plan) / plan
+        return None
+
+    pnl.register_rule(actvspl_pct)
+    pnl.write_rows([tuple(a) + (v,) for a, v in fx["pnl"]["facts"]])
+    return db
+
+
+def play_tutor(spark, tutor_dir: "str | None" = None) -> Database:
+    """The tutor demo model (reference ``samples/tutor_web_demo.py:24``:
+    the German 'Verkauf' cube loaded from TXT dimension files), with the
+    deterministic fact generator the golden tests use
+    (``tests/test_samples_port.py`` seed-7 rows).  ``tutor_dir`` (or
+    ``TINYOLAP_TUTOR_DIR``) must point at the tutor TXT files; raises
+    ``FileNotFoundError`` with the looked-up path otherwise."""
+    from .rules import RuleScope, rule
+    from .sources.csvimport import dimension_from_tutor_file
+
+    tdir = (
+        tutor_dir
+        or os.environ.get("TINYOLAP_TUTOR_DIR")
+        or _TUTOR_DIR_DEFAULT
+    )
+    if not os.path.isdir(tdir):
+        raise FileNotFoundError(
+            f"tutor TXT dimension files not found at {tdir!r}; pass "
+            f"tutor_dir= or set TINYOLAP_TUTOR_DIR"
+        )
+    db = Database("tutor", spark=spark)
+    dims = []
+    for name in ["jahre", "datenart", "regionen", "produkte", "monate",
+                 "wertart"]:
+        dim = dimension_from_tutor_file(name, f"{tdir}/{name.upper()}.TXT")
+        db.dimensions[name] = dim
+        dims.append(dim)
+    cube = db.add_cube("verkauf", dims)
+
+    @rule("verkauf", trigger=["Preis"], scope=RuleScope.AGGREGATION_LEVEL)
+    def preis(c):
+        umsatz = c["Umsatz"]
+        menge = c["Menge"]
+        if menge != 0.0:
+            return umsatz / menge
+        return "-"
+
+    cube.register_rule(preis)
+    # deterministic fill over a fixed leaf sample (seed-7 generator,
+    # identical to tests/test_samples_port.py::tutor_rows so the demo
+    # values line up with the captured reference goldens)
+    rng = random.Random(7)
+    regions = ["Argentinien", "Belgien", "Brasilien", "Bulgarien",
+               "Chile", "Deutschland"]
+    products = ["Deskmate 386/25", "Deskmate 386/33", "Deskmate 486/33",
+                "Deskmate 486/50", "Deskmate 486/66"]
+    rows = []
+    for jahr in ["1993", "1994"]:
+        for art in ["Ist", "Plan"]:
+            for reg in regions:
+                for prod in products:
+                    for monat in ["Januar", "Februar", "Juni", "Dezember"]:
+                        menge = float(rng.randrange(1, 50))
+                        preis_v = float(rng.randrange(100, 900))
+                        rows.append((jahr, art, reg, prod, monat,
+                                     "Menge", menge))
+                        rows.append((jahr, art, reg, prod, monat,
+                                     "Umsatz", menge * preis_v))
+                        rows.append((jahr, art, reg, prod, monat,
+                                     "variable Kosten",
+                                     round(menge * preis_v * 0.6, 2)))
+    cube.write_rows(rows)
+    return db
+
+
+def random_report_def(
+    cube,
+    rng: "random.Random | None" = None,
+    db_name: "str | None" = None,
+) -> dict:
     """A random report definition over ``cube`` — the reference's layout
     logic (``tesla_web_demo.py:40-58``): every dimension gets a random
     filter member, one random dimension goes to columns, one to rows
@@ -88,8 +237,13 @@ def random_report_def(cube, rng: "random.Random | None" = None) -> dict:
         if len(by_name[cand_a]) <= len(by_name[cand_b])
         else (cand_b, cand_a)
     )
+    title = f"Random report on cube <strong>{cube.name}</strong>"
+    if db_name:
+        # enterprise/tutor variants carry the database in the title
+        # (reference enterprise_web_demo.py:64-65)
+        title += f" from database <strong>{db_name}</strong>"
     return {
-        "title": f"Random report on cube <strong>{cube.name}</strong>",
+        "title": title,
         "header": header,
         "columns": [{"dimension": col_dim}],
         "rows": [{"dimension": row_dim}],
@@ -100,12 +254,13 @@ def render_report(
     cube,
     report_def: "dict | None" = None,
     rng: "random.Random | None" = None,
+    db_name: "str | None" = None,
 ) -> "tuple[str, dict]":
     """Render one report as HTML; returns ``(html, report_def)`` so the
     caller can refresh the SAME report (``/report``) or roll a new one
     (``/nextreport``) — the reference's ``refresh_only`` toggle."""
     if report_def is None:
-        report_def = random_report_def(cube, rng)
+        report_def = random_report_def(cube, rng, db_name)
     cube.reset_counters()
     start = time.time()
     s = Slice(cube, report_def)
@@ -141,15 +296,23 @@ class WebDemoServer:
     def __init__(
         self,
         db: Database,
-        cube_name: str = "sales",
+        cube_name: "str | Sequence[str]" = "sales",
         host: str = "127.0.0.1",
         port: int = 0,
         seed: Optional[int] = None,
+        show_db_in_title: bool = False,
     ):
         self.server = Server(spark=db.spark)
         self.server.add_database(db)
         self.db = db
-        self.cube = db.cube(cube_name)
+        # several cubes → a RANDOM one per new report, the previous one
+        # on refresh (reference enterprise_web_demo.py:41-44)
+        names = (
+            [cube_name] if isinstance(cube_name, str) else list(cube_name)
+        )
+        self.cubes = [db.cube(n) for n in names]
+        self.cube = self.cubes[0]
+        self.show_db_in_title = show_db_in_title
         self.rng = random.Random(seed)
         self._report_def: "dict | None" = None
         self._lock = threading.RLock()
@@ -189,8 +352,13 @@ class WebDemoServer:
     def render(self, refresh_only: bool = True) -> str:
         with self._lock:
             rdef = self._report_def if refresh_only else None
+            if rdef is None:
+                self.cube = self.rng.choice(self.cubes)
             html, self._report_def = render_report(
-                self.cube, rdef, self.rng
+                self.cube,
+                rdef,
+                self.rng,
+                self.db.name if self.show_db_in_title else None,
             )
             return html
 
@@ -224,10 +392,35 @@ class WebDemoServer:
         self._httpd.server_close()
 
 
+def demo_server(
+    spark, variant: str = "tesla", port: int = 0, seed: "int | None" = None
+) -> WebDemoServer:
+    """Build the model for ``variant`` (tesla / enterprise / tutor —
+    one per reference ``samples/*_web_demo.py``) and wrap it in a
+    route-complete :class:`WebDemoServer`."""
+    if variant == "tesla":
+        return WebDemoServer(play_tesla(spark), "sales", port=port,
+                             seed=seed)
+    if variant == "enterprise":
+        return WebDemoServer(
+            play_enterprise(spark), ["sales", "pnl"], port=port,
+            seed=seed, show_db_in_title=True,
+        )
+    if variant == "tutor":
+        return WebDemoServer(
+            play_tutor(spark), "verkauf", port=port, seed=seed,
+            show_db_in_title=True,
+        )
+    raise ValueError(f"unknown web-demo variant {variant!r}")
+
+
 if __name__ == "__main__":  # pragma: no cover - manual demo
+    import sys
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.master("local[4]").getOrCreate()
-    demo = WebDemoServer(play_tesla(spark), port=8000).start()
-    print(f"serving on {demo.url} — /, /report, /nextreport, /info")
+    which = sys.argv[1] if len(sys.argv) > 1 else "tesla"
+    demo = demo_server(spark, which, port=8000).start()
+    print(f"serving {which} on {demo.url} — /, /report, /nextreport, /info")
     demo._thread.join()
