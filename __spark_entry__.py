@@ -1748,7 +1748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_anyorder": _q_events_funnel_anyorder,
         "events_props_rollup": _q_events_props_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
-        "docs_vocab_topk": _q_docs_vocab_topk,
         "docs_split_counts": _q_docs_split_counts,
         "docs_boilerplate": _q_docs_boilerplate,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -1762,7 +1761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- cube / view / sql surface ------------------------------------
         "cube_weighted_net_price": _q_cube_weighted_net_price,
         "cube_multiparent_overlap": _q_cube_multiparent_overlap,
-        "cube_area_sum": _q_cube_area_sum,
         "cube_cell_batch": _q_cube_cell_batch,
         "cube_sql_dialect": _q_cube_sql_dialect,
         "cube_attr_filter": _q_cube_attr_filter,
@@ -1775,6 +1773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- documents / text pipeline ------------------------------------
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_text_stats": _q_docs_text_stats,
+        # activated r9 (VERDICT r8 #8 rotation-for-discrimination: these
+        # two could plausibly break — simhash banding + langid heuristics
+        # — unlike the 1-row/static rows they replace)
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_language_id": _q_docs_language_id,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_novelty": _q_docs_novelty,
@@ -1821,10 +1824,12 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_chunk": _q_docs_chunk,  # docs_chunk_dedup (same chunk arithmetic + dedup on top)
         "docs_fingerprints": _q_docs_fingerprints,  # docs_minhash_pairs
         "docs_quality_histogram": _q_docs_quality_histogram,  # docs_quality_quantile
-        "docs_simhash_pairs": _q_docs_simhash_pairs,  # docs_minhash_pairs
         "docs_jaccard_pairs": _q_docs_jaccard_pairs,  # docs_neardedup_survivors
-        "docs_language_id": _q_docs_language_id,  # docs_text_stats
         "events_hourly_stream": _q_events_hourly_stream,  # events_cube_stream_ingest
+        # retired r9 after 6+ green rounds (VERDICT r8 #8): trivially
+        # stable shapes, shadowed by active survivors
+        "cube_area_sum": _q_cube_area_sum,  # cube_cell_batch + cube_summary_rollup
+        "docs_vocab_topk": _q_docs_vocab_topk,  # docs_salient_terms (same posting scan)
         "emb_topk_cosine": _q_emb_topk_cosine,  # emb_ivf_topk (recall vs brute force)
     }
 

@@ -881,11 +881,21 @@ class CorpusDedupIndex:
         ).persist()
         self.banded.count()  # materialize now: batches must not re-run
         # the signature stage, and the first batch should not pay for it
+        #: corpus-sized partition width — compact() coalesces back to
+        #: this, because per-batch unions STACK partitions (each fold
+        #: adds the batch's partitions; measured: 100 one-row folds grew
+        #: every index job to 800+ tasks, dominating per-fold wall)
+        self._base_partitions = self.banded.rdd.getNumPartitions()
         self._capped_cache: dict = {}
         #: update() flattens the fold lineage every Nth fold (in-memory
         #: compact) so an unattended ingestion driver never grows an
-        #: unbounded plan; compact(path) remains for durable compaction
-        self.auto_compact_every = 128
+        #: unbounded plan; compact(path) remains for durable compaction.
+        #: 16, not the r8 128: the r9 endurance run measured per-fold
+        #: wall time growing superlinearly with nested-persisted-frame
+        #: depth (plan analysis over N stacked InMemoryRelations), so a
+        #: small cadence keeps every fold cheap — the compaction itself
+        #: is one checkpoint of already-materialized frames.
+        self.auto_compact_every = 16
         self._updates_since_compact = 0
 
     def banded_capped(
@@ -959,8 +969,9 @@ class CorpusDedupIndex:
         obj.shingles = spark.read.parquet(f"{path}/shingles").persist()
         obj.banded = spark.read.parquet(f"{path}/banded").persist()
         obj.banded.count()
+        obj._base_partitions = obj.banded.rdd.getNumPartitions()
         obj._capped_cache = {}
-        obj.auto_compact_every = 128
+        obj.auto_compact_every = 16
         obj._updates_since_compact = 0
         return obj
 
@@ -1056,9 +1067,24 @@ class CorpusDedupIndex:
             self.shingles.count()
             pinned_sh.unpersist()
             pinned_bd.unpersist()
+            # the parquet re-read re-blocks by file size, so the width
+            # is healthy again — re-anchor the compact target to it
+            self._base_partitions = self.banded.rdd.getNumPartitions()
         else:
-            self.shingles = old_sh.localCheckpoint(eager=True)
-            self.banded = old_bd.localCheckpoint(eager=True)
+            # coalesce back to the corpus-sized width: per-fold unions
+            # stacked one batch's partitions each, and a checkpoint
+            # alone would FREEZE that bloat (coalesce never increases a
+            # width, so a genuinely grown index is left alone)
+            target = max(
+                getattr(self, "_base_partitions", 1),
+                old_sh.sparkSession.sparkContext.defaultParallelism,
+            )
+            self.shingles = old_sh.coalesce(target).localCheckpoint(
+                eager=True
+            )
+            self.banded = old_bd.coalesce(target).localCheckpoint(
+                eager=True
+            )
         self.banded.count()
         self.shingles.count()
         old_sh.unpersist()
