@@ -1539,20 +1539,37 @@ def _q_emb_near_dup_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
 
 
+#: SemDeDup centroid-count rule: k = max(8, ceil(n / OCC)) seed
+#: centroids, i.e. EXPECTED CELL OCCUPANCY held constant as the corpus
+#: grows.  With fixed k the per-cell pairwise step is O((n/k)^2) and the
+#: operator scales quadratically (r8 measured 10x ratio 2.74 — the worst
+#: scaler); with occupancy-constant k total pairwise work is O(n * OCC),
+#: linear.  The recall tradeoff is explicit SemDeDup semantics: more
+#: cells = more near-dup pairs straddling a boundary and missed — both
+#: engine and oracle share the rule, so the pair set stays mirrored.
+SEMANTIC_DUP_OCCUPANCY = 256
+
+
+def semantic_dup_k(n_embeddings: int) -> int:
+    return max(8, -(-int(n_embeddings) // SEMANTIC_DUP_OCCUPANCY))
+
+
 def _q_emb_semantic_dup_pairs(spark, sf_dir):
     """SemDeDup pairs: the near-dup-augmented corpus partitioned by
-    nearest seed centroid (vec_id 0..7, the kmeans_profile centroid
-    table), exact cosine >= 0.99 verified WITHIN cells only
-    (`pipeline/similarity.py::semantic_dup_pairs`).  The oracle mirrors
-    both stages in SQL — lowest-index L2 argmin assignment, then a
-    same-cell self-join with list_cosine_similarity — so a planted pair
-    straddling a cell boundary is (correctly) absent from BOTH sides."""
+    nearest seed centroid (vec_id 0..k-1, k occupancy-scaled — see
+    :data:`SEMANTIC_DUP_OCCUPANCY`), exact cosine >= 0.99 verified
+    WITHIN cells only (`pipeline/similarity.py::semantic_dup_pairs`).
+    The oracle mirrors both stages in SQL — the SAME k rule, lowest-index
+    L2 argmin assignment, then a same-cell self-join with
+    list_cosine_similarity — so a planted pair straddling a cell
+    boundary is (correctly) absent from BOTH sides."""
     from tinyolap_spark.pipeline import similarity
 
     base = _raw(spark, sf_dir, "embeddings")
+    k = semantic_dup_k(base.count())
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in base.where(F.col("vec_id") < 8)
+        for r in base.where(F.col("vec_id") < k)
         .orderBy("vec_id")
         .select("embedding")
         .collect()
@@ -2410,8 +2427,10 @@ def oracle_sql() -> dict[str, str]:
             "             + CAST(vec_id AS DOUBLE))) AS FLOAT))"
             "  FROM embeddings WHERE vec_id >= 20 AND vec_id < 40"
             "), cents AS ("
+            # SAME occupancy-scaled k rule as semantic_dup_k()
             "  SELECT vec_id AS cluster, embedding AS cvec "
-            "  FROM embeddings WHERE vec_id < 8"
+            "  FROM embeddings WHERE vec_id < GREATEST(8, CAST(CEIL("
+            "    (SELECT COUNT(*) FROM embeddings) / 256.0) AS BIGINT))"
             "), best AS ("
             "  SELECT vec_id, cluster FROM ("
             "    SELECT a.vec_id, c.cluster, ROW_NUMBER() OVER ("

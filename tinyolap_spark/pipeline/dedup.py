@@ -630,6 +630,7 @@ def duplicate_clusters(
     max_iter: int = 50,
     id_out: str = "doc",
     cluster_col: str = "cluster",
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc that
     appears in a pair labeled with the MINIMUM doc id reachable through
@@ -647,6 +648,13 @@ def duplicate_clusters(
     chains, social-graph-shaped duplicate webs) use
     :func:`duplicate_clusters_star`, which converges in
     O(log^2 n) rounds regardless of diameter — same output contract.
+
+    Pass a dict as ``stats`` to get ``{"rounds": n}`` filled in —
+    convergence visibility without extra jobs.  Measured (r9, bench
+    corpora): near-dup graphs converge in THREE rounds at both 1x and
+    10x with flat ~0.4s rounds, so the CC stage is ~20% of the
+    docs_dup_clusters entry — the floor is LSH pair GENERATION, not
+    round count or checkpoint I/O (BENCH_NOTES_r9.md).
 
     Scale notes: the edge frame and each round's labels are
     ``localCheckpoint``-ed — an ITERATIVE algorithm's lineage otherwise
@@ -677,6 +685,7 @@ def duplicate_clusters(
         .localCheckpoint(eager=True)
     )
     lbl_type = dict(labels.dtypes)["lbl"]
+    rounds = 0
     for _ in range(max_iter):
         msgs = edges.join(
             labels.select(F.col("doc").alias("src"), "lbl"), on="src"
@@ -700,8 +709,11 @@ def duplicate_clusters(
             new_labels.where(F.col("lbl") < F.col("old")).limit(1).count()
         )
         labels = new_labels.select("doc", "lbl")
+        rounds += 1
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("doc").alias(id_out), F.col("lbl").alias(cluster_col)
     )

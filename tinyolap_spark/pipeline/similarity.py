@@ -511,7 +511,11 @@ def semantic_dup_pairs(
     Known, documented recall tradeoff: a near-dup pair STRADDLING a cell
     boundary is missed — that is the SemDeDup contract (tested
     explicitly).  Raise k (more, smaller cells) for speed; lower k for
-    recall.
+    recall.  Scale k WITH the corpus (k ≈ n / target_occupancy): fixed k
+    makes the per-cell pairwise step O((n/k)^2) — quadratic in corpus
+    size — while occupancy-constant k keeps total pairwise work linear
+    (measured r9: the fixed-k=8 bench entry was the repo's worst 10x
+    scaler at 2.74 before the callers adopted the occupancy rule).
 
     Scale shape: O(1)-plan assignment (centroid matrix in the task
     closure, no shuffle) -> ONE shuffle on ``cluster`` ->
