@@ -401,10 +401,20 @@ def test_base_rule_executor_path_large_feeder(spark):
     the path flag) and matches the closed-form expected sum."""
     import pandas as pd
 
+    from tinyolap_spark.metadata import Dimension
+
     db = Database("feeder_big", spark=spark)
     keys = db.add_dimension("keys").edit()
+    # 100k leaves + the top sits exactly ONE member over the r9 broadcast
+    # envelope — raise it explicitly (the documented escape hatch; this
+    # workload is the envelope's calibration point)
     keys.add_many("AllKeys", [f"k{i}" for i in range(100_000)])
-    keys.commit()
+    prior = Dimension.MAX_BROADCAST_MEMBERS
+    Dimension.MAX_BROADCAST_MEMBERS = 120_000
+    try:
+        keys.commit()
+    finally:
+        Dimension.MAX_BROADCAST_MEMBERS = prior
     measures = db.add_dimension("measures").edit()
     measures.add_many("Quantity")
     measures.add_many("Price")

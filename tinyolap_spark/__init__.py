@@ -19,6 +19,7 @@ from .metadata import (
     AttributeField,
     TinyOlapError,
     DimensionEditError,
+    DimensionScaleError,
     InvalidAddressError,
     InvalidCellWriteError,
 )
@@ -71,6 +72,7 @@ __all__ = [
     "NOT_PROCESSED",
     "TinyOlapError",
     "DimensionEditError",
+    "DimensionScaleError",
     "InvalidAddressError",
     "InvalidCellWriteError",
     "MAX_DIMS_PER_CUBE",
