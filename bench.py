@@ -977,6 +977,15 @@ def main() -> None:
             "docs_weighted_sample",
         ]:
             run = q_runner(name)
+            # section-boundary GC per PAIR (not just per section): the
+            # debris left by each 10x query lands on the NEXT pair's
+            # sf1 side only — its base re-times clean-ish while the 10x
+            # twin eats accumulated old-gen pressure, inflating the
+            # ratio (measured r9: in-session emb_semantic_dup_pairs sf1
+            # read 4.0s vs 2.2s clean-session — ratio 3.07 vs ~0.95 for
+            # the identical plan).  Each pair is an independent
+            # workload; isolate it like the sections are.
+            reclaim()
             timed(f"pair_base_{name}", lambda: run(sf_dir), reps=2)
             timed(f"sf1_{name}", lambda: run(sf1_dir), reps=2)
         sc1.cube._fact.unpersist(blocking=True)
@@ -1032,6 +1041,7 @@ def main() -> None:
             "pair_base_stream_dedup_index_build",
             "pair_base_stream_near_dedup_2batches",
         )
+        reclaim()  # per-pair isolation (see the loop comment above)
         run_stream_dedup(
             sf1_dir,
             "sf1_stream_dedup_index_build",
