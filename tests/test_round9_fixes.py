@@ -265,3 +265,79 @@ def test_corpus_index_auto_compact_endurance(spark):
         assert idx.shingles.count() == 10 + n_folds
     finally:
         idx.release()
+
+
+def test_near_dedup_stream_fold_survivors_endurance(spark, tmp_path):
+    """30 micro-batches through ``near_dedup_stream(fold_survivors=True)``
+    — the unattended-ingestion surface the fold/compaction work exists
+    for: per-batch drain time stays flat, the index auto-compacts
+    (bounded union depth), and cross-batch near-dups are still caught at
+    the end of the run."""
+    from tinyolap_spark.pipeline.dedup import CorpusDedupIndex
+    from tinyolap_spark.streaming.ingest import near_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(i, f"base corpus document number {i} with stable words")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    # default LSH params: the stream's per-batch path validates the
+    # index was built with the parameters it queries with
+    idx = CorpusDedupIndex(corpus)
+    # non-default cadence so 14 batches cross TWO compaction boundaries
+    # (the default cadence is endurance-covered by the 100-fold test
+    # above; folding batches through the full stream costs ~10s each)
+    idx.auto_compact_every = 6
+    src = str(tmp_path / "src")
+    n_batches = 14
+    for b in range(n_batches):
+        rows = [(1000 + b, f"fresh unique content body variant {b} "
+                           f"never seen before {b * 7}")]
+        if b == n_batches - 1:
+            # near-copy of batch 5's doc: neither is in the original
+            # corpus, so only the fold path can catch it
+            rows.append((9999, "fresh unique content body variant 5 "
+                               "never seen before 35 "))
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    import time as _t
+
+    seen: list[tuple[int, int, float]] = []
+
+    def sink(kept, bid):
+        seen.append((bid, kept.count(), _t.time()))
+
+    q = near_dedup_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        idx,
+        str(tmp_path / "ck"),
+        sink,
+        threshold=0.8,
+        fold_survivors=True,
+    )
+    try:
+        assert q.awaitTermination(600)
+    finally:
+        q.stop()
+        idx.release()
+    assert len(seen) == n_batches
+    # the batch-5 near-copy was dropped by the FOLD path (arrived in the
+    # last batch; its twin was never in the base corpus)
+    kept_by_batch = {bid: k for bid, k, _ in seen}
+    assert kept_by_batch[n_batches - 1] == 1, kept_by_batch
+    assert sum(kept_by_batch.values()) == n_batches  # all others kept
+    # index stayed bounded: union depth under the compact cadence
+    assert _union_count(idx.banded) < idx.auto_compact_every
+    # flat per-batch wall: median inter-batch gap of the last 5 within
+    # 3x of batches 3-9 (generous; catches the superlinear growth an
+    # unbounded fold chain shows)
+    gaps = [b - a for (_, _, a), (_, _, b) in zip(seen, seen[1:])]
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    assert med(gaps[-5:]) <= 3.0 * med(gaps[2:9]) + 0.05, (
+        med(gaps[2:9]),
+        med(gaps[-5:]),
+    )
