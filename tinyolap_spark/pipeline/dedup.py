@@ -943,6 +943,66 @@ class CorpusDedupIndex:
             capped_stats.update(hit[1])
         return hit[0]
 
+    def banded_for_batch(
+        self,
+        batch_banded: DataFrame,
+        max_bucket: int,
+        capped_stats: "dict | None" = None,
+    ) -> DataFrame:
+        """The skew-capped corpus side for ONE batch's bucket join.
+
+        Warm cache (static index, :meth:`banded_capped` already paid the
+        corpus-wide aggregate once): return the cached capped frame.
+
+        Cold cache (fresh index, or invalidated by a fold — the
+        ``fold_survivors`` ingestion path invalidates EVERY batch):
+        restrict the corpus frame to the BATCH's buckets first, then cap
+        by the restricted sizes.  Exactly the same pair set and cap
+        decisions — a bucket the batch never touches cannot produce a
+        pair, and the restricted per-bucket count is the full corpus
+        count for every touched bucket (restriction is by key, not
+        sampling) — but the per-batch cost is one scan of the persisted
+        banded frame plus touched-bucket-sized aggregates, instead of a
+        corpus-WIDE groupBy + semi-join + persist + count per trigger
+        (r9: that rebuild dominated the folding-ingestion batch cost).
+
+        ``capped_stats`` keeps its corpus-wide meaning: when a dict is
+        passed on the cold path, one extra corpus-wide aggregate fills
+        it (opt-in, same as everywhere else).
+
+        Batch-side keys are broadcast — micro-batch-sized by
+        construction.  A massive backfill batch should prewarm
+        :meth:`banded_capped` instead (the cache path then applies)."""
+        key = int(max_bucket)
+        hit = self._capped_cache.get(key)
+        if hit is not None:
+            if capped_stats is not None:
+                capped_stats.update(hit[1])
+            return hit[0]
+        keys = batch_banded.select("band", "bucket").distinct()
+        touched = self.banded.join(
+            F.broadcast(keys), on=["band", "bucket"], how="leftsemi"
+        )
+        sizes = touched.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        if capped_stats is not None:
+            _report_capped(
+                self.banded.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("sz")
+                ),
+                key,
+                capped_stats,
+                "CorpusDedupIndex",
+            )
+        return touched.join(
+            F.broadcast(
+                sizes.where(F.col("sz") <= key).select("band", "bucket")
+            ),
+            on=["band", "bucket"],
+            how="leftsemi",
+        )
+
     def _drop_capped_cache(self) -> None:
         for frame, _ in self._capped_cache.values():
             frame.unpersist()
@@ -1139,6 +1199,10 @@ def near_duplicates_against(
     each time).
     """
     sh_new = shingle_frame(new_docs, text_col, id_col, shingle_n)
+    # new side: consumed by the batch-bucket restriction and the pair
+    # join — both inside the one final job; batch-sized recompute is
+    # cheaper than checkpoint blocks accumulating per trigger
+    bn = _banded_frame(sh_new, num_hashes, bands, checkpoint=False)
     if isinstance(corpus, CorpusDedupIndex):
         if (corpus.num_hashes, corpus.bands, corpus.shingle_n) != (
             num_hashes,
@@ -1150,10 +1214,11 @@ def near_duplicates_against(
                 f"({corpus.num_hashes}, {corpus.bands}, {corpus.shingle_n})"
             )
         sh_corp = corpus.shingles
-        # the capped corpus frame is computed ONCE per (index, cap) and
-        # cached — the per-batch path must not re-aggregate the whole
-        # corpus's bucket sizes every trigger
-        bc = corpus.banded_capped(max_bucket, capped_stats)
+        # warm cache (prewarmed static index): the capped frame computed
+        # ONCE per (index, cap); cold cache (fresh or fold-invalidated):
+        # batch-bucket-restricted capping, no corpus-wide work per
+        # trigger — see banded_for_batch
+        bc = corpus.banded_for_batch(bn, max_bucket, capped_stats)
         corpus_owned = False
     else:
         sh_corp = shingle_frame(corpus, text_col, id_col, shingle_n)
@@ -1174,11 +1239,6 @@ def near_duplicates_against(
             .hint("shuffle_hash")  # bucket-universe-sized: never broadcast
         )
         bc = bc.join(ok_buckets, on=["band", "bucket"], how="leftsemi")
-    # new side: consumed once by the pair join — no barrier needed
-    # (checkpoint blocks would outlive the call until JVM GC; in a
-    # per-batch ingestion loop that accumulates).  Corpus side: three
-    # consumers, keep the barrier.
-    bn = _banded_frame(sh_new, num_hashes, bands, checkpoint=False)
     cands = (
         bn.alias("a")
         .join(
