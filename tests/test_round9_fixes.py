@@ -341,3 +341,52 @@ def test_near_dedup_stream_fold_survivors_endurance(spark, tmp_path):
         med(gaps[2:9]),
         med(gaps[-5:]),
     )
+
+
+def test_banded_for_batch_matches_prewarmed_path(spark):
+    """The cold-cache batch-bucket-restricted capping must produce the
+    IDENTICAL pair set and cap decisions as the prewarmed corpus-wide
+    capped frame — including under a cap tight enough to actually drop
+    buckets (untouched buckets cannot pair; restricted per-bucket counts
+    are full corpus counts)."""
+    from tinyolap_spark.pipeline.dedup import (
+        CorpusDedupIndex,
+        near_duplicates_against,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"common shared boilerplate prefix words doc {i % 7}")
+         for i in range(40)]
+        + [(100 + i, f"distinct body {i} with its own unique tokens {i*13}")
+           for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "common shared boilerplate prefix words doc 3"),
+         (1001, "distinct body 4 with its own unique tokens 52"),
+         (1002, "completely fresh text never seen anywhere")],
+        "doc_id long, text string",
+    )
+    for cap in (200, 3):
+        cold_idx = CorpusDedupIndex(corpus, num_hashes=16, bands=4,
+                                    shingle_n=3)
+        s_cold: dict = {}
+        cold = sorted(map(tuple, near_duplicates_against(
+            batch, cold_idx, threshold=0.5, num_hashes=16, bands=4,
+            shingle_n=3, max_bucket=cap, capped_stats=s_cold,
+        ).select("doc_a", "doc_b").collect()))
+        assert not cold_idx._capped_cache  # cold path: nothing cached
+        warm_idx = CorpusDedupIndex(corpus, num_hashes=16, bands=4,
+                                    shingle_n=3)
+        warm_idx.banded_capped(cap)  # prewarm → cached path
+        s_warm: dict = {}
+        warm = sorted(map(tuple, near_duplicates_against(
+            batch, warm_idx, threshold=0.5, num_hashes=16, bands=4,
+            shingle_n=3, max_bucket=cap, capped_stats=s_warm,
+        ).select("doc_a", "doc_b").collect()))
+        assert cold == warm, (cap, cold, warm)
+        assert s_cold == s_warm, (cap, s_cold, s_warm)
+        cold_idx.release()
+        warm_idx.release()
+    # the tight cap actually exercised capping
+    assert s_cold["capped_buckets"] > 0
