@@ -10,7 +10,13 @@
    message (VERDICT r8 #2 — no silent driver-stall → broadcast-OOM path);
 4. long-run endurance: ~100 folds against the DEFAULT auto-compaction
    thresholds keep plan depth bounded (resetting at each compaction
-   boundary) and per-fold wall time flat (VERDICT r8 #9).
+   boundary) and per-fold wall time flat (VERDICT r8 #9) — the tests
+   that found the AQE InMemoryRelation plan-string doubling and the
+   union partition stacking (see ARCHITECTURE.md §2);
+5. the streaming fold_survivors surface stays flat across compaction
+   boundaries and catches cross-batch near-dups;
+6. the cold-cache batch-bucket-restricted capping path is exactly
+   equivalent to the prewarmed corpus-wide capped frame.
 """
 
 import datetime as dt

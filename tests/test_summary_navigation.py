@@ -288,3 +288,33 @@ def test_suggest_summaries_refines_sparse_grain(spark):
         assert sugg[0]["fraction"] <= 0.2  # approx distinct, not Π leaves
     finally:
         cube._fact.unpersist()
+
+
+def test_suggest_summaries_is_deterministic(spark):
+    """ADVICE r8: the refine pass measures candidate grains with
+    approx_count_distinct (~2% rsd), so borderline candidates could flip
+    in/out across runs; the rsd safety margin makes the advisor's output
+    a pure function of cube state — identical across repeated calls."""
+    from conftest import build_tiny
+
+    from tinyolap_spark import View
+
+    _, cube, _ = build_tiny(spark, seed=13)
+    try:
+        for _ in range(3):
+            View(
+                cube,
+                filters=[("regions", "Total"), ("products", "Total")],
+                rows=[("months", ["Q1", "Q2", "Q3", "Q4"])],
+                columns=[("years", ["2021", "2022"]),
+                         ("measures", ["Sales", "Cost"])],
+            ).refresh()
+        # low max_fraction pushes candidates through the measured-grain
+        # refine pass (the nondeterminism ADVICE targeted)
+        runs = [
+            cube.suggest_summaries(max_summaries=2, max_fraction=0.1)
+            for _ in range(3)
+        ]
+        assert runs[0] == runs[1] == runs[2], runs
+    finally:
+        cube._fact.unpersist()
