@@ -569,19 +569,12 @@ def main() -> None:
     # base/aggregated/rule-cell read loops).  A 100k-row feeder slice
     # evaluates Sales = Quantity x Price through the EXECUTOR rule tier
     # (no driver collect), then per-key aggregated rule cells read batched.
-    def rules_section():
+    def _rules_body():
         import pandas as pd
 
         from tinyolap_spark import Database
-        from tinyolap_spark.metadata import Dimension
         from tinyolap_spark.rules import RuleScope
 
-        # the 100k-key feeder dimension sits exactly ON the broadcast
-        # envelope (100,101 members with its group/top levels); this
-        # bench KNOWS the closure fits local[32]'s heap, so it raises
-        # the bound explicitly — the documented escape hatch the r9
-        # DimensionScaleError guard points users at
-        Dimension.MAX_BROADCAST_MEMBERS = 120_000
         rdb = Database("bench_rules", spark=spark)
         keys = rdb.add_dimension("keys").edit()
         ngroups, per_group = 100, 1000
@@ -659,6 +652,23 @@ def main() -> None:
                 ngroups / timings[f"rule_agg_cells_{ngroups}_batched"], 1
             )
         rcube._fact.unpersist(blocking=True)
+
+    def rules_section():
+        from tinyolap_spark.metadata import Dimension
+
+        # the 100k-key feeder dimension sits exactly ON the broadcast
+        # envelope (100,101 members with its group/top levels); this
+        # bench KNOWS the closure fits local[32]'s heap, so it raises
+        # the bound explicitly — the documented escape hatch the r9
+        # DimensionScaleError guard points users at.  try/finally so
+        # LATER sections run with the envelope intact even if this one
+        # fails (ADVICE r9).
+        prior_bound = Dimension.MAX_BROADCAST_MEMBERS
+        Dimension.MAX_BROADCAST_MEMBERS = 120_000
+        try:
+            _rules_body()
+        finally:
+            Dimension.MAX_BROADCAST_MEMBERS = prior_bound
 
     guarded("rules_section", rules_section)
 

@@ -5,6 +5,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the tutor web-demo tests read the reference's TXT dimension files; the
+# library no longer bakes a machine path in (ADVICE r9), so point the
+# resolver at the local reference checkout when present (tests skip when
+# neither env var resolves to a directory)
+if "TINYOLAP_REFERENCE_ROOT" not in os.environ and os.path.isdir(
+    "/root/reference/samples/tutor_model"
+):
+    os.environ["TINYOLAP_REFERENCE_ROOT"] = "/root/reference"
+
 from pyspark.sql import SparkSession  # noqa: E402
 
 

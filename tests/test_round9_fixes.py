@@ -161,6 +161,7 @@ def _union_count(df):
     return df._jdf.queryExecution().optimizedPlan().toString().count("Union")
 
 
+@pytest.mark.endurance
 def test_summary_auto_compact_endurance_100_folds(spark):
     """100 additive folds against the DEFAULT
     ``SUMMARY_AUTO_COMPACT_EVERY`` (64): plan depth resets to zero at the
@@ -229,6 +230,7 @@ def test_summary_auto_compact_endurance_100_folds(spark):
         cube._fact.unpersist()
 
 
+@pytest.mark.endurance
 def test_corpus_index_auto_compact_endurance(spark):
     """100 one-doc folds against the DEFAULT ``auto_compact_every``
     (16 — lowered from 128 after this test measured per-fold wall time
@@ -253,16 +255,24 @@ def test_corpus_index_auto_compact_endurance(spark):
             )
             for b in range(n_folds)
         ]
-        depths, walls = [], []
+        base_parts = idx.banded.rdd.getNumPartitions()
+        depths, walls, parts = [], [], []
         for b in batches:
             t0 = time.time()
             idx.update(b)
             walls.append(time.time() - t0)
             depths.append(_union_count(idx.banded))
+            parts.append(idx.banded.rdd.getNumPartitions())
         # resets at EVERY boundary across the run, depth bounded between
         for b in range(1, n_folds // every + 1):
             assert depths[b * every - 1] == 0, (b, depths)
         assert max(depths) < every, max(depths)
+        # partition width (= stage task count for the index jobs) stays
+        # flat across every 16-fold window: one partition per micro-batch
+        # fold, reset at each compaction (VERDICT r9 #6 — the pre-r10
+        # fold added defaultParallelism partitions per batch and stage
+        # task counts climbed 256->544 between boundaries)
+        assert max(parts) <= base_parts + every, (base_parts, max(parts))
         med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
         assert med(walls[-20:]) <= 3.0 * med(walls[10:40]) + 0.05, (
             med(walls[10:40]),
@@ -273,6 +283,7 @@ def test_corpus_index_auto_compact_endurance(spark):
         idx.release()
 
 
+@pytest.mark.endurance
 def test_near_dedup_stream_fold_survivors_endurance(spark, tmp_path):
     """30 micro-batches through ``near_dedup_stream(fold_survivors=True)``
     — the unattended-ingestion surface the fold/compaction work exists

@@ -126,9 +126,10 @@ def test_enterprise_webdemo_routes_live(enterprise_db):
 def tutor_db(spark):
     import os
 
-    from tinyolap_spark.webdemo import _TUTOR_DIR_DEFAULT, play_tutor
+    from tinyolap_spark.webdemo import _default_tutor_dir, play_tutor
 
-    if not os.path.isdir(_TUTOR_DIR_DEFAULT):
+    tdir = _default_tutor_dir()
+    if tdir is None or not os.path.isdir(tdir):
         pytest.skip("reference tutor_model TXT files not available")
     db = play_tutor(spark)
     yield db

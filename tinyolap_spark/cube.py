@@ -807,26 +807,28 @@ class Cube:
         if refine:
             # ONE pass over the (persisted) fact measures every
             # metadata-rejected candidate's TRUE grain: a batched
-            # approx_count_distinct per kept-tuple (HLL, ~2% default
-            # rsd — plenty for an advisor ranking).  Only candidates
+            # approx_count_distinct per kept-tuple (HLL at an explicit
+            # 2% rsd — plenty for an advisor ranking; Spark's DEFAULT
+            # rsd is 0.05, so the margin below must match the rsd the
+            # aggregate actually runs at — ADVICE r9).  Only candidates
             # the cheap screen rejected pay this; dense cubes where the
             # screen is accurate never reach it.
+            _HLL_RSD = 0.02
             aggs = [
                 F.approx_count_distinct(
-                    F.struct(*[F.col(c) for c in sorted(k)])
+                    F.struct(*[F.col(c) for c in sorted(k)]), rsd=_HLL_RSD
                 ).alias(f"__g{i}")
                 for i, k in enumerate(refine)
             ]
             row = self.fact.agg(*aggs).collect()[0]
-            # approx_count_distinct carries ~2% relative error (default
-            # HLL rsd), so a borderline candidate could flip in/out of
-            # the suggestion list across runs (ADVICE r8).  Accept only
-            # candidates whose measured grain clears the threshold by
-            # the rsd margin — deterministic for the same cube state;
-            # the boundary band [max_fraction*(1-rsd), max_fraction] is
+            # approx_count_distinct carries ~rsd relative error, so a
+            # borderline candidate could flip in/out of the suggestion
+            # list across runs (ADVICE r8).  Accept only candidates
+            # whose measured grain clears the threshold by the rsd
+            # margin — deterministic for the same cube state; the
+            # boundary band [max_fraction*(1-rsd), max_fraction] is
             # deliberately rejected (a summary that close to the fact
             # absorbs almost nothing anyway).
-            _HLL_RSD = 0.02
             for i, k in enumerate(refine):
                 rows = int(row[f"__g{i}"])
                 frac = rows / fact_rows
@@ -2028,7 +2030,9 @@ class Cube:
                     F.col("weight").alias("__w_p"),
                 )
                 src = df.join(
-                    F.broadcast(pcdf), df[p_col] == F.col("__m_p"), "inner"
+                    engine._closure_side(pcdf, pdim),
+                    df[p_col] == F.col("__m_p"),
+                    "inner",
                 )
                 op_col, op_val = F.col("__a_p"), (
                     F.col("value") * F.col("__w_p")
@@ -2086,7 +2090,9 @@ class Cube:
                 F.col("weight").alias("__w_p"),
             )
             dfp = df.join(
-                F.broadcast(pcdf), df[p_col] == F.col("__m_p"), "inner"
+                engine._closure_side(pcdf, pdim),
+                df[p_col] == F.col("__m_p"),
+                "inner",
             )
             rolled = dfp.groupBy(
                 *[F.col(c) for c in rest_cols], F.col("__a_p")

@@ -78,11 +78,13 @@ class Database:
                 raise
 
     # ------------------------------------------------------------- dims
-    def add_dimension(self, name: str, description: str = "") -> Dimension:
+    def add_dimension(
+        self, name: str, description: str = "", large_dim: bool = False
+    ) -> Dimension:
         key = name.lower()
         if key in self.dimensions:
             raise DuplicateKeyError(f"dimension '{name}' already exists")
-        d = Dimension(name, description)
+        d = Dimension(name, description, large_dim=large_dim)
         self.dimensions[key] = d
         return d
 

