@@ -764,7 +764,10 @@ def main() -> None:
                 columns=[("h1", ["All"] + [f"m{j}" for j in range(10)])],
             ).refresh()
 
-        hv = timed("huge_view_refresh", huge_view)
+        # two reps like every other headline (VERDICT r9 #4): this is
+        # the metric graded against the reference's sub-second target
+        # and single-shot it spanned 1.8-4.5s across BENCH_LOCAL records
+        hv = timed("huge_view_refresh", huge_view, reps=2)
         if hv is not None:
             extra["huge_view_cells"] = hv.stats["cells"]
 
@@ -999,9 +1002,37 @@ def main() -> None:
             # read 4.0s vs 2.2s clean-session — ratio 3.07 vs ~0.95 for
             # the identical plan).  Each pair is an independent
             # workload; isolate it like the sections are.
+            #
+            # INTERLEAVED reps (base, 10x, base, 10x — VERDICT r9 #5):
+            # the sequential 2+2 pattern let ambient drift between the
+            # two blocks land in the published ratio, which
+            # BENCH_NOTES_r9's warmed-adjacent decompositions then kept
+            # correcting (minhash record 2.59 vs measured floor ~2.05).
+            # With both sides' min-of-2 sampled from the same window,
+            # the record IS the floor.
             reclaim()
-            timed(f"pair_base_{name}", lambda: run(sf_dir), reps=2)
-            timed(f"sf1_{name}", lambda: run(sf1_dir), reps=2)
+            runs_b, runs_s = [], []
+            failed = False
+            for _rep in range(2):
+                for nm, d, dest in (
+                    (f"pair_base_{name}", sf_dir, runs_b),
+                    (f"sf1_{name}", sf1_dir, runs_s),
+                ):
+                    t0 = time.time()
+                    try:
+                        run(d)
+                    except Exception as exc:  # noqa: BLE001
+                        errors[nm] = f"{type(exc).__name__}: {exc}"[:400]
+                        failed = True
+                        break
+                    dest.append(round(time.time() - t0, 4))
+                if failed:
+                    break
+            if not failed:
+                timings[f"pair_base_{name}"] = min(runs_b)
+                timings[f"sf1_{name}"] = min(runs_s)
+                extra[f"pair_base_{name}_runs"] = runs_b
+                extra[f"sf1_{name}_runs"] = runs_s
         sc1.cube._fact.unpersist(blocking=True)
 
         # minhash LSH bucket-distribution probe at 10x (VERDICT r8 #6):
@@ -1122,19 +1153,41 @@ def main() -> None:
         ]:
             # paired base (re-timed adjacent to the 10x run, same JVM
             # state) beats the headline timing as the denominator —
-            # see the pair_base_* comment above
+            # see the pair_base_* comment above.
+            #
+            # Ratio estimator (VERDICT r9 #5): when both sides have the
+            # same number of recorded reps, the ratio is SUM(scaled
+            # runs)/SUM(base runs) — min-of-2 cherry-picks an unusually
+            # fast denominator run on sub-second bases (observed: a
+            # [0.94, 0.48] base pair published 2.53 where the
+            # stage-decomposed floor is ~1.4-2.0), while paired sums
+            # average the same-window jitter on both sides.  Headline
+            # per-query timings stay min-of-reps, unchanged.
             denom = timings.get(f"pair_base_{base}", timings.get(base, 0))
+            base_runs = extra.get(
+                f"pair_base_{base}_runs", extra.get(f"{base}_runs")
+            )
+            scaled_runs = extra.get(f"{scaled}_runs")
             if denom and scaled in timings:
-                extra[f"scaling_{base}_10x"] = round(
-                    timings[scaled] / denom, 2
-                )
+                if (
+                    base_runs
+                    and scaled_runs
+                    and len(base_runs) == len(scaled_runs)
+                ):
+                    extra[f"scaling_{base}_10x"] = round(
+                        sum(scaled_runs) / sum(base_runs), 2
+                    )
+                else:
+                    extra[f"scaling_{base}_10x"] = round(
+                        timings[scaled] / denom, 2
+                    )
                 # complementary view: relative THROUGHPUT at 10x data
                 # (10 / wall ratio; >1 = rows/sec grew with scale).  The
                 # wall ratio alone over-penalizes fast base queries where
                 # fixed per-job overhead (~0.3-0.4s scheduler + codegen)
                 # is a large share of the sub-second denominator.
                 extra[f"throughput_{base}_10x"] = round(
-                    10.0 * denom / timings[scaled], 2
+                    10.0 / extra[f"scaling_{base}_10x"], 2
                 )
 
     # ---- combined layout demo (VERDICT r6 #8): the 10M-row cube fact
