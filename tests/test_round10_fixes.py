@@ -331,6 +331,59 @@ def test_tutor_dir_resolves_from_environment(monkeypatch):
     assert _default_tutor_dir() == "/direct/dir"
 
 
+# --------------------------- 8. verify-side shingle prefilter (steady state)
+def test_verify_prefilter_same_pairs_as_fallback(spark, monkeypatch):
+    """The r10 verify-side prefilter (the BENCH_NOTES_r10 steady-state
+    caveat): candidate-matched corpus ids prefilter the fat shingle
+    frame before the jaccard join.  Pairs must be IDENTICAL to the
+    capped-out fallback (which is the pre-r10 plan), including when the
+    cap forces the fallback mid-corpus, and a no-candidate batch must
+    return empty without error (the empty-isin guard)."""
+    from tinyolap_spark.pipeline import dedup as dd
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 6}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(200 + i, f"alpha beta gamma delta epsilon zeta eta theta doc {i % 6}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    idx = dd.CorpusDedupIndex(corpus, num_hashes=16, bands=4, shingle_n=3)
+
+    def pairs():
+        return sorted(
+            map(
+                tuple,
+                dd.near_duplicates_against(
+                    batch, idx, num_hashes=16, bands=4, shingle_n=3,
+                    threshold=0.5, max_bucket=50,
+                ).select("doc_a", "doc_b").collect(),
+            )
+        )
+
+    try:
+        with_prefilter = pairs()
+        assert with_prefilter  # planted dups must pair up
+        monkeypatch.setattr(dd, "VERIFY_PREFILTER_MAX_IDS", 0)
+        assert pairs() == with_prefilter
+        monkeypatch.undo()
+
+        # no-candidate batch: nothing shares a shingle -> empty isin guard
+        disjoint = spark.createDataFrame(
+            [(900, "zzz yyy xxx www vvv uuu ttt sss qqq completely disjoint")],
+            "doc_id long, text string",
+        )
+        assert dd.near_duplicates_against(
+            disjoint, idx, num_hashes=16, bands=4, shingle_n=3,
+            threshold=0.5, max_bucket=50,
+        ).count() == 0
+    finally:
+        idx.release()
+
+
 # --------------------------------------- 7. pre-aged session endurance
 @pytest.mark.endurance
 def test_fold_walls_flat_in_preaged_session(spark):

@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
 
+#: Cap on the candidate-matched corpus-id set collected for the verify-side
+#: shingle prefilter in :func:`near_duplicates_against` — bounds both the
+#: driver collect and the INSET literal list in the plan (an unbounded id
+#: list re-opens the plan-string blowup fixed in r9).  Past the cap the
+#: verify join falls back to the unfiltered corpus shingle frame, which is
+#: exactly the pre-r10 plan.
+VERIFY_PREFILTER_MAX_IDS = 8_192
+
 
 def _report_capped(
     bucket_sizes: DataFrame, max_bucket: int, stats: "dict | None", where: str
@@ -1384,6 +1392,40 @@ def near_duplicates_against(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+    cands_cached = None
+    if not corpus_owned and cleanup:
+        # Verify-side prefilter (r10, the BENCH_NOTES_r10 steady-state
+        # caveat): the jaccard verification probes the corpus SHINGLE
+        # frame — the fat side of the index (one shingle array per doc),
+        # and the in-memory columnar scan materializes that array column
+        # for every cached row even though only candidate-matched rows
+        # survive the join (measured: the array scan is ~2x the whole
+        # verify stage at 500k docs and grows linearly with the corpus).
+        # Materializing the candidate-sized pair frame first and
+        # prefiltering the shingle frame on its NARROW id column turns
+        # the per-batch fat scan into candidate-sized work; the exact
+        # join on doc_b below is unchanged, so semantics are identical.
+        # Collection is capped: a degenerate batch matching more than
+        # VERIFY_PREFILTER_MAX_IDS corpus docs (also an INSET plan-size
+        # bound) falls back to the unfiltered join, and the persisted
+        # candidate frame is released after the pair checkpoint (no
+        # fold-lineage blocks accumulate — the prefilter only runs on
+        # the cleanup=True path, which already checkpoints eagerly).
+        cands_cached = cands.persist()
+        hit_rows = (
+            cands_cached.select("doc_b")
+            .distinct()
+            .limit(VERIFY_PREFILTER_MAX_IDS + 1)
+            .collect()
+        )
+        if len(hit_rows) <= VERIFY_PREFILTER_MAX_IDS:
+            hit_ids = [r["doc_b"] for r in hit_rows]
+            sh_corp = (
+                sh_corp.where(F.col("doc").isin(hit_ids))
+                if hit_ids
+                else sh_corp.where(F.lit(False))
+            )
+        cands = cands_cached
     pairs = ngram_jaccard_pairs(
         new_docs,
         cands,
@@ -1397,6 +1439,8 @@ def near_duplicates_against(
     if cleanup:
         pairs = pairs.localCheckpoint(eager=True)
         sh_new.unpersist()
+        if cands_cached is not None:
+            cands_cached.unpersist()
         if corpus_owned:
             # an externally-supplied CorpusDedupIndex outlives this
             # batch by design — its owner calls release()
