@@ -352,6 +352,8 @@ def test_verify_prefilter_same_pairs_as_fallback(spark, monkeypatch):
         "doc_id long, text string",
     )
     idx = dd.CorpusDedupIndex(corpus, num_hashes=16, bands=4, shingle_n=3)
+    # the corpus-size gate would skip the prefilter on this tiny corpus
+    monkeypatch.setattr(dd, "VERIFY_PREFILTER_MIN_DOCS", 0)
 
     def pairs():
         return sorted(
@@ -369,7 +371,7 @@ def test_verify_prefilter_same_pairs_as_fallback(spark, monkeypatch):
         assert with_prefilter  # planted dups must pair up
         monkeypatch.setattr(dd, "VERIFY_PREFILTER_MAX_IDS", 0)
         assert pairs() == with_prefilter
-        monkeypatch.undo()
+        monkeypatch.setattr(dd, "VERIFY_PREFILTER_MAX_IDS", 8_192)
 
         # no-candidate batch: nothing shares a shingle -> empty isin guard
         disjoint = spark.createDataFrame(

@@ -37,6 +37,16 @@ _log = logging.getLogger(__name__)
 #: exactly the pre-r10 plan.
 VERIFY_PREFILTER_MAX_IDS = 8_192
 
+#: Corpus size (docs) below which the verify-side prefilter is skipped:
+#: materializing the candidate frame costs one extra per-batch job
+#: (~0.2-0.3 s of fixed scheduling/cache overhead), which only pays for
+#: itself once the corpus shingle-array scan it eliminates is larger —
+#: measured: at 5k docs the prefilter LOST ~0.6 s/batch, at 50k docs it
+#: was wall-neutral across reps, at 500k docs it saves ~1.2 s/batch.
+#: Gate above the neutral point so small/medium corpora keep the fused
+#: single-job plan.
+VERIFY_PREFILTER_MIN_DOCS = 100_000
+
 
 def _report_capped(
     bucket_sizes: DataFrame, max_bucket: int, stats: "dict | None", where: str
@@ -911,8 +921,11 @@ class CorpusDedupIndex:
         self.banded = _banded_frame(
             self.shingles, num_hashes, bands, checkpoint=False
         ).persist()
-        self.banded.count()  # materialize now: batches must not re-run
-        # the signature stage, and the first batch should not pay for it
+        # materialize now (batches must not re-run the signature stage,
+        # and the first batch should not pay for it); the row count also
+        # sizes the corpus for the verify-prefilter gate (exactly
+        # ``bands`` rows per doc)
+        self._n_band_rows = self.banded.count()
         #: corpus-sized partition width — compact() coalesces back to
         #: this, because per-batch unions STACK partitions (each fold
         #: adds the batch's partitions; measured: 100 one-row folds grew
@@ -959,6 +972,13 @@ class CorpusDedupIndex:
     #: is no longer micro-batch-sized and the corpus-wide capped build
     #: is the cheaper, broadcast-safe path (ADVICE r9).
     MAX_BATCH_BROADCAST_KEYS = 100_000
+
+    @property
+    def n_docs(self) -> int:
+        """Corpus size, maintained from the banded row count at every
+        materialization point (build / load / fold) — ``_banded_frame``
+        emits exactly ``bands`` rows per doc, so no extra job."""
+        return getattr(self, "_n_band_rows", 0) // max(1, self.bands)
 
     def banded_capped(
         self, max_bucket: int, capped_stats: "dict | None" = None
@@ -1112,7 +1132,7 @@ class CorpusDedupIndex:
         obj.shingle_n = int(p["shingle_n"])
         obj.shingles = spark.read.parquet(f"{path}/shingles").persist()
         obj.banded = spark.read.parquet(f"{path}/banded").persist()
-        obj.banded.count()
+        obj._n_band_rows = obj.banded.count()
         obj._base_partitions = obj.banded.rdd.getNumPartitions()
         obj._capped_cache = {}
         obj.auto_compact_every = 16
@@ -1198,7 +1218,7 @@ class CorpusDedupIndex:
         self.banded = old_bd.unionByName(bd_b).persist()
         # materialize the NEW frames before dropping the old blocks so
         # consumers never see a window where neither copy is cached
-        self.banded.count()
+        self._n_band_rows = self.banded.count()
         self.shingles.count()
         old_sh.unpersist()
         old_bd.unpersist()
@@ -1393,7 +1413,11 @@ def near_duplicates_against(
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
     cands_cached = None
-    if not corpus_owned and cleanup:
+    if (
+        not corpus_owned
+        and cleanup
+        and corpus.n_docs >= VERIFY_PREFILTER_MIN_DOCS
+    ):
         # Verify-side prefilter (r10, the BENCH_NOTES_r10 steady-state
         # caveat): the jaccard verification probes the corpus SHINGLE
         # frame — the fat side of the index (one shingle array per doc),
@@ -1411,6 +1435,9 @@ def near_duplicates_against(
         # candidate frame is released after the pair checkpoint (no
         # fold-lineage blocks accumulate — the prefilter only runs on
         # the cleanup=True path, which already checkpoints eagerly).
+        # Small corpora skip it entirely (VERIFY_PREFILTER_MIN_DOCS):
+        # below the break-even the extra materialization job costs more
+        # than the scan it saves, so the fused single-job plan stays.
         cands_cached = cands.persist()
         hit_rows = (
             cands_cached.select("doc_b")
