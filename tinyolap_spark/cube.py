@@ -1131,7 +1131,7 @@ class Cube:
                 )
                 df = (
                     df.join(
-                        F.broadcast(mdf),
+                        engine._members_side(mdf, dim),
                         F.lower(F.trim(F.col(col))) == F.col(f"__k_{col}"),
                         "inner",
                     )
@@ -2502,7 +2502,10 @@ class Area:
                     F.col("name").alias(f"__n_{col}"),
                 )
                 df = (
-                    df.join(F.broadcast(mdf), df[col] == F.col(f"__id_{col}"))
+                    df.join(
+                        engine._members_side(mdf, dim),
+                        df[col] == F.col(f"__id_{col}"),
+                    )
                     .drop(col, f"__id_{col}")
                     .withColumnRenamed(f"__n_{col}", col)
                 )

@@ -1439,12 +1439,19 @@ def near_duplicates_against(
         # below the break-even the extra materialization job costs more
         # than the scan it saves, so the fused single-job plan stays.
         cands_cached = cands.persist()
-        hit_rows = (
-            cands_cached.select("doc_b")
-            .distinct()
-            .limit(VERIFY_PREFILTER_MAX_IDS + 1)
-            .collect()
-        )
+        try:
+            hit_rows = (
+                cands_cached.select("doc_b")
+                .distinct()
+                .limit(VERIFY_PREFILTER_MAX_IDS + 1)
+                .collect()
+            )
+        except Exception:
+            # ADVICE r10: without this, a failed prefilter job leaks the
+            # persisted candidate frame for the lifetime of a long-lived
+            # ingestion driver — the exact environment this path targets
+            cands_cached.unpersist()
+            raise
         if len(hit_rows) <= VERIFY_PREFILTER_MAX_IDS:
             hit_ids = [r["doc_b"] for r in hit_rows]
             sh_corp = (
@@ -1452,7 +1459,13 @@ def near_duplicates_against(
                 if hit_ids
                 else sh_corp.where(F.lit(False))
             )
-        cands = cands_cached
+            cands = cands_cached
+        else:
+            # ADVICE r10: over-cap means the candidate pair frame is at
+            # its LARGEST — release the persist immediately and fall back
+            # to the genuinely unpersisted pre-r10 single-pass plan
+            cands_cached.unpersist()
+            cands_cached = None
     pairs = ngram_jaccard_pairs(
         new_docs,
         cands,
@@ -1464,14 +1477,18 @@ def near_duplicates_against(
         shingle_df_b=sh_corp,
     )
     if cleanup:
-        pairs = pairs.localCheckpoint(eager=True)
-        sh_new.unpersist()
-        if cands_cached is not None:
-            cands_cached.unpersist()
-        if corpus_owned:
-            # an externally-supplied CorpusDedupIndex outlives this
-            # batch by design — its owner calls release()
-            sh_corp.unpersist()
+        try:
+            pairs = pairs.localCheckpoint(eager=True)
+        finally:
+            # unpersist on the failure path too (ADVICE r10) — the
+            # checkpoint job is where a verify-stage error surfaces
+            sh_new.unpersist()
+            if cands_cached is not None:
+                cands_cached.unpersist()
+            if corpus_owned:
+                # an externally-supplied CorpusDedupIndex outlives this
+                # batch by design — its owner calls release()
+                sh_corp.unpersist()
     return pairs
 
 

@@ -114,7 +114,8 @@ class TinyPandas:
     @staticmethod
     def to_spark_df(cube: "Cube") -> DataFrame:
         """Distributed variant of :meth:`to_df`: base fact rows with
-        member names resolved through broadcast joins — no collect."""
+        member names resolved through broadcast joins (shuffle-hash for
+        ``large_dim`` dimensions) — no collect."""
         from . import engine
 
         df = cube.fact
@@ -124,7 +125,10 @@ class TinyPandas:
                 F.col("name").alias(f"__n_{col}"),
             )
             df = (
-                df.join(F.broadcast(mdf), df[col] == F.col(f"__id_{col}"))
+                df.join(
+                    engine._members_side(mdf, dim),
+                    df[col] == F.col(f"__id_{col}"),
+                )
                 .drop(col, f"__id_{col}")
                 .withColumnRenamed(f"__n_{col}", col)
             )

@@ -366,9 +366,10 @@ class View:
                 F.col("member_id").alias(f"__id_{col}"),
                 F.col("name").alias(f"{col}_name"),
             )
-            grid = grid.join(F.broadcast(mdf), grid[col] == F.col(f"__id_{col}")).drop(
-                f"__id_{col}"
-            )
+            grid = grid.join(
+                engine._members_side(mdf, cube.dimensions[p]),
+                grid[col] == F.col(f"__id_{col}"),
+            ).drop(f"__id_{col}")
         # __cnt is an engine internal (matched-row count at whatever grain
         # the router chose, fact or summary) — not part of the grid contract
         return grid.drop("__cnt")
