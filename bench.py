@@ -165,6 +165,23 @@ def main() -> None:
 
     guarded("canary", canary)
 
+    def tiny_canary(tag: str) -> None:
+        """Per-SECTION scheduler-latency canary (VERDICT r10 #3): the r10
+        driver record showed its scale-section entries 1.5-2x above the
+        same-code band while the single START-of-run canary read normal —
+        one sample cannot distinguish mid-run ambient shift from
+        session aging.  Re-measuring the identical tiny-jobs workload at
+        every section boundary makes late-section inflation attributable:
+        if ``canary_tiny_jobs_after_<section>`` moved with the section's
+        entries, the shift is ambient/aging, not code."""
+        tiny = []
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(20):
+                spark.range(1).collect()
+            tiny.append(time.time() - t0)
+        extra[f"canary_tiny_jobs_{tag}"] = round(min(tiny), 4)
+
     def reclaim():
         """Section-boundary JVM hygiene: eagerly-checkpointed frames from
         FINISHED operators (dedup pairs, novelty, containment, cluster
@@ -286,6 +303,7 @@ def main() -> None:
         cube._fact.unpersist(blocking=True)  # free star-cube cache
 
     guarded("star_section", star_section)
+    tiny_canary("after_star")
 
     # ---- driver-contract queries over raw tables --------------------------
     q = entry_mod.all_queries()
@@ -337,6 +355,7 @@ def main() -> None:
         ).collect()
 
     timed("docs_novelty_hashed", lambda: novelty_hashed(sf_dir), reps=2)
+    tiny_canary("after_pipeline_queries")
 
     # ---- batched ANN: IVF build + fully-distributed multi-query search
     # (no driver collect of query vectors — the 100 TB-shape path) -------
@@ -416,6 +435,7 @@ def main() -> None:
         emb.unpersist(blocking=True)
 
     guarded("ann_section", ann_section)
+    tiny_canary("after_ann")
 
     # ---- streaming near-dedup ingestion: 2 micro-batches against a
     # prebuilt CorpusDedupIndex (the ingestion-service steady state;
@@ -564,6 +584,7 @@ def main() -> None:
         )
 
     guarded("stream_dedup_section", stream_dedup_section)
+    tiny_canary("after_stream_dedup")
 
     # ---- rule-cell reads (BASELINE.md mirrors tests/test_cube.py:98-139:
     # base/aggregated/rule-cell read loops).  A 100k-row feeder slice
@@ -671,6 +692,7 @@ def main() -> None:
             Dimension.MAX_BROADCAST_MEMBERS = prior_bound
 
     guarded("rules_section", rules_section)
+    tiny_canary("after_rules")
 
     # ---- `huge` workload mirror (BASELINE.md: 8 dims x 100 members + All,
     # 1M random records; reference: ~100k rec/s load, ~25k cell-q/s cold) ---
@@ -798,6 +820,7 @@ def main() -> None:
         hcube._fact.unpersist(blocking=True)
 
     guarded("huge_section", huge_section)
+    tiny_canary("after_huge")
 
     # ---- sf1 scale-up section (VERDICT r3 #3): demonstrate, not argue,
     # that the plans scale.  A 10x dataset is DERIVED from the base sf dir
@@ -1280,7 +1303,9 @@ def main() -> None:
         and abs(sf - 0.1) < 1e-9
     ):
         guarded("sf1_section", sf1_section)
+        tiny_canary("after_sf1")
         guarded("combined_layout_section", combined_layout_section)
+        tiny_canary("after_combined_layout")
 
     total = round(sum(timings.values()), 4)
     # canary-relative totals (VERDICT r7 #1, reworked r9): the wall total

@@ -3,11 +3,12 @@
 The per-round bench's scale pairs stop at sf1 (10x the sf0.1 base), and
 several 10x wall ratios ~2 are defended as "fixed overhead over linear
 work".  This probe settles that claim with a 100x point: it derives a
-10x-of-sf1 documents corpus (~6M docs) and runs the three disputed
-kernels — minhash LSH pair generation, duplicate clustering, and the
-ingestion-index build + steady-state batch dedup — at sf1 and sf10
-back-to-back (interleaved reps, same JVM/ambient), printing one JSON
-line with walls and sf10/sf1 ratios.
+10x-of-sf1 documents corpus (~6M docs) and runs the disputed kernels —
+minhash LSH pair generation, duplicate clustering, the ingestion-index
+build + steady-state batch dedup, and (r11, VERDICT r10 #4) the two
+hand-pinned shuffle_hash plans, containment pairs and hashed-gram
+novelty — at sf1 and sf10 back-to-back (interleaved reps, same
+JVM/ambient), printing one JSON line with walls and sf10/sf1 ratios.
 
 If the floor story is right, wall(sf10)/wall(sf1) approaches the data
 ratio (10) from BELOW as the linear term swamps the fixed overhead —
@@ -111,6 +112,27 @@ def main():
     def dup_clusters(sf_dir):
         return len(q["docs_dup_clusters"](spark, sf_dir).collect()), {}
 
+    # VERDICT r10 #4: the two HAND-PINNED shuffle_hash plans — exactly
+    # where AQE's break-even could invert at scale — get their own 100x
+    # points (their 10x ratios were fine: containment 1.37, novelty 1.42)
+    def containment_pairs(sf_dir):
+        return len(q["docs_containment_pairs"](spark, sf_dir).collect()), {}
+
+    def novelty_hashed(sf_dir):
+        from tinyolap_spark.pipeline import text as text_ops
+
+        return (
+            len(
+                text_ops.rare_gram_stats(
+                    spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                    ngram=3,
+                    max_df=2,
+                    hash_keys=True,
+                ).collect()
+            ),
+            {},
+        )
+
     def stream_kernel(sf_dir, label):
         """Index build (pure construction) + steady-state 500-doc batch
         dedup against the warm index — the bench's per-batch headline
@@ -139,7 +161,9 @@ def main():
 
     # interleaved pairs: sf1, sf10, sf1, sf10 — min of 2 each side
     for name, fn in [("minhash_pairs", minhash_pairs),
-                     ("dup_clusters", dup_clusters)]:
+                     ("dup_clusters", dup_clusters),
+                     ("containment_pairs", containment_pairs),
+                     ("novelty_hashed", novelty_hashed)]:
         runs = {SF1_DIR: [], SF10_DIR: []}
         for _rep in range(2):
             for d in (SF1_DIR, SF10_DIR):
@@ -165,6 +189,8 @@ def main():
     for base, scaled in [
         ("sf1_minhash_pairs", "sf10_minhash_pairs"),
         ("sf1_dup_clusters", "sf10_dup_clusters"),
+        ("sf1_containment_pairs", "sf10_containment_pairs"),
+        ("sf1_novelty_hashed", "sf10_novelty_hashed"),
         ("sf1_stream_index_build", "sf10_stream_index_build"),
         ("sf1_stream_batch_500", "sf10_stream_batch_500"),
     ]:

@@ -279,3 +279,40 @@ def test_from_dict_cyclic_input_raises_not_recurses():
     by_name["c"]["children"] = [pid]
     with pytest.raises(DimensionEditError, match="circular"):
         Dimension.from_dict(doc)
+
+
+# ------------------------------------- 6. ANN quality contract (r10 #2)
+def test_recall_curve_monotone_and_exact_at_ncells(spark):
+    """The measured recall@k-vs-nprobe curve must be monotone
+    nondecreasing and reach exactly 1.0 at nprobe == ncells (probing
+    every cell IS brute force) — the quality contract the bench record
+    publishes instead of a bare recall number."""
+    import numpy as np
+
+    from tinyolap_spark.pipeline import similarity
+
+    rng = np.random.default_rng(7)
+    rows, vid = [], 0
+    centers = [(-10.0, 0.0), (10.0, 0.0), (0.0, 10.0), (0.0, -10.0)]
+    for cx, cy in centers:
+        for _ in range(200):
+            v = rng.standard_normal(8) * 0.2
+            v[0] += cx
+            v[1] += cy
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = similarity.IVFIndex(df, ncells=4, sample=400, iters=4, seed=3)
+    queries = [rows[0][1], rows[250][1], rows[450][1], rows[650][1]]
+    curve = idx.recall_curve(queries, k=5)
+    probes = sorted(curve)
+    assert probes[-1] == 4  # always anchored at ncells
+    vals = [curve[p] for p in probes]
+    assert vals == sorted(vals), curve  # monotone nondecreasing
+    assert vals[-1] == 1.0, curve  # exact at full probe
+    # clustered data: the query's own cell already holds its neighbors
+    assert curve[probes[0]] >= 0.8, curve
+    nprobe, curve2 = idx.nprobe_for_recall(queries, target=1.0, k=5)
+    assert curve2[nprobe] == 1.0
+    assert nprobe == min(p for p in curve2 if curve2[p] >= 1.0)
+    idx.assigned.unpersist()
