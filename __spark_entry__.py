@@ -292,19 +292,11 @@ def _q_cube_sql_dialect(spark, sf_dir):
 _large_dim_cache: dict = {}
 
 
-def _q_cube_large_dim_rollup(spark, sf_dir):
-    """Rollup through the explicit over-envelope path (VERDICT r9 #8):
-    the customer key set modeled as ``Dimension(large_dim=True)``, whose
-    closure the engine joins with a SHUFFLE-HASH join instead of a
-    broadcast (``engine._closure_side``; ``metadata.py`` skips the
-    envelope checks under the flag) — the escape hatch for member sets
-    too big to ship to every executor.  Dimension metadata comes from
-    the small customer table (the member graph is driver-side by design,
-    like every star dimension); the fact bulk-loads via the distributed
-    by-name path (at true scale, load by member *ids* and skip the name
-    join).  Values stored in exact cents so rollup sums are
-    order-independent.  Oracle: plain GROUP BY over customer x orders
-    with the same nation grouping + grand total."""
+def _large_dim_cube(spark, sf_dir):
+    """Shared builder for the large_dim rows: the customer key set as
+    ``Dimension(large_dim=True)`` (closure built AS A DATAFRAME by the
+    engine since r11 — commit defers the driver walk), fact = per-
+    customer order revenue in exact cents."""
     from tinyolap_spark import Database, engine
 
     key = (id(spark), sf_dir.rstrip("/"))
@@ -362,6 +354,28 @@ def _q_cube_large_dim_rollup(spark, sf_dir):
         )
         cube.load_dataframe(fact, assume_unique=True)
         _large_dim_cache[key] = cube
+    return cube
+
+
+def _q_cube_large_dim_rollup(spark, sf_dir):
+    """Rollup through the explicit over-envelope path (VERDICT r9 #8):
+    the customer key set modeled as ``Dimension(large_dim=True)``, whose
+    closure the engine joins with a SHUFFLE-HASH join instead of a
+    broadcast (``engine._closure_side``; ``metadata.py`` skips the
+    envelope checks under the flag) — the escape hatch for member sets
+    too big to ship to every executor.  Since r11 the closure itself is
+    built distributed (``engine._distributed_closure_df`` — iterative
+    edges self-join; commit() defers the driver walk), so this row also
+    gates that build's numeric correctness.  Dimension metadata comes
+    from the small customer table (the member graph is driver-side by
+    design, like every star dimension); the fact bulk-loads via the
+    distributed by-name path (at true scale, load by member *ids* and
+    skip the name join).  Values stored in exact cents so rollup sums
+    are order-independent.  Oracle: plain GROUP BY over customer x
+    orders with the same nation grouping + grand total."""
+    from tinyolap_spark import engine
+
+    cube = _large_dim_cube(spark, sf_dir)
     dim = cube.dimensions[0]
     meas_dim = cube.dimensions[1]
     anc = [m.index for m in dim.members_by_level(1)] + [
@@ -382,6 +396,33 @@ def _q_cube_large_dim_rollup(spark, sf_dir):
         .select("grp", (F.col("value") / 100).alias("revenue"))
         .orderBy("grp")
     )
+
+
+def _q_cube_large_dim_view(spark, sf_dir):
+    """View GRID over a ``large_dim`` cube (activated r11, VERDICT r10
+    #7): exercises the surfaces the rollup row does not — the View's
+    one-job grid plan plus its member-LABEL join, which since r11 routes
+    through ``engine._members_side`` (shuffle-hash for large_dim; the
+    unconditional ``F.broadcast(mdf)`` at view.py:369 was the r10
+    verdict's 'what's missing' #2).  Numbers equal the rollup oracle;
+    the PATH is the new thing under test — label names come from the
+    View's own join, not a hand-built members join."""
+    from tinyolap_spark.view import View
+
+    cube = _large_dim_cube(spark, sf_dir)
+    dim = cube.dimensions[0]
+    names = sorted(m.name for m in dim.members_by_level(1)) + ["AllCust"]
+    view = View(
+        cube,
+        rows=[(dim.name, names)],
+        columns=[(cube.dimensions[1].name, ["revenue"])],
+    )
+    grid = view.to_df()
+    label = f"{cube._cols[0]}_name"
+    return grid.select(
+        F.col(label).alias("grp"),
+        (F.col("value") / 100).alias("revenue"),
+    ).orderBy("grp")
 
 
 def _q_view_region_measure(spark, sf_dir):
@@ -1842,6 +1883,61 @@ def _q_events_hourly_stream(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _q_docs_fold_then_query(spark, sf_dir):
+    """Incremental-index lifecycle end-to-end under the oracle
+    (activated r11, VERDICT r10 #7): ``CorpusDedupIndex`` over half the
+    corpus -> ``update()`` with the other half (the FOLD path — the
+    checkpointed batch union plus the r10 partition/block hygiene
+    machinery) -> ``dedup_batch_against()`` a probe batch against the
+    folded index.  The probe plants three shapes: exact copies of
+    corpus docs (identical shingle sets -> identical signatures ->
+    guaranteed candidates; always dropped), 2-token truncations (high
+    jaccard; dropped exactly when word-5-gram J >= 0.9), and 8-token
+    prefixes (tiny J; survive).  Survivors = probe docs with NO corpus
+    doc at exact jaccard >= 0.9, which the DuckDB oracle computes
+    all-pairs — the same shingle arithmetic the docs_jaccard_pairs
+    oracle already pins bit-for-bit."""
+    from tinyolap_spark.pipeline import dedup
+
+    docs = _raw(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = dedup.CorpusDedupIndex(docs.where(F.col("doc_id") % 2 == 0))
+    try:
+        idx.update(docs.where(F.col("doc_id") % 2 == 1))  # fold path
+        toks = (
+            "split(trim(lower(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+        )
+        probe = (
+            docs.where(F.col("doc_id") < 20)
+            .select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+            .unionByName(
+                docs.where(F.col("doc_id") < 20).select(
+                    (F.col("doc_id") + 400000).alias("doc_id"),
+                    F.expr(
+                        f"array_join(slice({toks}, 1, "
+                        f"greatest(size({toks}) - 2, 1)), ' ')"
+                    ).alias("text"),
+                )
+            )
+            .unionByName(
+                docs.where(
+                    (F.col("doc_id") >= 20) & (F.col("doc_id") < 40)
+                ).select(
+                    (F.col("doc_id") + 500000).alias("doc_id"),
+                    F.expr(
+                        f"array_join(slice({toks}, 1, 8), ' ')"
+                    ).alias("text"),
+                )
+            )
+        )
+        out = dedup.dedup_batch_against(probe, idx, threshold=0.9)
+        # the survivors' plan references only the probe (parquet-derived)
+        # and the eagerly-checkpointed pair frame, so the index can be
+        # released before the driver collects
+        return out.select("doc_id").orderBy("doc_id")
+    finally:
+        idx.release()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Active driver-checked registry — kept at <= 50 entries so EVERY row
     gets a driver CORRECTNESS check each round (the driver caps at 50).
@@ -1860,14 +1956,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_anyorder": _q_events_funnel_anyorder,
         "events_props_rollup": _q_events_props_rollup,
         "docs_pii_scrub": _q_docs_pii_scrub,
-        "docs_split_counts": _q_docs_split_counts,
         "docs_boilerplate": _q_docs_boilerplate,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_repetition": _q_docs_repetition,
         "docs_pack_sequences": _q_docs_pack_sequences,
         "docs_pack_payloads": _q_docs_pack_payloads,
         "docs_training_mixture": _q_docs_training_mixture,
-        "docs_domain_counts": _q_docs_domain_counts,
         "docs_exact_k_sample": _q_docs_exact_k_sample,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
         # -- cube / view / sql surface ------------------------------------
@@ -1882,6 +1976,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strategy that could plausibly break, unlike the long-green
         # SQL-passthrough row it displaces
         "cube_large_dim_rollup": _q_cube_large_dim_rollup,
+        # activated r11 (VERDICT r10 #7): the two NEW surfaces this round
+        # — a View grid + member-label join over large_dim (the r11
+        # _members_side routing + DataFrame-built closure), and the
+        # incremental-index fold -> batch-dedup lifecycle end-to-end —
+        # replacing two 4-round-green static-arithmetic rows
+        "cube_large_dim_view": _q_cube_large_dim_view,
+        "docs_fold_then_query": _q_docs_fold_then_query,
         "view_region_measure": _q_view_region_measure,
         "sql_customer_top_order": _q_sql_customer_top_order,
         "sql_ship_delay_histogram": _q_sql_ship_delay_histogram,
@@ -1951,6 +2052,12 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # passthrough, green since r7, shadowed by the three surviving
         # sql_* rows (same translation surface)
         "sql_top_nations": _q_sql_top_nations,
+        # retired r11 (VERDICT r10 #7) after 4 green rounds: pure
+        # deterministic split/domain arithmetic, shadowed by the active
+        # sampling/mixture rows which exercise the same hash-split and
+        # per-domain machinery with actual selection logic on top
+        "docs_split_counts": _q_docs_split_counts,  # docs_exact_k_sample
+        "docs_domain_counts": _q_docs_domain_counts,  # docs_training_mixture
     }
 
 
@@ -2188,6 +2295,66 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'AllCust' AS grp, cents FROM lab
             ) GROUP BY grp ORDER BY grp
             """
+        ),
+        # the View-grid row computes the same numbers through a different
+        # engine path (View one-job grid + _members_side label join), so
+        # the oracle is the same group-by — a Spark-side path divergence
+        # shows up as a value/hash mismatch here
+        "cube_large_dim_view": (
+            r"""
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+                FROM orders GROUP BY o_custkey
+            ), lab AS (
+              SELECT c.c_nationkey AS nk, p.cents
+                FROM per_cust p
+                JOIN customer c ON c.c_custkey = p.o_custkey
+            )
+            SELECT grp, SUM(cents) / 100.0 AS revenue FROM (
+              SELECT 'n' || CAST(nk AS VARCHAR) AS grp, cents FROM lab
+              UNION ALL
+              SELECT 'AllCust' AS grp, cents FROM lab
+            ) GROUP BY grp ORDER BY grp
+            """
+        ),
+        # fold-then-query: survivors of the probe batch after near-dedup
+        # against the FOLDED corpus — exactly the probe docs with no
+        # corpus doc at word-5-gram jaccard >= 0.9, recomputed all-pairs
+        # (same shingle arithmetic as the docs_jaccard_pairs oracle;
+        # int/int division is IEEE double in both engines)
+        "docs_fold_then_query": (
+            r"WITH norm AS ("
+            r"  SELECT doc_id, str_split(trim(lower("
+            r"    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t"
+            r"  FROM documents"
+            r"), probe AS ("
+            r"  SELECT doc_id + 300000 AS doc_id, t FROM norm"
+            r"   WHERE doc_id < 20"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 400000, t[1:greatest(len(t)-2, 1)]"
+            r"  FROM norm WHERE doc_id < 20"
+            r"  UNION ALL"
+            r"  SELECT doc_id + 500000, t[1:least(len(t), 8)]"
+            r"  FROM norm WHERE doc_id >= 20 AND doc_id < 40"
+            r"), psh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+4], ' ')"
+            r"     for i in range(1, greatest(len(t)-4, 1)+1)]) AS s"
+            r"  FROM probe"
+            r"), csh AS ("
+            r"  SELECT doc_id, list_distinct("
+            r"    [array_to_string(t[i:i+4], ' ')"
+            r"     for i in range(1, greatest(len(t)-4, 1)+1)]) AS s"
+            r"  FROM norm"
+            r") SELECT p.doc_id FROM psh p"
+            r"  WHERE NOT EXISTS ("
+            r"    SELECT 1 FROM csh c"
+            r"    WHERE len(list_intersect(p.s, c.s))"
+            r"          / (len(p.s) + len(c.s)"
+            r"             - len(list_intersect(p.s, c.s))) >= 0.9"
+            r"  ) ORDER BY doc_id"
         ),
         "sql_pricing_summary": (
             f"SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
