@@ -316,3 +316,52 @@ def test_recall_curve_monotone_and_exact_at_ncells(spark):
     assert curve2[nprobe] == 1.0
     assert nprobe == min(p for p in curve2 if curve2[p] >= 1.0)
     idx.assigned.unpersist()
+
+
+# ------------------------- 4. size-aware gram-join strategy (sf10 probe)
+def test_gram_join_strategy_flips_at_partition_budget(spark):
+    """The shuffle_hash pin's build side cannot spill: past the
+    per-partition row budget the strategy must flip to spillable
+    sort-merge (the r11 sf10 probe OOM'd the pinned hash build at ~9M
+    posting rows/partition), and re-engage hash on a well-partitioned
+    cluster (the criterion is rows PER PARTITION)."""
+    from tinyolap_spark.pipeline.dedup import (
+        SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION,
+        gram_join_strategy,
+    )
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    budget = parts * SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION
+    assert gram_join_strategy(budget, spark) == "shuffle_hash"
+    assert gram_join_strategy(budget + parts, spark) == "merge"
+    # a cluster with 100x the partitions takes the same row count back
+    # to the hash path
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts * 100))
+        assert gram_join_strategy(budget + parts, spark) == "shuffle_hash"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_containment_small_scale_still_shuffle_hash(spark):
+    """In-budget corpora keep the measured-faster hash plan."""
+    from tinyolap_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + "x" * (i % 3))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    # share_posts=False keeps the plan lazy (the default checkpoints the
+    # result to a Scan ExistingRDD, hiding the join); the lazy path pins
+    # shuffle_hash, and the persisted path's selection is covered by
+    # test_gram_join_strategy_flips_at_partition_budget
+    out = dedup.containment_pairs(docs, threshold=0.9, share_posts=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    # the doc-keyed result join may legitimately sort-merge; the GRAM-
+    # keyed joins must not
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "[g#" not in line, line

@@ -448,13 +448,17 @@ def rare_gram_stats(
     df counts — vanishing at any df threshold that matters); keep
     string keys when the oracle must reproduce the grouping exactly.
 
-    The df frame is joined back with a ``shuffle_hash`` hint: it is the
-    GRAM UNIVERSE (arbitrarily large — AQE would otherwise try to
-    broadcast it, a driver-side build that grows with the corpus and
-    OOMs long before 100 TB; measured at 10x local data AQE picks
-    broadcast and pays a multi-second driver build), and it comes out
-    of its own groupBy already hash-partitioned on ``g``, so the hint
-    costs zero extra exchanges and skips the sort-merge sort.
+    The df frame is joined back with a SIZE-AWARE hint
+    (``dedup.gram_join_strategy``): it is the GRAM UNIVERSE (arbitrarily
+    large — AQE would otherwise try to broadcast it, a driver-side build
+    that grows with the corpus and OOMs long before 100 TB; measured at
+    10x local data AQE picks broadcast and pays a multi-second driver
+    build).  It comes out of its own groupBy already hash-partitioned on
+    ``g``, so a ``shuffle_hash`` hint costs zero extra exchanges and
+    skips the sort-merge sort — but the hash build cannot spill, so past
+    the per-partition row budget (the r11 sf10 probe's OOM regime —
+    see ``dedup.SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION``) the hint
+    flips to spillable ``merge``.
 
     ``share_posts=True`` (default) persists the exploded postings so
     the shingle explode runs ONCE instead of twice (df aggregate +
@@ -467,7 +471,7 @@ def rare_gram_stats(
     Returns ``(id_col, n_grams, n_rare)``; docs whose text produces zero
     grams still appear (0, 0).
     """
-    from .dedup import shingle_posts
+    from .dedup import gram_join_strategy, shingle_posts
 
     # posting build: position explode + codegen gram projection + one
     # distinct groupBy — 2x faster than exploding the HOF-built shingle
@@ -475,9 +479,15 @@ def rare_gram_stats(
     posts = shingle_posts(docs, text_col, id_col, ngram, hash_keys=hash_keys)
     if share_posts:
         posts = posts.persist()
+        # size-aware hint (r11, sf10 probe): shuffle_hash's build side
+        # cannot spill — past the per-partition row budget flip to
+        # spillable sort-merge; the count doubles as the materialization
+        big = gram_join_strategy(posts.count(), docs.sparkSession)
+    else:
+        big = "shuffle_hash"  # lazy path — see containment_pairs note
     dfreq = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
-        posts.join(dfreq.hint("shuffle_hash"), on="g")
+        posts.join(dfreq.hint(big), on="g")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
