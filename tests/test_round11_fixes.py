@@ -133,6 +133,10 @@ def test_million_member_large_dim_commits_bounded_and_rolls_up(spark):
     assert cube.get(("g1", "value")) == pytest.approx(
         sum(float(i) for i in range(1000, 2000))
     )
+    # VERDICT r11 #6: the invariant must hold AFTER the aggregated reads
+    # too — r11's probe showed cube.get routing through _cond_agg_cells,
+    # whose closure_rows read lazily re-ran the deferred driver walk
+    assert d._closure == []
     engine.clear_caches()
 
 

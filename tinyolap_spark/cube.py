@@ -1630,12 +1630,10 @@ class Cube:
                     if odim._defs[midx].level != 0:
                         could_match = False
                         break
-                    under = {
-                        leaf
-                        for leaf, a, _w in odim.closure_rows
-                        if a == qa[pos]
-                    }
-                    if midx not in under:
+                    # per-member ancestor walk, NOT closure_rows: for a
+                    # large_dim dimension the closure scan would re-run
+                    # the deferred driver walk (VERDICT r11 #1)
+                    if not odim.is_under(midx, qa[pos]):
                         could_match = False
                         break
                 if could_match:
@@ -1989,13 +1987,10 @@ class Cube:
                 if odim._defs[midx].level != 0:
                     could_match = False  # slice cells sit on leaves of q
                     break
-                anc = query_addr[pos]
-                under = {
-                    leaf
-                    for leaf, a, _w in odim.closure_rows
-                    if a == anc
-                }
-                if midx not in under:
+                # per-member ancestor walk, NOT closure_rows: a closure
+                # scan re-opens the deferred large_dim driver walk
+                # (VERDICT r11 #1)
+                if not odim.is_under(midx, query_addr[pos]):
                     could_match = False  # leaf outside the queried rollup
                     break
             if could_match:

@@ -293,7 +293,16 @@ def gram_join_strategy(n_build_rows: int, spark) -> str:
     single-node / under-partitioned answer, found by the r11 sf10 probe
     (VERDICT r10 #4: a hand-pinned ``shuffle_hash`` OOM'd exactly where
     the judge predicted the pin's break-even could invert)."""
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        # ADVICE r11: some platforms set the conf to a non-numeric value
+        # (e.g. "auto") — fall back to the cluster's default parallelism
+        # rather than taking the whole operator down on a parse error
+        try:
+            parts = int(spark.sparkContext.defaultParallelism)
+        except Exception:  # noqa: BLE001 — connect-mode / torn session
+            parts = 200
     if n_build_rows / max(parts, 1) <= SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION:
         return "shuffle_hash"
     return "merge"

@@ -248,14 +248,24 @@ class IVFIndex:
             order = np.argsort(((self.centroids - q[None, :]) ** 2).sum(1))
             cell_rank = {int(c): r for r, c in enumerate(order)}
             qnorm = float(np.sqrt((q * q).sum()))
+            if qnorm == 0.0:
+                # ADVICE r11: a zero-norm query makes every cosine 0/0
+                # (NaN) — the "truth" ordering would be arbitrary and the
+                # whole curve meaningless for that sample.  Skip it.
+                continue
+            denom = _norm(self.vec_col) * F.lit(qnorm)
             truth = (
                 self.assigned.select(
                     F.col(self.id_col),
                     F.col("cell"),
-                    (
-                        _dot_lit(self.vec_col, qvec)
-                        / (_norm(self.vec_col) * F.lit(qnorm))
-                    ).alias("score"),
+                    # zero-norm STORED vectors score a sentinel below the
+                    # cosine range instead of NaN (Spark sorts NaN as the
+                    # LARGEST double, which would put garbage on top)
+                    F.when(
+                        denom > 0, _dot_lit(self.vec_col, qvec) / denom
+                    )
+                    .otherwise(F.lit(-2.0))
+                    .alias("score"),
                 )
                 .orderBy(F.desc("score"), self.id_col)
                 .limit(k)
