@@ -270,6 +270,42 @@ def _q_cube_cell_batch(spark, sf_dir):
     return spark.createDataFrame(rows, "cell string, value double")
 
 
+def _q_cube_point_read_regimes(spark, sf_dir):
+    """Aggregated point-read batch across BOTH read regimes (activated
+    r12, VERDICT r11 #5).  Star cube: a small ``get_many`` batch of
+    aggregated reads served by the conditional-aggregation fast path
+    (``engine._cond_agg_cells`` — ONE fact scan, one global reduce,
+    ``sum(when(cond, value * w))`` per request), including a WEIGHTED
+    rollup member (``net_price``) that exercises the literal
+    id->weight map branch.  large_dim cube: the same read shape is
+    REFUSED by that fast path (r12: an aggregated member of a
+    ``large_dim`` dimension returns None there, so the deferred driver
+    closure walk never runs) and is served by the shuffle-hash closure
+    join instead.  One labeled frame, each scalar recomputed in SQL."""
+    sc = _star(spark, sf_dir)
+    cells = [
+        ("star_asia96_rev", ("ASIA", "1996", "All Brands", "revenue")),
+        ("star_africa95q1_qty",
+         ("AFRICA", "1995-Q1", "All Brands", "quantity")),
+        ("star_net96",
+         ("All Geographies", "1996", "All Brands", "net_price")),
+    ]
+    vals = sc.cube.get_many([addr for _, addr in cells])
+    rows = []
+    for (label, _addr), v in zip(cells, vals):
+        scale = 1.0 if label.endswith("qty") else 100.0
+        rows.append((label, None if v is None else float(v) / scale))
+    ld = _large_dim_cube(spark, sf_dir)
+    for g in ("n3", "n7"):
+        rows.append(
+            (f"large_{g}_rev", float(ld.get((g, "revenue"))) / 100.0)
+        )
+    rows.append(
+        ("large_all_rev", float(ld.get(("AllCust", "revenue"))) / 100.0)
+    )
+    return spark.createDataFrame(rows, "cell string, value double")
+
+
 def _q_cube_sql_dialect(spark, sf_dir):
     """The reference's mini-SQL: SELECT dims/value FROM cube WHERE slicers."""
     from tinyolap_spark.sqlq import Query
@@ -293,31 +329,31 @@ _large_dim_cache: dict = {}
 
 
 def _large_dim_cube(spark, sf_dir):
-    """Shared builder for the large_dim rows: the customer key set as
-    ``Dimension(large_dim=True)`` (closure built AS A DATAFRAME by the
-    engine since r11 — commit defers the driver walk), fact = per-
-    customer order revenue in exact cents."""
+    """Shared builder for the large_dim rows: the customer key set
+    built with ``Dimension.from_dataframe`` (NEW r12, VERDICT r11 #3) —
+    the driver holds only the ~25 nation groups + top, while leaf
+    member ids, the members frame, and the closure frame all derive
+    from the customer DataFrame (two Spark jobs, no per-member
+    ``add_many`` loop and no driver materialization of the key set —
+    the 100x construction path).  Fact = per-customer order revenue in
+    exact cents."""
     from tinyolap_spark import Database, engine
 
     key = (id(spark), sf_dir.rstrip("/"))
     cube = _large_dim_cache.get(key)
     if cube is None:
-        pairs = (
-            _raw(spark, sf_dir, "customer")
-            .select("c_custkey", "c_nationkey")
-            .collect()
-        )
         db = Database(f"large_dim_star_{len(_large_dim_cache)}", spark=spark)
-        dim = db.add_dimension("cust", large_dim=True).edit()
-        groups: dict[int, list[str]] = {}
-        for r in pairs:
-            groups.setdefault(int(r["c_nationkey"]), []).append(
-                f"c{int(r['c_custkey'])}"
-            )
-        for nk in sorted(groups):
-            dim.add_many(f"n{nk}", sorted(groups[nk]))
-        dim.add_many("AllCust", [f"n{nk}" for nk in sorted(groups)])
-        dim.commit()
+        src = _raw(spark, sf_dir, "customer").select(
+            F.concat(
+                F.lit("c"), F.col("c_custkey").cast("long").cast("string")
+            ).alias("leaf"),
+            F.concat(
+                F.lit("n"), F.col("c_nationkey").cast("long").cast("string")
+            ).alias("grp"),
+        )
+        dim = db.add_dimension_from_dataframe(
+            "cust", src, "leaf", parent_col="grp", top="AllCust"
+        )
         meas = db.add_dimension("meas").edit()
         meas.add_many("revenue")
         meas.commit()
@@ -1567,6 +1603,29 @@ def _q_docs_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_docs_dup_clusters_star(spark, sf_dir):
+    """Connected components via alternating LARGE-STAR/SMALL-STAR
+    contraction (`pipeline/dedup.py::duplicate_clusters_star`, Kiveris
+    et al. SoCC'14) over the same verified near-dup pairs as
+    ``docs_dup_clusters`` — activated r12 (VERDICT r11 #5): the star
+    rounds' min-label joins now route through the size-aware
+    ``gram_join_strategy`` (sized from the convergence fingerprint's
+    edge count, zero extra jobs), and this row gates that the strategy
+    change preserves the fixpoint exactly.  Same output contract as the
+    propagation variant, so the oracle (recursive-CTE transitive
+    closure in DuckDB) is shared verbatim."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs_with_chain(spark, sf_dir)
+    pairs = dedup.near_duplicates(
+        corpus, threshold=0.5, num_hashes=64, bands=32
+    )
+    return (
+        dedup.duplicate_clusters_star(pairs, id_out="doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_docs_neardedup_survivors(spark, sf_dir):
     """End-to-end NEAR-dedup: LSH pairs -> connected components ->
     one min-id representative per cluster (`dedup.cluster_survivors`).
@@ -1960,7 +2019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_repetition": _q_docs_repetition,
         "docs_pack_sequences": _q_docs_pack_sequences,
-        "docs_pack_payloads": _q_docs_pack_payloads,
         "docs_training_mixture": _q_docs_training_mixture,
         "docs_exact_k_sample": _q_docs_exact_k_sample,
         "emb_kmeans_profile": _q_emb_kmeans_profile,
@@ -1999,7 +2057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_novelty": _q_docs_novelty,
         "docs_chunk_dedup": _q_docs_chunk_dedup,
-        "docs_clip_outliers": _q_docs_clip_outliers,
+        "cube_point_read_regimes": _q_cube_point_read_regimes,
+        "docs_dup_clusters_star": _q_docs_dup_clusters_star,
         "docs_salient_terms": _q_docs_salient_terms,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_dup_clusters": _q_docs_dup_clusters,
@@ -2058,6 +2117,14 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-domain machinery with actual selection logic on top
         "docs_split_counts": _q_docs_split_counts,  # docs_exact_k_sample
         "docs_domain_counts": _q_docs_domain_counts,  # docs_training_mixture
+        # retired r12 (VERDICT r11 #5) to make room for
+        # cube_point_read_regimes + docs_dup_clusters_star:
+        # docs_pack_payloads packs the SAME greedy bins as the surviving
+        # docs_pack_sequences (payload projection only); docs_clip_outliers
+        # is deterministic winsorize arithmetic, green since r7, shadowed
+        # by the surviving quantile rows (same percentile machinery)
+        "docs_pack_payloads": _q_docs_pack_payloads,  # docs_pack_sequences
+        "docs_clip_outliers": _q_docs_clip_outliers,  # sql_acctbal_quantiles
     }
 
 
@@ -2192,7 +2259,7 @@ _GEO_JOIN = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _oracle_aliases({
         "cube_total_revenue": (
             f"SELECT SUM({_REV_CENTS}) / 100 AS total_revenue FROM lineitem"
         ),
@@ -2256,6 +2323,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all_time_net',
                    (SUM({_EP_CENTS}) - SUM({_DISC_CENTS})) / 100
               FROM lineitem
+            """
+        ),
+        "cube_point_read_regimes": (
+            f"""
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                       AS cents
+                FROM orders GROUP BY o_custkey
+            ), lab AS (
+              SELECT c.c_nationkey AS nk, p.cents
+                FROM per_cust p
+                JOIN customer c ON c.c_custkey = p.o_custkey
+            )
+            SELECT 'star_asia96_rev' AS cell, SUM({_REV_CENTS}) / 100 AS value
+              FROM {_GEO_JOIN}
+             WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1996
+            UNION ALL
+            SELECT 'star_africa95q1_qty', SUM(l_quantity)
+              FROM {_GEO_JOIN}
+             WHERE r_name = 'AFRICA'
+               AND EXTRACT(year FROM o_orderdate) = 1995
+               AND EXTRACT(quarter FROM o_orderdate) = 1
+            UNION ALL
+            SELECT 'star_net96', (SUM({_EP_CENTS}) - SUM({_DISC_CENTS})) / 100
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE EXTRACT(year FROM o_orderdate) = 1996
+            UNION ALL
+            SELECT 'large_n3_rev', SUM(cents) / 100.0 FROM lab WHERE nk = 3
+            UNION ALL
+            SELECT 'large_n7_rev', SUM(cents) / 100.0 FROM lab WHERE nk = 7
+            UNION ALL
+            SELECT 'large_all_rev', SUM(cents) / 100.0 FROM lab
             """
         ),
         "cube_sql_dialect": (
@@ -3239,4 +3339,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_vectors "
             "FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster"
         ),
-    }
+    })
+
+
+def _oracle_aliases(d: dict) -> dict:
+    """Rows sharing an output contract share the oracle verbatim:
+    docs_dup_clusters_star is the star-contraction CC over the same
+    verified pair set as docs_dup_clusters (identical fixpoint)."""
+    d["docs_dup_clusters_star"] = d["docs_dup_clusters"]
+    return d

@@ -316,3 +316,302 @@ def test_recall_curve_zero_norm_vectors(spark):
     assert curve[max(curve)] == pytest.approx(1.0)
     for v in curve.values():
         assert 0.0 <= v <= 1.0
+
+
+# ----------------- size-aware strategy for the remaining pins (r11 #2)
+def _docs30(spark):
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                "alpha beta gamma delta epsilon zeta eta theta "
+                + f"tail{i % 5} " * 3,
+            )
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _set_budget(monkeypatch, rows):
+    from tinyolap_spark.pipeline import dedup
+
+    monkeypatch.setattr(
+        dedup, "SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION", rows
+    )
+
+
+def _nockpt(monkeypatch):
+    """Keep eagerly-checkpointed results PLANNED (LogicalRDD hides the
+    join) — the r11 probe instrument: patch the classic DataFrame class
+    (patching pyspark.sql.DataFrame does not take)."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    monkeypatch.setattr(
+        CDF, "localCheckpoint", lambda self, eager=True: self
+    )
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_ok_buckets_strategy_both_sides(spark, monkeypatch):
+    """dedup.py ok-bucket semi-join (VERDICT r11 #2): in-budget keeps the
+    exchange-free hash plan; past the per-partition budget it flips to
+    spillable sort-merge — identical rows either way."""
+    from tinyolap_spark.pipeline import dedup
+
+    docs = _docs30(spark)
+    cands = dedup.minhash_lsh_candidates(docs, bands=4, num_hashes=16)
+    assert "ShuffledHashJoin" in _plan(cands)
+    want = sorted(
+        (r["doc_a"], r["doc_b"]) for r in cands.collect()
+    )
+    _set_budget(monkeypatch, 0)
+    cands2 = dedup.minhash_lsh_candidates(docs, bands=4, num_hashes=16)
+    p2 = _plan(cands2)
+    assert "SortMergeJoin" in p2 and "LeftSemi" in p2
+    got = sorted((r["doc_a"], r["doc_b"]) for r in cands2.collect())
+    assert got == want
+    engine.clear_caches()
+
+
+def test_salient_terms_strategy_both_sides(spark, monkeypatch):
+    """text.py dfreq join: vocabulary-sized build, sized from the exact
+    cached tf count; both sides of the budget plan-asserted (checkpoint
+    no-op'd so the join stays visible), identical rows."""
+    from tinyolap_spark.pipeline import text as T
+
+    docs = _docs30(spark)
+    want = sorted(
+        map(tuple, T.salient_terms(docs, k=3).collect())
+    )
+    _nockpt(monkeypatch)
+    lazy = T.salient_terms(docs, k=3)
+    assert "ShuffledHashJoin" in _plan(lazy)
+    assert sorted(map(tuple, lazy.collect())) == want
+    _set_budget(monkeypatch, 0)
+    merged = T.salient_terms(docs, k=3)
+    assert "SortMergeJoin" in _plan(merged)
+    assert sorted(map(tuple, merged.collect())) == want
+    # the lazy escape keeps the in-budget pin without the sizing job
+    lazy2 = T.salient_terms(docs, k=3, share_tf=False)
+    assert "ShuffledHashJoin" in _plan(lazy2)
+
+
+def test_chunk_stats_strategy_both_sides(spark, monkeypatch):
+    from tinyolap_spark.pipeline import text as T
+
+    docs = _docs30(spark)
+    want = sorted(map(tuple, T.boilerplate_chunk_stats(docs).collect()))
+    _nockpt(monkeypatch)
+    h = T.boilerplate_chunk_stats(docs)
+    assert "ShuffledHashJoin" in _plan(h)
+    assert sorted(map(tuple, h.collect())) == want
+    _set_budget(monkeypatch, 0)
+    m = T.boilerplate_chunk_stats(docs)
+    assert "SortMergeJoin" in _plan(m)
+    assert sorted(map(tuple, m.collect())) == want
+    lazy = T.boilerplate_chunk_stats(docs, share_chunks=False)
+    assert "ShuffledHashJoin" in _plan(lazy)
+
+
+def test_scrub_chunks_strategy_both_sides(spark, monkeypatch):
+    from tinyolap_spark.pipeline import text as T
+
+    docs = _docs30(spark)
+    base = T.scrub_boilerplate_chunks(docs, min_count=3)
+    assert "ShuffledHashJoin" in _plan(base)
+    want = sorted(map(tuple, base.collect()))
+    _set_budget(monkeypatch, 0)
+    m = T.scrub_boilerplate_chunks(docs, min_count=3)
+    assert "SortMergeJoin" in _plan(m)
+    assert sorted(map(tuple, m.collect())) == want
+    # explicit strategy skips the sizing job entirely
+    from tinyolap_spark.pipeline import dedup
+
+    def boom(*a, **k):
+        raise AssertionError("sizing job must be skipped")
+
+    monkeypatch.setattr(dedup, "gram_join_strategy", boom)
+    ex = T.scrub_boilerplate_chunks(docs, min_count=3,
+                                    join_strategy="merge")
+    assert "SortMergeJoin" in _plan(ex)
+
+
+def test_star_cc_strategy_consulted_and_merge_parity(spark, monkeypatch):
+    """dedup.py star-CC mins/smins joins: the strategy is consulted from
+    the fingerprint's edge count (zero extra jobs) and the merge regime
+    produces identical components."""
+    from tinyolap_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    calls = []
+    real = dedup.gram_join_strategy
+
+    def spy(n, sp):
+        out = real(n, sp)
+        calls.append((n, out))
+        return out
+
+    monkeypatch.setattr(dedup, "gram_join_strategy", spy)
+    want = sorted(
+        map(tuple, dedup.duplicate_clusters_star(pairs).collect())
+    )
+    assert calls and all(c[1] == "shuffle_hash" for c in calls)
+    calls.clear()
+    _set_budget(monkeypatch, 0)
+    got = sorted(
+        map(tuple, dedup.duplicate_clusters_star(pairs).collect())
+    )
+    assert calls and all(c[1] == "merge" for c in calls)
+    assert got == want
+    engine.clear_caches()
+
+
+def test_index_and_against_strategy_merge_parity(spark, monkeypatch):
+    """CorpusDedupIndex capped-bucket semi-join + the corpus-owned
+    ok-bucket join in near_duplicates_against: both consult the
+    strategy; the merge regime returns identical pairs."""
+    from tinyolap_spark.pipeline import dedup
+
+    corpus = _docs30(spark)
+    batch = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta eta theta "
+          + f"tail{i % 5} " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    want_df = dedup.near_duplicates_against(batch, corpus, threshold=0.5)
+    want = sorted(map(tuple, want_df.collect()))
+    _set_budget(monkeypatch, 0)
+    got_df = dedup.near_duplicates_against(batch, corpus, threshold=0.5)
+    assert sorted(map(tuple, got_df.collect())) == want
+    # index path (the once-per-cache-fill capped semi-join)
+    _set_budget(monkeypatch, 250_000)
+    idx = dedup.CorpusDedupIndex(corpus)
+    w2 = sorted(map(tuple, dedup.near_duplicates_against(
+        batch, idx, threshold=0.5).collect()))
+    idx.release()
+    _set_budget(monkeypatch, 0)
+    idx2 = dedup.CorpusDedupIndex(corpus)
+    g2 = sorted(map(tuple, dedup.near_duplicates_against(
+        batch, idx2, threshold=0.5).collect()))
+    idx2.release()
+    assert g2 == w2
+    engine.clear_caches()
+
+
+# --------------------------------------- Dimension.from_dataframe (r11 #3)
+def test_from_dataframe_build_rollup_and_guards(spark):
+    """The 100x construction path: driver memory O(groups), members/
+    closure frames derived from the source DataFrame, rollups correct,
+    and every driver-side API that would materialize leaves raises with
+    guidance."""
+    from tinyolap_spark import Database
+    from tinyolap_spark.metadata import (
+        DimensionEditError,
+        DimensionScaleError,
+        InvalidAddressError,
+    )
+
+    src = spark.range(600).select(
+        F.concat(F.lit("k"), "id").alias("leaf"),
+        F.concat(F.lit("g"), (F.col("id") % 6)).alias("grp"),
+    )
+    d = Dimension.from_dataframe(
+        "cust", src, "leaf", parent_col="grp", top="AllCust"
+    )
+    assert len(d._defs) == 7  # 6 groups + top, NOT 600 leaves
+    assert d._n_leaves == 600 and len(d) == 607
+    assert d.member("g3").level == 1
+    assert d.member("AllCust").level == 2
+    cdf = engine.closure_df(spark, d)
+    # identities (607) + leaf->grp (600) + leaf->top (600) + grp->top (6)
+    assert cdf.count() == 607 + 600 + 600 + 6
+    db = Database("fdf_t", spark=spark)
+    db.dimensions["cust"] = d
+    meas = db.add_dimension("meas").edit()
+    meas.add_many("value")
+    meas.commit()
+    cube = db.add_cube("c", [d, meas])
+    name_to_id = engine.members_df(spark, d).select(
+        F.col("name").alias("__nm"),
+        F.col("member_id").alias(cube._cols[0]),
+    )
+    fact = (
+        src.select("leaf")
+        .withColumn(
+            "value",
+            F.regexp_extract("leaf", r"k(\d+)", 1).cast("double"),
+        )
+        .join(name_to_id, F.col("leaf") == F.col("__nm"))
+        .select(
+            cube._cols[0],
+            F.lit(meas.member("value").index).alias(cube._cols[1]),
+            "value",
+        )
+    )
+    cube.load_dataframe(fact, assume_unique=True)
+    assert cube.get(("AllCust", "value")) == pytest.approx(sum(range(600)))
+    assert cube.get(("g2", "value")) == pytest.approx(
+        sum(i for i in range(600) if i % 6 == 2)
+    )
+    assert d._closure == []
+    with pytest.raises(DimensionEditError, match="immutable"):
+        d.edit()
+    with pytest.raises(DimensionScaleError, match="from_dataframe"):
+        d.closure_rows
+    with pytest.raises(InvalidAddressError, match="by-name"):
+        d.member("k5")
+    with pytest.raises(DimensionScaleError, match="from_dataframe"):
+        d.to_dict()
+    # id determinism across a cache clear (same hash buckets + name order)
+    ids1 = {
+        r["name"]: r["member_id"]
+        for r in engine._from_df_leaf_frame(spark, d).collect()
+    }
+    engine.clear_caches()
+    ids2 = {
+        r["name"]: r["member_id"]
+        for r in engine._from_df_leaf_frame(spark, d).collect()
+    }
+    assert ids1 == ids2
+    engine.clear_caches()
+
+
+def test_from_dataframe_flat_weights_and_dedupe(spark):
+    """Flat shape (no parent_col), weight_col support, case-insensitive
+    leaf dedupe (lexicographically-max spelling + its weight win), and
+    the leaf/upper name-clash guard."""
+    from tinyolap_spark.metadata import InvalidAddressError
+
+    src = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("A", 3.0)], "leaf string, w double"
+    )
+    d = Dimension.from_dataframe("flat", src, "leaf", weight_col="w")
+    assert d._n_leaves == 2  # "a"/"A" collapse
+    rows = {
+        (r["member_id"], r["ancestor_id"]): r["weight"]
+        for r in engine.closure_df(spark, d).collect()
+    }
+    mdf = {
+        r["name"]: r["member_id"]
+        for r in engine.members_df(spark, d).collect()
+    }
+    # dedupe rule: lexicographically-max struct wins — ("a", 1.0) beats
+    # ("A", 3.0) because 'a' (0x61) > 'A' (0x41) on the name field
+    assert "a" in mdf and "A" not in mdf
+    top = d.member("All").index
+    assert rows[(mdf["a"], top)] == 1.0
+    assert rows[(mdf["b"], top)] == 2.0  # weight_col honored
+    engine.clear_caches()
+    with pytest.raises(InvalidAddressError, match="collide"):
+        Dimension.from_dataframe(
+            "clash",
+            spark.createDataFrame([("All",)], "leaf string"),
+            "leaf",
+        )

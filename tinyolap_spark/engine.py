@@ -49,8 +49,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from pyspark.sql.window import Window
 
-from .metadata import Dimension
+from .metadata import Dimension, DimensionScaleError, InvalidAddressError
 
 # ---------------------------------------------------------------------------
 # closure / members DataFrames (cached per dimension version)
@@ -246,6 +247,219 @@ def _distributed_closure_df(spark: SparkSession, dim: Dimension) -> DataFrame:
     return identity.unionByName(rollup_rows)
 
 
+#: from_dataframe leaf frames (member_id, name, parent_id, weight),
+#: checkpointed eager — members/closure frames both derive from one
+_leaf_cache: dict[tuple[int, int, int], DataFrame] = {}
+_ckpt_leaves: dict[tuple[int, int, int], object] = {}
+
+
+def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
+    """Leaf frame for a ``Dimension.from_dataframe`` dimension (VERDICT
+    r11 #3): dense int member ids assigned SPARK-SIDE — the driver never
+    materializes a leaf.
+
+    Id assignment is the classic two-pass dense-rank: hash-bucket the
+    (case-folded) leaf key into a fixed partition count, collect the
+    O(partitions) bucket sizes, then ``row_number`` within each bucket
+    plus the bucket's cumulative offset.  Deterministic (hash + name
+    order, no RNG), fully JVM-side (no rdd/zipWithIndex pickling), and
+    two jobs regardless of leaf count.  The same aggregate that counts
+    buckets also detects leaf names clashing with upper-hierarchy
+    names, so the build fails loudly at construction, not first query.
+
+    Case-insensitive like driver dimensions: leaves duplicated up to
+    case collapse to one member (lexicographically-max spelling wins,
+    as does its (parent, weight) struct).
+    """
+    key = (id(spark), dim.uid, dim.version)
+    df = _leaf_cache.get(key)
+    if df is not None:
+        return df
+    src = dim._src
+    leaf_col, parent_col = src["leaf_col"], src["parent_col"]
+    weight_col, base = src["weight_col"], dim._next_idx
+    w = (
+        F.col(weight_col).cast(DoubleType())
+        if weight_col
+        else F.lit(1.0).cast(DoubleType())
+    )
+    pname = (
+        F.col(parent_col).cast(StringType())
+        if parent_col
+        else F.lit(src["top"])
+    )
+    rows = (
+        src["df"]
+        .select(
+            F.col(leaf_col).cast(StringType()).alias("name"),
+            pname.alias("__pname"),
+            w.alias("weight"),
+        )
+        .groupBy(F.lower(F.col("name")).alias("__key"))
+        .agg(
+            F.max(
+                F.struct(F.col("name"), F.col("__pname"), F.col("weight"))
+            ).alias("s")
+        )
+        .select(
+            "__key",
+            F.col("s.name").alias("name"),
+            F.col("s.__pname").alias("__pname"),
+            F.col("s.weight").alias("weight"),
+        )
+    )
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (ValueError, TypeError):
+        nparts = 200
+    rows = rows.withColumn(
+        "__pid", F.pmod(F.xxhash64("__key"), F.lit(nparts)).cast("int")
+    )
+    upper_keys = list(dim._lookup)
+    per = (
+        rows.groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("__key").isin(upper_keys).cast("long")
+            ).alias("clash"),
+        )
+        .collect()
+    )
+    if sum(r["clash"] for r in per) > 0:
+        raise InvalidAddressError(
+            f"from_dataframe dimension '{dim.name}': leaf names collide "
+            f"with upper-hierarchy member names (group/top) — rename "
+            f"the top/groups or the leaf key column"
+        )
+    offsets, acc = [], 0
+    for r in sorted(per, key=lambda r: r["__pid"]):
+        offsets.append((int(r["__pid"]), acc))
+        acc += int(r["n"])
+    n_leaves = acc
+    if base + n_leaves > 2**31 - 1:
+        raise DimensionScaleError(
+            f"from_dataframe dimension '{dim.name}' has {n_leaves:,} "
+            f"leaves — member ids are 32-bit ints; shard the dimension "
+            f"or model the key as a fact column"
+        )
+    off_df = spark.createDataFrame(
+        offsets, schema="__pid int, __off long"
+    )
+    upper_df = spark.createDataFrame(
+        [(k, int(i)) for k, i in dim._lookup.items()],
+        schema="__pkey string, parent_id int",
+    )
+    win = Window.partitionBy("__pid").orderBy("__key")
+    leaves = (
+        rows.withColumn("__rn", F.row_number().over(win))
+        .join(F.broadcast(off_df), on="__pid")
+        .join(
+            F.broadcast(upper_df),
+            F.lower(F.col("__pname")) == F.col("__pkey"),
+            "left",
+        )
+        .select(
+            (F.col("__off") + F.col("__rn") - 1 + F.lit(base))
+            .cast(IntegerType())
+            .alias("member_id"),
+            "name",
+            "parent_id",
+            F.col("weight").cast(DoubleType()).alias("weight"),
+        )
+    )
+    df = leaves.localCheckpoint(eager=True)
+    from .pipeline.dedup import _ckpt_rdd
+
+    rdd = _ckpt_rdd(df)
+    if rdd is not None:
+        _ckpt_leaves[key] = rdd
+    # drop (and free) stale older-version entries
+    for old in [
+        k
+        for k in _leaf_cache
+        if k[0] == key[0] and k[1] == key[1] and k[2] != key[2]
+    ]:
+        _leaf_cache.pop(old)
+        r = _ckpt_leaves.pop(old, None)
+        if r is not None:
+            try:
+                r.unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
+    _leaf_cache[key] = df
+    dim._n_leaves = n_leaves
+    return df
+
+
+def _from_df_closure_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
+    """Closure frame for a from_dataframe dimension: upper closure rows
+    (O(groups), driver walk) ∪ leaf identities ∪ leaf->ancestor rows
+    (leaf edges joined to the broadcast upper closure — a leaf inherits
+    every ancestor of its parent, weights multiplying leaf-up)."""
+    leaves = _from_df_leaf_frame(spark, dim)
+    upper = spark.createDataFrame(
+        [(int(m), int(a), float(w)) for m, a, w in dim._upper_closure_rows()],
+        schema=_CLOSURE_SCHEMA,
+    )
+    anc = upper.select(
+        F.col("member_id").alias("__p"),
+        F.col("ancestor_id"),
+        F.col("weight").alias("__wu"),
+    )
+    leaf_up = leaves.join(
+        F.broadcast(anc), leaves["parent_id"] == F.col("__p")
+    ).select(
+        F.col("member_id"),
+        F.col("ancestor_id"),
+        (F.col("weight") * F.col("__wu")).cast(DoubleType()).alias("weight"),
+    )
+    leaf_id = leaves.select(
+        F.col("member_id"),
+        F.col("member_id").alias("ancestor_id"),
+        F.lit(1.0).cast(DoubleType()).alias("weight"),
+    )
+    return upper.unionByName(leaf_id).unionByName(leaf_up)
+
+
+def _from_df_members_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
+    """Members frame for a from_dataframe dimension: driver upper rows ∪
+    Spark-side leaves (level 0, ordinal = member id, attrs NULL)."""
+    leaves = _from_df_leaf_frame(spark, dim)
+    fields = [
+        StructField("member_id", IntegerType(), False),
+        StructField("name", StringType(), False),
+        StructField("level", IntegerType(), False),
+        StructField("ordinal", IntegerType(), False),
+        StructField("format", StringType(), True),
+    ]
+    for a in dim.attributes:
+        fields.append(StructField(f"attr_{a}", StringType(), True))
+    upper = spark.createDataFrame(
+        [
+            tuple(
+                [r["member_id"], r["name"], r["level"], r["ordinal"],
+                 r["format"]]
+                + [None for _ in dim.attributes]
+            )
+            for r in dim.member_rows()
+        ],
+        schema=StructType(fields),
+    )
+    leaf_members = leaves.select(
+        F.col("member_id"),
+        F.col("name"),
+        F.lit(0).cast(IntegerType()).alias("level"),
+        F.col("member_id").alias("ordinal"),
+        F.lit(None).cast(StringType()).alias("format"),
+        *[
+            F.lit(None).cast(StringType()).alias(f"attr_{a}")
+            for a in dim.attributes
+        ],
+    )
+    return upper.unionByName(leaf_members)
+
+
 #: closure-cache key -> backing JVM RDD for checkpointed large_dim
 #: builds — blocks freed deterministically on clear_caches / version
 #: replacement (DataFrame.unpersist is a no-op for checkpoint blocks)
@@ -280,9 +494,12 @@ def closure_df(spark: SparkSession, dim: Dimension) -> DataFrame:
             ]:
                 _closure_cache.pop(old)
                 _free_ckpt_closure(old)
-            df = _distributed_closure_df(spark, dim).localCheckpoint(
-                eager=True
+            built = (
+                _from_df_closure_frame(spark, dim)
+                if getattr(dim, "_from_dataframe", False)
+                else _distributed_closure_df(spark, dim)
             )
+            df = built.localCheckpoint(eager=True)
             from .pipeline.dedup import _ckpt_rdd
 
             rdd = _ckpt_rdd(df)
@@ -328,6 +545,10 @@ def members_df(spark: SparkSession, dim: Dimension) -> DataFrame:
     format, attr_*)."""
     key = (id(spark), dim.uid, dim.version)
     df = _members_cache.get(key)
+    if df is None and getattr(dim, "_from_dataframe", False):
+        df = _from_df_members_frame(spark, dim)
+        _members_cache[key] = df
+        return df
     if df is None:
         rows = dim.member_rows()
         fields = [
@@ -404,8 +625,16 @@ def members_df(spark: SparkSession, dim: Dimension) -> DataFrame:
 def clear_caches() -> None:
     for key in list(_ckpt_closures):
         _free_ckpt_closure(key)
+    for key in list(_ckpt_leaves):
+        rdd = _ckpt_leaves.pop(key, None)
+        if rdd is not None:
+            try:
+                rdd.unpersist(False)
+            except Exception:  # noqa: BLE001 — session torn down
+                pass
     _closure_cache.clear()
     _members_cache.clear()
+    _leaf_cache.clear()
 
 
 # ---------------------------------------------------------------------------

@@ -439,6 +439,12 @@ class Dimension:
 
     # ------------------------------------------------------------------ edit
     def edit(self) -> "Dimension":
+        if getattr(self, "_from_dataframe", False):
+            raise DimensionEditError(
+                f"dimension '{self.name}' was built with from_dataframe "
+                f"and is immutable — its leaves live in a DataFrame, not "
+                f"the driver graph; rebuild from the source instead"
+            )
         if self._edit_mode:
             raise DimensionEditError(f"dimension '{self.name}' already in edit mode")
         self._edit_mode = True
@@ -490,6 +496,110 @@ class Dimension:
         self._backup = None
         self.version += 1
         return self
+
+    # ------------------------------------------------- from_dataframe
+    @classmethod
+    def from_dataframe(
+        cls,
+        name: str,
+        df,
+        leaf_col: str,
+        parent_col: Optional[str] = None,
+        weight_col: Optional[str] = None,
+        top: str = "All",
+        description: str = "",
+    ) -> "Dimension":
+        """Build a BIG flat/2-level dimension from a source DataFrame —
+        the 100x construction path for the ``large_dim`` shape (VERDICT
+        r11 #3): driver memory stays O(groups), and the members/closure
+        frames derive from the source DataFrame instead of a per-member
+        ``add_many`` loop (1M members ≈ 12s driver-side on that path —
+        linear, so 10^7 ≈ 2 minutes; this path is a handful of Spark
+        jobs regardless of leaf count).
+
+        ``df`` columns: ``leaf_col`` = leaf member names; ``parent_col``
+        (optional) = each leaf's group name — groups sit under ``top``;
+        without it every leaf sits directly under ``top``.
+        ``weight_col`` (optional) = the leaf->parent edge weight
+        (default 1.0).  A leaf appearing under several parents resolves
+        to the lexicographically-LAST (parent, weight) struct —
+        deterministic; model true multi-parent DAGs with the editable
+        API instead.
+
+        Contract (all enforced or documented):
+
+        - the dimension commits as ``large_dim=True`` with only the
+          upper members (groups + top) on the driver; leaf member ids
+          are dense ints assigned Spark-side (deterministic: hash-bucket
+          + name order), SESSION-scoped — persist facts by NAME, not id;
+        - ``member()`` resolves upper members only (leaves live in the
+          members frame — load facts via the by-name join);
+        - the dimension is immutable (``edit()`` raises) and not JSON-
+          serializable (``to_dict()`` raises) — rebuild from source;
+        - ``closure_rows`` raises: the closure exists only as a
+          DataFrame (``engine.closure_df``).
+        """
+        from pyspark.sql import functions as F
+
+        if parent_col is not None:
+            groups = sorted(
+                r[0]
+                for r in df.select(parent_col).distinct().collect()
+                if r[0] is not None
+            )
+        else:
+            groups = []
+        d = cls(name, description, large_dim=True)
+        d._edit_mode = True
+        if groups:
+            d.add_member(top, [str(g) for g in groups])
+        else:
+            d.add_member(top)
+        d._check_cycles()
+        d._recompute_levels()
+        # driver levels see groups as leaves; Spark-side leaves sit one
+        # level below, so lift the whole upper graph by one
+        for m in d._defs.values():
+            m.level += 1
+        d._closure = []
+        d._trivial_tops = set()
+        d._edit_mode = False
+        d.version += 1
+        d._from_dataframe = True
+        d._src = {
+            "df": df,
+            "leaf_col": leaf_col,
+            "parent_col": parent_col,
+            "weight_col": weight_col,
+            "top": top,
+        }
+        d._n_leaves = None
+        # eager leaf-frame build: assigns ids, counts leaves, and raises
+        # NOW on leaf/upper name clashes (not at first query)
+        from . import engine
+
+        engine._from_df_leaf_frame(df.sparkSession, d)
+        return d
+
+    def _upper_closure_rows(self) -> list[tuple[int, int, float]]:
+        """Closure of the DRIVER-resident upper graph only (groups +
+        top — O(groups) rows), for the from_dataframe frame builders.
+        Distinct from ``closure_rows``, which for a from_dataframe
+        dimension raises (it would be missing every leaf)."""
+        rows: list[tuple[int, int, float]] = []
+        for i in self._defs:
+            rows.append((i, i, 1.0))
+        for i, mdef in self._defs.items():
+            # iterative upward walk with path-weight products; the upper
+            # graph is a tree built by from_dataframe (each group has
+            # exactly one parent edge), so no merge policy is needed
+            stack = [(i, 1.0)]
+            while stack:
+                cur, w = stack.pop()
+                for p, pw in self._defs[cur].parents.items():
+                    rows.append((i, p, w * pw))
+                    stack.append((p, w * pw))
+        return rows
 
     def _require_edit(self) -> None:
         if not self._edit_mode:
@@ -779,6 +889,15 @@ class Dimension:
             return name
         key = self._key(str(name))
         if key not in self._lookup:
+            if getattr(self, "_from_dataframe", False):
+                raise InvalidAddressError(
+                    f"unknown member '{name}' in dimension "
+                    f"'{self.name}' — only the upper hierarchy (groups "
+                    f"and the top) resolves driver-side for a "
+                    f"from_dataframe dimension; leaves live in the "
+                    f"members DataFrame (load facts via the by-name "
+                    f"join, query leaves with DataFrame filters)"
+                )
             raise InvalidAddressError(
                 f"unknown member '{name}' in dimension '{self.name}'"
             )
@@ -788,7 +907,10 @@ class Dimension:
         return self._key(str(name)) in self._lookup
 
     def __len__(self) -> int:
-        return len(self._ordered_idx)
+        n = len(self._ordered_idx)
+        if getattr(self, "_from_dataframe", False):
+            n += self._n_leaves or 0
+        return n
 
     def _iter_defs(self) -> Iterable[MemberDef]:
         for i in self._ordered_idx:
@@ -1076,6 +1198,13 @@ class Dimension:
         driver-side consumers that need Python rows (rule interference
         checks, ``sqlq`` closure views); first access walks the graph.
         """
+        if getattr(self, "_from_dataframe", False):
+            raise DimensionScaleError(
+                f"dimension '{self.name}' was built with from_dataframe:"
+                f" its leaves (and therefore its closure) exist only as"
+                f" DataFrames (engine.closure_df) — a driver-side closure"
+                f" row list would materialize every leaf on the driver"
+            )
         if not self._closure:
             self._compute_closure()
         return self._closure
@@ -1096,6 +1225,13 @@ class Dimension:
 
     # ---------------------------------------------------------------- misc
     def to_dict(self) -> dict:
+        if getattr(self, "_from_dataframe", False):
+            raise DimensionScaleError(
+                f"dimension '{self.name}' was built with from_dataframe "
+                f"and does not JSON-serialize (its members live in a "
+                f"DataFrame, not the driver graph) — persist the SOURCE "
+                f"DataFrame and rebuild with from_dataframe instead"
+            )
         return {
             "name": self.name,
             "description": self.description,

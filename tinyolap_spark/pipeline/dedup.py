@@ -406,13 +406,23 @@ def minhash_lsh_candidates(
     _report_capped(
         bucket_sizes, max_bucket, capped_stats, "minhash_lsh_candidates"
     )
-    # shuffle_hash: the surviving-bucket set scales with the corpus
-    # (AQE would broadcast it) and is already partitioned on the join
-    # key from its groupBy — the hint is exchange-free
+    # size-aware hint (VERDICT r11 #2): the surviving-bucket set scales
+    # with the corpus (AQE would broadcast it — a driver build that
+    # grows with the data) and is already partitioned on the join key
+    # from its groupBy, so shuffle_hash is exchange-free — but its build
+    # cannot spill, so past the per-partition budget the strategy flips
+    # to spillable merge.  Build rows <= banded rows (docs x bands);
+    # counting the checkpointed frame is one narrow cached scan.  The
+    # uncheckpointed loop path keeps the pin: batch frames are
+    # batch-sized, and counting would re-run the signature stage.
+    if checkpoint:
+        ok = gram_join_strategy(banded.count(), banded.sparkSession)
+    else:
+        ok = "shuffle_hash"
     banded = banded.join(
         bucket_sizes.where(F.col("sz") <= max_bucket)
         .select("band", "bucket")
-        .hint("shuffle_hash"),
+        .hint(ok),
         on=["band", "bucket"],
         how="leftsemi",
     )
@@ -866,7 +876,16 @@ def duplicate_clusters_star(
 
     prev = fingerprint(edges)
     converged = False
+    spark = pairs.sparkSession
     for _ in range(max_iter):
+        # size-aware hint (VERDICT r11 #2): the min-label build sides
+        # are NODE-sized (one (long, long) row per node — several times
+        # narrower than the string grams the budget was measured on, so
+        # the flip is conservative) but grow with the corpus, so past
+        # the per-partition budget the non-spillable hash build flips to
+        # merge.  The edge count comes from the convergence fingerprint
+        # the loop already collects — zero extra jobs; nodes <= 2*edges.
+        star = gram_join_strategy(2 * prev[0], spark)
         # ---- large-star: for v in Gamma(u), v > u: emit (v, m(u)),
         # m(u) = min(Gamma(u) + {u})
         nbrs = edges.unionByName(
@@ -877,7 +896,7 @@ def duplicate_clusters_star(
         )
         ls = canon(
             nbrs.where(F.col("v") > F.col("u"))
-            .join(mins.hint("shuffle_hash"), on="u")
+            .join(mins.hint(star), on="u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # ---- small-star: for v in Gamma(u), v < u: emit (v, m-(u)) and
@@ -887,7 +906,7 @@ def duplicate_clusters_star(
         )
         smins = directed.groupBy("u").agg(F.min("v").alias("m"))
         ss = canon(
-            directed.join(smins.hint("shuffle_hash"), on="u")
+            directed.join(smins.hint(star), on="u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(
                 smins.select(F.col("u").alias("u"), F.col("m").alias("v"))
@@ -1054,10 +1073,17 @@ class CorpusDedupIndex:
             )
             stats: dict = {}
             _report_capped(sizes, key, stats, "CorpusDedupIndex")
+            # size-aware hint (VERDICT r11 #2): the surviving-bucket
+            # build grows with the corpus; ok rows <= banded rows, whose
+            # count the index already tracks (constructor/load/update
+            # keep _n_band_rows current) — zero extra jobs
+            ok = gram_join_strategy(
+                self._n_band_rows, self.banded.sparkSession
+            )
             capped = self.banded.join(
                 sizes.where(F.col("sz") <= key)
                 .select("band", "bucket")
-                .hint("shuffle_hash"),
+                .hint(ok),
                 on=["band", "bucket"],
                 how="leftsemi",
             ).persist()
@@ -1449,10 +1475,15 @@ def near_duplicates_against(
             capped_stats,
             "near_duplicates_against",
         )
+        # size-aware hint (VERDICT r11 #2): bucket-universe-sized (never
+        # broadcast — grows with the corpus); ok rows <= banded rows,
+        # and the corpus banded frame is checkpointed above, so the
+        # count is one narrow cached scan
+        ok = gram_join_strategy(bc.count(), bc.sparkSession)
         ok_buckets = (
             corp_bucket_sizes.where(F.col("sz") <= max_bucket)
             .select("band", "bucket")
-            .hint("shuffle_hash")  # bucket-universe-sized: never broadcast
+            .hint(ok)
         )
         bc = bc.join(ok_buckets, on=["band", "bucket"], how="leftsemi")
     cands = (
