@@ -133,6 +133,41 @@ def main():
             {},
         )
 
+    # VERDICT r11 #2: 100x points for the three pin sites converted to
+    # the size-aware strategy this round whose builds grow with the
+    # corpus — salient-terms dfreq (vocabulary), chunk frequency
+    # (~linear in corpus chunks), and the star-CC min-label joins.
+    # Sink is .count(): salient/chunk results are eagerly materialized
+    # inside the call (containment_pairs pattern), so the timing is the
+    # operator, not a multi-million-row driver collect.
+    def salient_terms(sf_dir):
+        from tinyolap_spark.pipeline import text as text_ops
+
+        return (
+            text_ops.salient_terms(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"), k=5
+            ).count(),
+            {},
+        )
+
+    def chunk_dedup(sf_dir):
+        from tinyolap_spark.pipeline import text as text_ops
+
+        return (
+            text_ops.boilerplate_chunk_stats(
+                spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                chunk_tokens=8,
+                min_count=2,
+            ).count(),
+            {},
+        )
+
+    def dup_clusters_star(sf_dir):
+        return (
+            q["docs_dup_clusters_star"](spark, sf_dir).count(),
+            {},
+        )
+
     def stream_kernel(sf_dir, label):
         """Index build (pure construction) + steady-state 500-doc batch
         dedup against the warm index — the bench's per-batch headline
@@ -163,7 +198,10 @@ def main():
     for name, fn in [("minhash_pairs", minhash_pairs),
                      ("dup_clusters", dup_clusters),
                      ("containment_pairs", containment_pairs),
-                     ("novelty_hashed", novelty_hashed)]:
+                     ("novelty_hashed", novelty_hashed),
+                     ("salient_terms", salient_terms),
+                     ("chunk_dedup", chunk_dedup),
+                     ("dup_clusters_star", dup_clusters_star)]:
         runs = {SF1_DIR: [], SF10_DIR: []}
         for _rep in range(2):
             for d in (SF1_DIR, SF10_DIR):
@@ -191,6 +229,9 @@ def main():
         ("sf1_dup_clusters", "sf10_dup_clusters"),
         ("sf1_containment_pairs", "sf10_containment_pairs"),
         ("sf1_novelty_hashed", "sf10_novelty_hashed"),
+        ("sf1_salient_terms", "sf10_salient_terms"),
+        ("sf1_chunk_dedup", "sf10_chunk_dedup"),
+        ("sf1_dup_clusters_star", "sf10_dup_clusters_star"),
         ("sf1_stream_index_build", "sf10_stream_index_build"),
         ("sf1_stream_batch_500", "sf10_stream_batch_500"),
     ]:
