@@ -377,6 +377,43 @@ def test_minhash_ok_buckets_strategy_both_sides(spark, monkeypatch):
     engine.clear_caches()
 
 
+def _force_sizing(monkeypatch):
+    """Push every corpus past the small-corpus gate so the sizing path
+    (persist + count + strategy) runs even on test-sized frames."""
+    from tinyolap_spark.pipeline import dedup
+
+    monkeypatch.setattr(dedup, "SMALL_CORPUS_STATS_BYTES", 0)
+
+
+def test_small_corpus_gate_skips_sizing(spark, monkeypatch):
+    """A small corpus (Catalyst stats estimate under the gate) must skip
+    the persist/count/checkpoint machinery entirely — measured at sf0.1
+    it dominated the salient-terms call (the r10 verify-prefilter
+    lesson) — and keep the in-budget lazy pin."""
+    from tinyolap_spark.pipeline import dedup
+    from tinyolap_spark.pipeline import text as T
+
+    # the gate reads Catalyst's logical stats: accurate for FILE scans
+    # (the case that matters — bench/production corpora), Long.Max for
+    # local/Arrow frames (which therefore take the safe sizing path)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    assert dedup.corpus_is_small(docs)
+    assert not dedup.corpus_is_small(_docs30(spark))  # unknown stats
+
+    def boom(*a, **k):
+        raise AssertionError("sizing must be skipped for small corpora")
+
+    monkeypatch.setattr(dedup, "gram_join_strategy", boom)
+    out = T.salient_terms(docs, k=3)
+    assert "ShuffledHashJoin" in _plan(out)  # lazy pin, no checkpoint
+    st = T.boilerplate_chunk_stats(docs)
+    assert "ShuffledHashJoin" in _plan(st)
+    sc = T.scrub_boilerplate_chunks(docs, min_count=3)
+    assert "ShuffledHashJoin" in _plan(sc)
+
+
 def test_salient_terms_strategy_both_sides(spark, monkeypatch):
     """text.py dfreq join: vocabulary-sized build, sized from the exact
     cached tf count; both sides of the budget plan-asserted (checkpoint
@@ -387,6 +424,7 @@ def test_salient_terms_strategy_both_sides(spark, monkeypatch):
     want = sorted(
         map(tuple, T.salient_terms(docs, k=3).collect())
     )
+    _force_sizing(monkeypatch)
     _nockpt(monkeypatch)
     lazy = T.salient_terms(docs, k=3)
     assert "ShuffledHashJoin" in _plan(lazy)
@@ -405,6 +443,7 @@ def test_chunk_stats_strategy_both_sides(spark, monkeypatch):
 
     docs = _docs30(spark)
     want = sorted(map(tuple, T.boilerplate_chunk_stats(docs).collect()))
+    _force_sizing(monkeypatch)
     _nockpt(monkeypatch)
     h = T.boilerplate_chunk_stats(docs)
     assert "ShuffledHashJoin" in _plan(h)
@@ -424,6 +463,7 @@ def test_scrub_chunks_strategy_both_sides(spark, monkeypatch):
     base = T.scrub_boilerplate_chunks(docs, min_count=3)
     assert "ShuffledHashJoin" in _plan(base)
     want = sorted(map(tuple, base.collect()))
+    _force_sizing(monkeypatch)
     _set_budget(monkeypatch, 0)
     m = T.scrub_boilerplate_chunks(docs, min_count=3)
     assert "SortMergeJoin" in _plan(m)

@@ -308,6 +308,33 @@ def gram_join_strategy(n_build_rows: int, spark) -> str:
     return "merge"
 
 
+#: corpora whose Catalyst size estimate is under this are SMALL: any
+#: narrow build derived from them (vocabulary, chunk frequencies) fits
+#: the non-spillable hash budget by construction (8 MB compressed ≈
+#: ~6M tokens ≈ ~200k build rows/partition at 32 partitions — inside
+#: SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION even at string-gram row
+#: weight), so the sizing job is pure overhead there (measured: the
+#: salient-terms persist+count+checkpoint machinery cost ~0.8s of a
+#: ~0.9s sf0.1 call — the r10 verify-prefilter lesson: gate fixed
+#: per-call costs on corpus size).
+SMALL_CORPUS_STATS_BYTES = 8 << 20
+
+
+def corpus_is_small(df: DataFrame) -> bool:
+    """Zero-job gate for per-call sizing machinery: Catalyst's LOGICAL
+    stats estimate of the frame.  Accurate for file scans (sum of file
+    sizes) and local relations; derived/checkpointed frames estimate
+    huge and return False — the safe direction, the caller just pays
+    one narrow sizing job it may not have needed."""
+    try:
+        sz = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — connect mode / torn session
+        return False
+    return 0 <= sz < SMALL_CORPUS_STATS_BYTES
+
+
 def _ckpt_rdd(df: DataFrame):
     """The JVM RDD whose storage blocks back a ``localCheckpoint``-ed
     DataFrame (``LogicalRDD`` plan), or None for any other plan shape.

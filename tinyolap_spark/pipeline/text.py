@@ -323,13 +323,17 @@ def salient_terms(
     # strategy from the exact cached count (vocab rows <= tf rows),
     # materializes the k-per-doc result eagerly, and releases the cache
     # — the containment_pairs pattern.  ``share_tf=False`` keeps the
-    # plan fully lazy with the in-budget pin.
-    from .dedup import gram_join_strategy
+    # plan fully lazy with the in-budget pin, and a SMALL corpus (by
+    # Catalyst's zero-job stats estimate) skips the machinery outright:
+    # its vocabulary fits the hash budget by construction, and the
+    # sizing jobs were measured to dominate the sf0.1 call.
+    from .dedup import corpus_is_small, gram_join_strategy
 
-    if share_tf:
+    if share_tf and not corpus_is_small(docs):
         tf = tf.persist()
         big = gram_join_strategy(tf.count(), docs.sparkSession)
     else:
+        share_tf = False
         big = "shuffle_hash"
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col).orderBy(
@@ -706,13 +710,16 @@ def boilerplate_chunk_stats(
     # twice), sizes from the exact cached count (freq rows <= chunk
     # rows), materializes the docs-sized result eagerly, and releases
     # the cache — the containment_pairs pattern.  ``share_chunks=False``
-    # keeps the plan lazy with the in-budget pin.
-    from .dedup import gram_join_strategy
+    # keeps the plan lazy with the in-budget pin; a SMALL corpus (by
+    # Catalyst's zero-job stats estimate) skips the machinery outright —
+    # its chunk-frequency build fits the hash budget by construction.
+    from .dedup import corpus_is_small, gram_join_strategy
 
-    if share_chunks:
+    if share_chunks and not corpus_is_small(docs):
         ch = ch.persist()
         big = gram_join_strategy(ch.count(), docs.sparkSession)
     else:
+        share_chunks = False
         big = "shuffle_hash"
     freq = ch.groupBy("__h").agg(F.count(F.lit(1)).alias("__cnt"))
     boiler = F.col("__cnt") >= min_count
@@ -768,9 +775,16 @@ def scrub_boilerplate_chunks(
     # ("shuffle_hash" or "merge") to skip that job when the scale is
     # known.
     if join_strategy is None:
-        from .dedup import gram_join_strategy
+        from .dedup import corpus_is_small, gram_join_strategy
 
-        join_strategy = gram_join_strategy(freq.count(), docs.sparkSession)
+        if corpus_is_small(docs):
+            # a small corpus's chunk-frequency build fits the hash
+            # budget by construction — skip the sizing job
+            join_strategy = "shuffle_hash"
+        else:
+            join_strategy = gram_join_strategy(
+                freq.count(), docs.sparkSession
+            )
     kept = ch.join(
         freq.hint(join_strategy),
         F.xxhash64(ch["chunk_text"]) == freq["__h"],
