@@ -655,3 +655,41 @@ def test_from_dataframe_flat_weights_and_dedupe(spark):
             spark.createDataFrame([("All",)], "leaf string"),
             "leaf",
         )
+
+
+def test_from_dataframe_rejects_null_keys_and_handles_empty(spark):
+    """NULL leaf names would mint a null member; NULL parents would
+    silently drop leaves from every rollup — both fail loudly at
+    construction (counted inside the same aggregate as the clash
+    check, zero extra jobs).  An EMPTY source builds a dimension with
+    just the upper hierarchy."""
+    from tinyolap_spark.metadata import InvalidAddressError
+
+    with pytest.raises(InvalidAddressError, match="NULL leaf"):
+        Dimension.from_dataframe(
+            "nulls1",
+            spark.createDataFrame(
+                [("a", "g"), (None, "g")], "leaf string, grp string"
+            ),
+            "leaf",
+            parent_col="grp",
+        )
+    with pytest.raises(InvalidAddressError, match="NULL parent"):
+        Dimension.from_dataframe(
+            "nulls2",
+            spark.createDataFrame(
+                [("a", "g"), ("b", None)], "leaf string, grp string"
+            ),
+            "leaf",
+            parent_col="grp",
+        )
+    empty = Dimension.from_dataframe(
+        "empty",
+        spark.createDataFrame([], "leaf string, grp string"),
+        "leaf",
+        parent_col="grp",
+    )
+    assert empty._n_leaves == 0
+    assert len(empty._defs) == 1  # just the top
+    assert engine.closure_df(spark, empty).count() == 1  # top identity
+    engine.clear_caches()

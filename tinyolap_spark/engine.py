@@ -321,8 +321,26 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
-                F.col("__key").isin(upper_keys).cast("long")
+                # coalesce: isin(NULL) is NULL, and a bucket of only
+                # null keys would sum to NULL instead of 0
+                F.coalesce(
+                    F.col("__key").isin(upper_keys).cast("long"),
+                    F.lit(0),
+                )
             ).alias("clash"),
+            # NULL leaf names would mint a null member; NULL parents
+            # would silently float leaves out of every rollup (the
+            # left join below can't resolve them).  Count both in the
+            # same aggregate — the checks are free — and fail loudly.
+            F.sum(F.col("__key").isNull().cast("long")).alias(
+                "null_leaf"
+            ),
+            F.sum(
+                (
+                    F.col("__key").isNotNull()
+                    & F.col("__pname").isNull()
+                ).cast("long")
+            ).alias("null_parent"),
         )
         .collect()
     )
@@ -331,6 +349,17 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
             f"from_dataframe dimension '{dim.name}': leaf names collide "
             f"with upper-hierarchy member names (group/top) — rename "
             f"the top/groups or the leaf key column"
+        )
+    n_null_leaf = sum(r["null_leaf"] for r in per)
+    n_null_parent = sum(r["null_parent"] for r in per)
+    if n_null_leaf or n_null_parent:
+        raise InvalidAddressError(
+            f"from_dataframe dimension '{dim.name}': source has "
+            f"{n_null_leaf} NULL leaf name(s) and {n_null_parent} leaf "
+            f"name(s) with a NULL parent — a NULL leaf would mint a "
+            f"null member and a NULL parent would silently drop the "
+            f"leaf from every rollup; filter or fillna the source "
+            f"columns first"
         )
     offsets, acc = [], 0
     for r in sorted(per, key=lambda r: r["__pid"]):

@@ -303,6 +303,11 @@ def salient_terms(
     counting.
 
     Returns ``(id_col, term, tf, df, rank)`` with ``rank`` 1-based.
+
+    LOOP callers (per-batch invocation) should pass ``share_tf=False``:
+    the default's eager result is ``localCheckpoint``-ed, whose storage
+    blocks are only reclaimed on driver GC — same caveat as
+    ``containment_pairs``/``minhash_lsh_candidates``.
     """
     toks = F.split(
         F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
@@ -685,6 +690,8 @@ def boilerplate_chunk_stats(
     (across OR within docs) counts as boilerplate.
 
     Returns ``(id_col, n_chunks, boiler_chunks, boiler_tokens)``.
+    LOOP callers should pass ``share_chunks=False`` (the default's eager
+    result is ``localCheckpoint``-ed — blocks reclaim on driver GC).
 
     100 TB shape: the chunk explode fans out ~n_tokens/chunk_tokens rows
     but only ``(doc, hash, n_tokens)`` leaves the map side — chunk TEXT
