@@ -291,8 +291,16 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
     rows = (
         src["df"]
         .select(
-            F.col(leaf_col).cast(StringType()).alias("name"),
-            pname.alias("__pname"),
+            # trim to match the driver's Dimension._key (strip().lower())
+            # — an untrimmed ' EUROPE ' parent would otherwise miss the
+            # stripped driver group in the join below and silently float
+            # the leaf out of every rollup (ADVICE r12), and an
+            # untrimmed ' All ' leaf would escape the upper-name clash
+            # guard.  Stored leaf NAMES are trimmed too, mirroring the
+            # driver's _add_or_get (name.strip()) so by-name fact joins
+            # behave identically on both construction paths.
+            F.trim(F.col(leaf_col).cast(StringType())).alias("name"),
+            F.trim(pname).alias("__pname"),
             w.alias("weight"),
         )
         .groupBy(F.lower(F.col("name")).alias("__key"))
@@ -308,10 +316,20 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
             F.col("s.weight").alias("weight"),
         )
     )
-    try:
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except (ValueError, TypeError):
-        nparts = 200
+    # bucket count PINNED at construction (Dimension.from_dataframe
+    # stores it in _src): leaf ids depend on it, so re-reading the conf
+    # on a clear_caches() rebuild under a changed
+    # spark.sql.shuffle.partitions would silently reassign every leaf id
+    # while fact frames loaded against the old ids keep them (ADVICE
+    # r12).  The conf fallback only serves hand-built test fixtures.
+    nparts = src.get("nparts")
+    if not nparts:
+        try:
+            nparts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except (ValueError, TypeError):
+            nparts = 200
     rows = rows.withColumn(
         "__pid", F.pmod(F.xxhash64("__key"), F.lit(nparts)).cast("int")
     )
@@ -341,6 +359,20 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
                     & F.col("__pname").isNull()
                 ).cast("long")
             ).alias("null_parent"),
+            # a non-null parent that resolves to NO upper member would
+            # leave parent_id NULL after the left join below — the same
+            # silent-drop failure mode as a NULL parent (ADVICE r12).
+            # By construction from_dataframe adds every distinct parent
+            # value as a group, so this only fires when the source frame
+            # is non-deterministic between the groups collect and this
+            # build — exactly the drift worth failing loudly on.
+            F.sum(
+                (
+                    F.col("__key").isNotNull()
+                    & F.col("__pname").isNotNull()
+                    & ~F.lower(F.col("__pname")).isin(upper_keys)
+                ).cast("long")
+            ).alias("unknown_parent"),
         )
         .collect()
     )
@@ -360,6 +392,15 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
             f"null member and a NULL parent would silently drop the "
             f"leaf from every rollup; filter or fillna the source "
             f"columns first"
+        )
+    n_unknown = sum(r["unknown_parent"] for r in per)
+    if n_unknown:
+        raise InvalidAddressError(
+            f"from_dataframe dimension '{dim.name}': {n_unknown} leaf "
+            f"row(s) name a parent that is not in the upper hierarchy — "
+            f"the source DataFrame changed between group collection and "
+            f"the leaf build (non-deterministic source?); checkpoint or "
+            f"cache the source frame and rebuild"
         )
     offsets, acc = [], 0
     for r in sorted(per, key=lambda r: r["__pid"]):

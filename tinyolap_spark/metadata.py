@@ -566,12 +566,28 @@ class Dimension:
         d._edit_mode = False
         d.version += 1
         d._from_dataframe = True
+        # leaf-id hash-bucket count pinned HERE (ADVICE r12): ids are a
+        # function of it, and engine.clear_caches() triggers a rebuild
+        # on next access — re-reading spark.sql.shuffle.partitions then
+        # would reassign every leaf id under a changed conf while fact
+        # frames loaded against the old ids keep them.  (Rebuilds over a
+        # MUTATED source DataFrame remain undetectable — treat the
+        # source as immutable, or rebuild the facts with it.)
+        try:
+            nparts = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+        except (ValueError, TypeError):
+            nparts = 200
         d._src = {
             "df": df,
             "leaf_col": leaf_col,
             "parent_col": parent_col,
             "weight_col": weight_col,
             "top": top,
+            "nparts": nparts,
         }
         d._n_leaves = None
         # eager leaf-frame build: assigns ids, counts leaves, and raises
@@ -1175,6 +1191,20 @@ class Dimension:
         leaking consumers)."""
         if member_idx == ancestor_idx:
             return True
+        if member_idx not in self._defs:
+            # a guided error beats a bare KeyError (ADVICE r12) — the
+            # realistic caller mistake is handing a from_dataframe LEAF
+            # id to a driver-graph walk
+            hint = (
+                " — from_dataframe leaves live in DataFrames "
+                "(engine.closure_df); filter the closure frame instead"
+                if getattr(self, "_from_dataframe", False)
+                else ""
+            )
+            raise InvalidAddressError(
+                f"member id {member_idx} is not in dimension "
+                f"'{self.name}'s driver graph{hint}"
+            )
         stack = [member_idx]
         seen = {member_idx}
         while stack:

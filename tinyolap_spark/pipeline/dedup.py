@@ -310,14 +310,21 @@ def gram_join_strategy(n_build_rows: int, spark) -> str:
 
 #: corpora whose Catalyst size estimate is under this are SMALL: any
 #: narrow build derived from them (vocabulary, chunk frequencies) fits
-#: the non-spillable hash budget by construction (8 MB compressed ≈
-#: ~6M tokens ≈ ~200k build rows/partition at 32 partitions — inside
-#: SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION even at string-gram row
-#: weight), so the sizing job is pure overhead there (measured: the
-#: salient-terms persist+count+checkpoint machinery cost ~0.8s of a
-#: ~0.9s sf0.1 call — the r10 verify-prefilter lesson: gate fixed
-#: per-call costs on corpus size).
-SMALL_CORPUS_STATS_BYTES = 8 << 20
+#: the non-spillable hash budget by construction, so the sizing job is
+#: pure overhead there (measured: the salient-terms
+#: persist+count+checkpoint machinery cost ~0.8s of a ~0.9s sf0.1 call
+#: — the r10 verify-prefilter lesson: gate fixed per-call costs on
+#: corpus size).  Derivation (ADVICE r12 — the estimate is FILE bytes,
+#: i.e. compressed, and passing the gate unsafely skips the sizing that
+#: would have flipped to the spillable join): 2 MB on disk x 4x
+#: worst-case text compression (zstd/snappy on natural language) ≈ 8 MB
+#: raw ≈ ~6M tokens ≈ ~200k build rows/partition at 32 partitions —
+#: inside SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION even at string-gram row
+#: weight.  The sf0.1 corpus (594 KB) stays under the gate, so the
+#: small-scale fast path is unchanged; a corpus between 2 and 8 MB now
+#: pays one narrow sizing job it usually doesn't need — the safe
+#: direction.
+SMALL_CORPUS_STATS_BYTES = 2 << 20
 
 
 def corpus_is_small(df: DataFrame) -> bool:
