@@ -393,6 +393,91 @@ def _large_dim_cube(spark, sf_dir):
     return cube
 
 
+_fdf_persist_cache: dict = {}
+
+
+def _q_cube_from_dataframe_rollup(spark, sf_dir):
+    """The from_dataframe PERSISTENCE round trip as a driver-checked
+    oracle row (NEW r13, VERDICT r12 #1/#2): build a large_dim customer
+    dimension from the parquet customer table (leaves grouped by market
+    segment), load per-customer account balances by NAME, ``save()`` the
+    database — which writes the leaf frame as parquet, baking the leaf
+    ids — then ``open()`` it back and roll up from the REOPENED cube.
+    Every read below therefore runs against the reloaded-from-disk leaf
+    frame (the newest engine path: ``_from_df_leaf_frame``'s leaf_file
+    branch) and the reloaded fact, with the driver closure deferred
+    throughout.  Values in exact cents so sums are order-independent.
+    Oracle: plain GROUP BY over customer with the same segment grouping
+    + grand total."""
+    import tempfile
+
+    from tinyolap_spark import Database, engine
+
+    key = (id(spark), sf_dir.rstrip("/"))
+    cube = _fdf_persist_cache.get(key)
+    if cube is None:
+        db = Database(f"fdf_persist_{len(_fdf_persist_cache)}", spark=spark)
+        src = _raw(spark, sf_dir, "customer").select(
+            F.concat(
+                F.lit("c"), F.col("c_custkey").cast("long").cast("string")
+            ).alias("leaf"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        dim = db.add_dimension_from_dataframe(
+            "cust", src, "leaf", parent_col="seg", top="AllSeg"
+        )
+        meas = db.add_dimension("meas").edit()
+        meas.add_many("balance")
+        meas.commit()
+        cube0 = db.add_cube("cust_bal", [dim, meas])
+        fact = (
+            _raw(spark, sf_dir, "customer")
+            .select(
+                F.concat(
+                    F.lit("c"),
+                    F.col("c_custkey").cast("long").cast("string"),
+                ).alias("cust"),
+                F.lit("balance").alias("meas"),
+                F.round(F.col("c_acctbal") * 100, 0)
+                .cast("long")
+                .alias("value"),
+            )
+        )
+        # by-name load: resolves leaf ids through the members frame
+        # (engine._members_side routing) — at true scale load by ids
+        cube0.load_dataframe(fact, by_name=True, assume_unique=True)
+        path = tempfile.mkdtemp(prefix="tinyolap_fdf_persist_")
+        db.save(path)
+        # the round trip: a NEW Database whose dimension reloads the
+        # baked leaf ids lazily from <path>/dims/cust.parquet
+        db2 = Database.open(path, spark=spark)
+        cube = db2.cube("cust_bal")
+        _fdf_persist_cache[key] = cube
+    dim2 = cube.dimensions[0]
+    anc = [m.index for m in dim2.members_by_level(1)] + [
+        dim2.member("AllSeg").index
+    ]
+    axes = {
+        cube._cols[0]: anc,
+        cube._cols[1]: [cube.dimensions[1].member("balance").index],
+    }
+    grid = engine.aggregate_grid(
+        cube.fact, spark, cube._dims_spec(), axes, [cube._cols[0]]
+    )
+    mdf = engine.members_df(spark, dim2).select(
+        F.col("member_id").alias("__id"), F.col("name").alias("grp")
+    )
+    out = (
+        grid.join(
+            engine._members_side(mdf, dim2), grid[cube._cols[0]] == F.col("__id")
+        )
+        .select("grp", (F.col("value") / 100).alias("balance"))
+        .orderBy("grp")
+    )
+    assert dim2._closure == []  # deferred walk never ran on the reload
+    return out
+
+
 def _q_cube_large_dim_rollup(spark, sf_dir):
     """Rollup through the explicit over-envelope path (VERDICT r9 #8):
     the customer key set modeled as ``Dimension(large_dim=True)``, whose
@@ -2052,7 +2137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two could plausibly break — simhash banding + langid heuristics
         # — unlike the 1-row/static rows they replace)
         "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "docs_language_id": _q_docs_language_id,
+        # activated r13 (VERDICT r12 #2): the from_dataframe PERSISTENCE
+        # round trip — save() writes the leaf frame as parquet, open()
+        # reloads it, and the rollup runs against the reopened cube (the
+        # newest, least-aged engine path), replacing the 4-round-green
+        # stopword-argmax langid row
+        "cube_from_dataframe_rollup": _q_cube_from_dataframe_rollup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_quality_quantile": _q_docs_quality_quantile,
         "docs_novelty": _q_docs_novelty,
@@ -2125,6 +2215,12 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by the surviving quantile rows (same percentile machinery)
         "docs_pack_payloads": _q_docs_pack_payloads,  # docs_pack_sequences
         "docs_clip_outliers": _q_docs_clip_outliers,  # sql_acctbal_quantiles
+        # retired r13 (VERDICT r12 #2) to make room for
+        # cube_from_dataframe_rollup: deterministic stopword-argmax
+        # language ID, driver-green since r9, shadowed by the surviving
+        # text-heuristic rows (docs_quality_quantile / docs_text_stats —
+        # same tokenize-and-score column machinery)
+        "docs_language_id": _q_docs_language_id,
     }
 
 
@@ -2375,6 +2471,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT r_name, 'revenue', SUM({_REV_CENTS})
               FROM {_GEO_JOIN} GROUP BY 1
+            """
+        ),
+        # the persistence-round-trip row computes segment balances from
+        # a REOPENED database (leaf frame reloaded from the parquet
+        # save() wrote); the oracle is the plain group-by — any id
+        # drift or fact corruption across the round trip shows up as a
+        # value/hash mismatch
+        "cube_from_dataframe_rollup": (
+            r"""
+            WITH lab AS (
+              SELECT c_mktsegment AS seg,
+                     CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+                FROM customer
+            )
+            SELECT grp, SUM(cents) / 100.0 AS balance FROM (
+              SELECT seg AS grp, cents FROM lab
+              UNION ALL
+              SELECT 'AllSeg' AS grp, cents FROM lab
+            ) GROUP BY grp ORDER BY grp
             """
         ),
         "cube_large_dim_rollup": (

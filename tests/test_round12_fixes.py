@@ -607,8 +607,16 @@ def test_from_dataframe_build_rollup_and_guards(spark):
         d.closure_rows
     with pytest.raises(InvalidAddressError, match="by-name"):
         d.member("k5")
-    with pytest.raises(DimensionScaleError, match="from_dataframe"):
-        d.to_dict()
+    # r13 contract: to_dict() now emits the upper hierarchy plus a
+    # from_dataframe descriptor (Database.save fills in leaf_file), but
+    # a BARE dict round trip still fails loudly — JSON cannot hold the
+    # leaves (they are parquet, written by save())
+    dd = d.to_dict()
+    assert len(dd["members"]) == 7  # upper only, never the 600 leaves
+    assert dd["from_dataframe"]["n_leaves"] == 600
+    assert dd["from_dataframe"]["leaf_file"] is None
+    with pytest.raises(DimensionScaleError, match="leaf_file"):
+        Dimension.from_dict(dd)
     # id determinism across a cache clear (same hash buckets + name order)
     ids1 = {
         r["name"]: r["member_id"]

@@ -177,3 +177,311 @@ def test_corpus_gate_mid_size_file_not_small(spark, tmp_path):
         F.lit("tiny text").alias("text"),
     ).coalesce(1).write.mode("overwrite").parquet(str(small))
     assert corpus_is_small(spark.read.parquet(str(small)))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #3: engine closure/members joins are size-aware
+# ---------------------------------------------------------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fdf_cube(spark, name, n=240, groups=4):
+    """A from_dataframe large_dim cube with value = leaf ordinal."""
+    src = spark.range(n).select(
+        F.concat(F.lit("k"), "id").alias("leaf"),
+        F.concat(F.lit("g"), (F.col("id") % groups)).alias("grp"),
+    )
+    db = Database(name, spark=spark)
+    d = db.add_dimension_from_dataframe(
+        "cust", src, "leaf", parent_col="grp", top="AllCust"
+    )
+    meas = db.add_dimension("meas").edit()
+    meas.add_many("value")
+    meas.commit()
+    cube = db.add_cube("c", [d, meas])
+    name_to_id = engine.members_df(spark, d).select(
+        F.col("name").alias("__nm"),
+        F.col("member_id").alias(cube._cols[0]),
+    )
+    fact = (
+        src.select("leaf")
+        .withColumn(
+            "value",
+            F.regexp_extract("leaf", r"k(\d+)", 1).cast("double"),
+        )
+        .join(name_to_id, F.col("leaf") == F.col("__nm"))
+        .select(
+            cube._cols[0],
+            F.lit(meas.member("value").index).alias(cube._cols[1]),
+            "value",
+        )
+        # cut the one-time load lineage: the by-name id resolution join
+        # would otherwise appear inside the cached fact's
+        # InMemoryRelation text and trip the no-broadcast plan asserts
+        # (which are about QUERY plans, not the load)
+        .localCheckpoint(eager=True)
+    )
+    cube.load_dataframe(fact, assume_unique=True)
+    return db, d, cube
+
+
+def _rollup_grid(spark, d, cube):
+    anc = [m.index for m in d.members_by_level(1)] + [
+        d.member("AllCust").index
+    ]
+    axes = {
+        cube._cols[0]: anc,
+        cube._cols[1]: [cube.dimensions[1].member("value").index],
+    }
+    return engine.aggregate_grid(
+        cube.fact, spark, cube._dims_spec(), axes, [cube._cols[0]]
+    )
+
+
+def test_engine_closure_strategy_both_regimes(spark, monkeypatch):
+    """The last unconditioned shuffle_hash pins (engine._closure_side /
+    _members_side) now consult the size-aware strategy: in-budget keeps
+    the hash join; past the int-triple budget the closure join flips to
+    spillable sort-merge — identical values, never a broadcast."""
+    n, groups = 240, 4
+    db, d, cube = _fdf_cube(spark, "strat13", n, groups)
+    grid = _rollup_grid(spark, d, cube)
+    p = _plan(grid)
+    assert "ShuffledHashJoin" in p and "BroadcastHashJoin" not in p
+    want = {
+        r[cube._cols[0]]: r["value"] for r in grid.collect()
+    }
+    top = d.member("AllCust").index
+    assert want[top] == pytest.approx(sum(range(n)))
+    # the build recorded the exact closure count once — zero-job reads
+    key = (id(spark), d.uid, d.version)
+    exp_rows = (groups + 1) * 2 - 1 + n + 2 * n  # upper ∪ id ∪ leaf-up
+    assert engine._closure_counts[key] == exp_rows
+    monkeypatch.setattr(engine, "CLOSURE_BUILD_ROWS_PER_PARTITION", 0)
+    grid2 = _rollup_grid(spark, d, cube)
+    p2 = _plan(grid2)
+    assert "SortMergeJoin" in p2 and "BroadcastHashJoin" not in p2
+    got = {r[cube._cols[0]]: r["value"] for r in grid2.collect()}
+    assert got == want
+    engine.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r12 #1: from_dataframe dimensions persist through save()/open()
+# ---------------------------------------------------------------------------
+
+
+def test_from_dataframe_save_open_roundtrip(spark, tmp_path):
+    """The flagship persistence contract for the 100x construction path
+    (reference storage/sqlite.py:391-489 analogue): save() writes the
+    leaf frame as parquet next to the fact tables (baking the leaf
+    ids), open() reloads it lazily, and the same aggregated reads
+    return identical values with the driver closure deferred
+    throughout."""
+    n = 240
+    db, d, cube = _fdf_cube(spark, "perst13", n)
+    want_all = cube.get(("AllCust", "value"))
+    want_g2 = cube.get(("g2", "value"))
+    ids0 = {
+        r["name"]: r["member_id"]
+        for r in engine._from_df_leaf_frame(spark, d).collect()
+    }
+    path = str(tmp_path / "db")
+    db.save(path)
+    assert (tmp_path / "db" / "dims" / "cust.parquet").exists()
+    engine.clear_caches()
+
+    db2 = Database.open(path, spark=spark)
+    d2 = db2.dimension("cust")
+    assert getattr(d2, "_from_dataframe", False)
+    assert d2._n_leaves == n  # from the document, no count job
+    assert d2.member("AllCust").level == 2  # upper levels re-lifted
+    cube2 = db2.cube("c")
+    assert cube2.get(("AllCust", "value")) == pytest.approx(want_all)
+    assert cube2.get(("g2", "value")) == pytest.approx(want_g2)
+    assert d2._closure == []  # deferred walk never ran
+    # leaf ids are DURABLE: baked into the parquet, identical by name
+    ids2 = {
+        r["name"]: r["member_id"]
+        for r in engine._from_df_leaf_frame(spark, d2).collect()
+    }
+    assert ids2 == ids0
+    # immutability and driver-side guards survive the round trip
+    from tinyolap_spark.metadata import DimensionEditError
+
+    with pytest.raises(DimensionEditError, match="immutable"):
+        d2.edit()
+    with pytest.raises(DimensionScaleError, match="from_dataframe"):
+        d2.closure_rows
+    # open -> save back to the SAME path (the reference's routine
+    # workflow): the checkpointed leaf frame must not scan the
+    # destination during the overwrite
+    db2.save(path)
+    engine.clear_caches()
+    db3 = Database.open(path, spark=spark)
+    assert db3.cube("c").get(("AllCust", "value"))== pytest.approx(want_all)
+    assert {
+        r["name"]: r["member_id"]
+        for r in engine._from_df_leaf_frame(
+            spark, db3.dimension("cust")
+        ).collect()
+    } == ids0
+    engine.clear_caches()
+
+
+def test_from_dataframe_save_open_encrypted(spark, tmp_path):
+    """password= encrypts fact values; leaf NAMES are metadata and stay
+    cleartext like every member name in database.json — the round trip
+    must still be exact."""
+    db, d, cube = _fdf_cube(spark, "perstenc13", 120)
+    want = cube.get(("AllCust", "value"))
+    path = str(tmp_path / "edb")
+    db.save(path, password="s3cret")
+    engine.clear_caches()
+    from tinyolap_spark.metadata import TinyOlapError
+
+    with pytest.raises(TinyOlapError, match="encrypted"):
+        Database.open(path, spark=spark)
+    db2 = Database.open(path, spark=spark, password="s3cret")
+    assert db2.cube("c").get(("AllCust", "value")) == pytest.approx(want)
+    engine.clear_caches()
+
+
+@pytest.mark.endurance
+def test_million_leaf_from_dataframe_save_open_fresh_session(
+    spark, tmp_path
+):
+    """VERDICT r12 #1 'done' bar, verbatim: build a 10^6-leaf dimension
+    with from_dataframe, write facts, save(), then a FRESH SESSION
+    (subprocess with its own SparkSession/JVM) open()s the database and
+    the same aggregated reads return identical values with
+    ``_closure == []`` throughout."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    n, groups = 1_000_000, 1000
+    src = spark.range(n).select(
+        F.concat(F.lit("k"), "id").alias("leaf"),
+        F.concat(F.lit("g"), (F.col("id") % groups)).alias("grp"),
+    )
+    db = Database("m13", spark=spark)
+    d = db.add_dimension_from_dataframe(
+        "cust", src, "leaf", parent_col="grp", top="AllCust"
+    )
+    meas = db.add_dimension("meas").edit()
+    meas.add_many("value")
+    meas.commit()
+    cube = db.add_cube("c", [d, meas])
+    leaves = engine._from_df_leaf_frame(spark, d)
+    fact = leaves.select(
+        F.col("member_id").alias(cube._cols[0]),
+        F.lit(meas.member("value").index).alias(cube._cols[1]),
+        F.regexp_extract("name", r"k(\d+)", 1)
+        .cast("double")
+        .alias("value"),
+    )
+    cube.load_dataframe(fact, assume_unique=True)
+    want_all = cube.get(("AllCust", "value"))
+    want_g7 = cube.get(("g7", "value"))
+    assert want_all == pytest.approx(float(n) * (n - 1) / 2)
+    assert want_g7 == pytest.approx(
+        sum(float(i) for i in range(7, n, groups))
+    )
+    assert d._closure == []
+    path = str(tmp_path / "m13db")
+    db.save(path)
+    script = textwrap.dedent(
+        f"""
+        import json
+        from pyspark.sql import SparkSession
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.driver.memory", "4g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        from tinyolap_spark import Database
+        db = Database.open({path!r}, spark=spark)
+        d = db.dimension("cust")
+        c = db.cube("c")
+        va = c.get(("AllCust", "value"))
+        vg = c.get(("g7", "value"))
+        assert d._closure == [], "driver walk ran in the fresh session"
+        assert d._n_leaves == {n}
+        print(json.dumps({{"all": va, "g7": vg}}))
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got["all"] == pytest.approx(want_all)
+    assert got["g7"] == pytest.approx(want_g7)
+    engine.clear_caches()
+
+
+def test_from_dataframe_clone(spark):
+    """clone() rides the save/open round trip — it must now work for a
+    database containing a from_dataframe dimension."""
+    db, d, cube = _fdf_cube(spark, "clone13", 120)
+    want = cube.get(("g1", "value"))
+    out = db.clone()
+    assert out.cube("c").get(("g1", "value")) == pytest.approx(want)
+    engine.clear_caches()
+
+
+def test_engine_members_strategy_both_regimes(spark, monkeypatch):
+    """View label join over a large_dim members frame: hash in budget,
+    sort-merge past the string-row budget; values identical."""
+    from tinyolap_spark.pipeline import dedup
+    from tinyolap_spark.view import View
+
+    db, d, cube = _fdf_cube(spark, "strat13m")
+
+    def grid_df():
+        names = sorted(m.name for m in d.members_by_level(1)) + [
+            "AllCust"
+        ]
+        return View(
+            cube,
+            rows=[(d.name, names)],
+            columns=[(cube.dimensions[1].name, ["value"])],
+        ).to_df()
+
+    # assertions are keyed on the large_dim column: the tiny 'meas'
+    # label join legitimately broadcasts
+    g1 = grid_df()
+    p1 = _plan(g1)
+    assert "ShuffledHashJoin [cust" in p1
+    assert "BroadcastHashJoin [cust" not in p1
+    want = sorted(
+        (r[f"{cube._cols[0]}_name"], r["value"]) for r in g1.collect()
+    )
+    monkeypatch.setattr(dedup, "SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION", 0)
+    g2 = grid_df()
+    p2 = _plan(g2)
+    assert "SortMergeJoin [cust" in p2
+    assert "BroadcastHashJoin [cust" not in p2
+    got = sorted(
+        (r[f"{cube._cols[0]}_name"], r["value"]) for r in g2.collect()
+    )
+    assert got == want
+    engine.clear_caches()

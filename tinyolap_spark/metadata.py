@@ -30,6 +30,7 @@ and let Catalyst do the rest.
 from __future__ import annotations
 
 import fnmatch
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterable, Optional, Sequence
@@ -1256,12 +1257,27 @@ class Dimension:
     # ---------------------------------------------------------------- misc
     def to_dict(self) -> dict:
         if getattr(self, "_from_dataframe", False):
-            raise DimensionScaleError(
-                f"dimension '{self.name}' was built with from_dataframe "
-                f"and does not JSON-serialize (its members live in a "
-                f"DataFrame, not the driver graph) — persist the SOURCE "
-                f"DataFrame and rebuild with from_dataframe instead"
-            )
+            # the JSON document carries the UPPER hierarchy only
+            # (O(groups)) plus a descriptor; the leaves themselves are
+            # parquet, written by Database.save() next to the fact
+            # tables (it fills in "leaf_file" — a bare
+            # to_dict -> from_dict round trip without one still raises
+            # in from_dict, because JSON cannot hold 10^7 leaves)
+            out = self._base_dict()
+            src = self._src
+            out["from_dataframe"] = {
+                "top": src["top"],
+                "leaf_col": src["leaf_col"],
+                "parent_col": src["parent_col"],
+                "weight_col": src["weight_col"],
+                "nparts": src.get("nparts"),
+                "n_leaves": self._n_leaves,
+                "leaf_file": src.get("leaf_file"),
+            }
+            return out
+        return self._base_dict()
+
+    def _base_dict(self) -> dict:
         return {
             "name": self.name,
             "description": self.description,
@@ -1293,7 +1309,21 @@ class Dimension:
         }
 
     @classmethod
-    def from_dict(cls, data: dict) -> "Dimension":
+    def from_dict(
+        cls,
+        data: dict,
+        spark=None,
+        base_path: "str | None" = None,
+    ) -> "Dimension":
+        """Rebuild from :meth:`to_dict` output.  For a ``from_dataframe``
+        dimension the document holds only the upper hierarchy plus a
+        descriptor pointing at the leaf parquet ``Database.save()``
+        wrote — pass ``base_path`` (the database directory) so the
+        relative ``leaf_file`` resolves; the leaf frame itself loads
+        lazily on first query.  Persisted leaf ids are DURABLE: they are
+        baked into the parquet, so fact frames saved against them stay
+        correct across sessions (the session-scoped caveat applies only
+        to never-saved databases)."""
         dim = cls(
             data["name"],
             data.get("description", ""),
@@ -1333,6 +1363,34 @@ class Dimension:
         else:
             dim._compute_closure()
         dim.version = 1
+        fd = data.get("from_dataframe")
+        if fd is not None:
+            leaf_file = fd.get("leaf_file")
+            if not leaf_file:
+                raise DimensionScaleError(
+                    f"dimension '{data['name']}' was built with "
+                    f"from_dataframe and its document has no leaf_file: "
+                    f"the leaves live in parquet, not JSON — persist "
+                    f"through Database.save()/open(), or rebuild from "
+                    f"the source DataFrame"
+                )
+            if not os.path.isabs(leaf_file):
+                leaf_file = os.path.join(base_path or ".", leaf_file)
+            # driver levels see groups as leaves; Spark-side leaves sit
+            # one level below — same lift as from_dataframe applies
+            for m in dim._defs.values():
+                m.level += 1
+            dim._from_dataframe = True
+            dim._src = {
+                "df": None,
+                "leaf_col": fd.get("leaf_col"),
+                "parent_col": fd.get("parent_col"),
+                "weight_col": fd.get("weight_col"),
+                "top": fd.get("top"),
+                "nparts": fd.get("nparts"),
+                "leaf_file": leaf_file,
+            }
+            dim._n_leaves = fd.get("n_leaves")
         return dim
 
     def __repr__(self) -> str:  # pragma: no cover

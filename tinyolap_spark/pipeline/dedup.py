@@ -282,7 +282,11 @@ def shingle_frame(
 SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION = 250_000
 
 
-def gram_join_strategy(n_build_rows: int, spark) -> str:
+def gram_join_strategy(
+    n_build_rows: int,
+    spark,
+    rows_per_partition: "int | None" = None,
+) -> str:
     """Join hint for a GRAM-UNIVERSE-sized build side (df frames,
     posting self-joins): never broadcast (the frame grows with the
     corpus — a driver-side build is impossible at 100 TB), hash-join
@@ -292,7 +296,15 @@ def gram_join_strategy(n_build_rows: int, spark) -> str:
     re-engages automatically — the ``merge`` fallback is the honest
     single-node / under-partitioned answer, found by the r11 sf10 probe
     (VERDICT r10 #4: a hand-pinned ``shuffle_hash`` OOM'd exactly where
-    the judge predicted the pin's break-even could invert)."""
+    the judge predicted the pin's break-even could invert).
+
+    ``rows_per_partition`` overrides the per-partition budget for build
+    rows of a different weight class — the engine's closure joins pass
+    ``engine.CLOSURE_BUILD_ROWS_PER_PARTITION`` (int triples, ~5x
+    narrower than string grams).  The default stays LATE-bound to the
+    module constant so the regime-flip tests can monkeypatch it."""
+    if rows_per_partition is None:
+        rows_per_partition = SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION
     try:
         parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except (ValueError, TypeError):
@@ -303,7 +315,7 @@ def gram_join_strategy(n_build_rows: int, spark) -> str:
             parts = int(spark.sparkContext.defaultParallelism)
         except Exception:  # noqa: BLE001 — connect-mode / torn session
             parts = 200
-    if n_build_rows / max(parts, 1) <= SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION:
+    if n_build_rows / max(parts, 1) <= rows_per_partition:
         return "shuffle_hash"
     return "merge"
 
