@@ -270,6 +270,138 @@ def test_engine_closure_strategy_both_regimes(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r12 #4: multi_parent from_dataframe (edge-list input)
+# ---------------------------------------------------------------------------
+
+
+def test_from_dataframe_multi_parent_matches_driver_walk(spark):
+    """Bit-exact differential: a multi_parent from_dataframe closure
+    equals the editable-API driver walk on the same DAG — direct-parent
+    rows per edge, shared-ancestor weights merged last-DFS-path-wins
+    (the path through the greatest-position group wins)."""
+    rows = []
+    for i in range(60):
+        rows.append((f"k{i}", f"g{i % 4}", 1.0 + (i % 3)))
+        rows.append((f"k{i}", f"g{(i + 2) % 4}", 0.5))
+    rows.append(("k0", "g1", 2.5))  # third parent for k0
+    rows.append(("k0", "g1", 1.5))  # duplicate edge -> dedupes to max
+    src = spark.createDataFrame(rows, "leaf string, grp string, w double")
+    fd = Dimension.from_dataframe(
+        "mp13", src, "leaf", parent_col="grp", weight_col="w",
+        multi_parent=True,
+    )
+    assert fd._n_leaves == 60
+    names = {
+        r["member_id"]: r["name"]
+        for r in engine.members_df(spark, fd).collect()
+    }
+    assert len(names) == 65  # 60 leaves + 4 groups + top, no dup rows
+    got = {
+        (names[r["member_id"]], names[r["ancestor_id"]]): r["weight"]
+        for r in engine.closure_df(spark, fd).collect()
+    }
+    # driver twin: same DAG through the editable API (groups in sorted
+    # order, duplicate edges collapsed to max weight up front — the
+    # documented from_dataframe dedup rule)
+    dedup: dict = {}
+    for leaf, g, w in rows:
+        dedup[(leaf, g)] = max(w, dedup.get((leaf, g), float("-inf")))
+    d = Dimension("mp13drv").edit()
+    d.add_member("All", sorted({g for _, g, _ in rows}))
+    for (leaf, g), w in dedup.items():
+        d.add_member(g, [leaf], [w])
+    d.commit()
+    want = {
+        (d._defs[m].name, d._defs[a].name): w
+        for m, a, w in d.closure_rows
+    }
+    # the from_dataframe closure also carries upper->ancestor rows
+    # (g, All) the driver closure omits — same shape difference as the
+    # single-parent path (pinned by the r12 count test); compare the
+    # leaf rows + identities bit-exact and check the upper rows apart
+    upper_names = {"All", "g0", "g1", "g2", "g3"}
+    got_leaf = {
+        k: v
+        for k, v in got.items()
+        if not (k[0] in upper_names and k[0] != k[1])
+    }
+    assert got_leaf == want
+    for g in ("g0", "g1", "g2", "g3"):
+        assert got[(g, "All")] == 1.0
+    # the merge is real: k0 sits under g0 (pos 0, w 1.0), g1 (pos 1,
+    # w 2.5) and g2 (pos 2, w 0.5) — toward All the g2 path wins
+    assert got[("k0", "All")] == 0.5
+    assert got[("k0", "g1")] == 2.5  # direct-parent rows keep their edge
+    engine.clear_caches()
+
+
+def test_from_dataframe_multi_parent_rollup_and_roundtrip(spark, tmp_path):
+    """A leaf under two groups contributes to BOTH group rollups (and
+    once, via the winning path, to the top); the whole thing survives
+    save()/open() — the persisted parquet holds the EDGE rows and the
+    leaf/members frames re-derive from it."""
+    rows = [(f"k{i}", f"g{i % 3}", 1.0) for i in range(30)]
+    rows += [(f"k{i}", "gx", 1.0) for i in range(0, 30, 5)]  # 6 dual
+    src = spark.createDataFrame(rows, "leaf string, grp string, w double")
+    db = Database("mprt13", spark=spark)
+    d = db.add_dimension_from_dataframe(
+        "keys", src, "leaf", parent_col="grp", weight_col="w",
+        top="All", multi_parent=True,
+    )
+    meas = db.add_dimension("meas").edit()
+    meas.add_many("value")
+    meas.commit()
+    cube = db.add_cube("c", [d, meas])
+    fact = (
+        engine._from_df_leaf_frame(spark, d)
+        .select(
+            F.col("member_id").alias(cube._cols[0]),
+            F.lit(meas.member("value").index).alias(cube._cols[1]),
+            F.regexp_extract("name", r"k(\d+)", 1)
+            .cast("double")
+            .alias("value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cube.load_dataframe(fact, assume_unique=True)
+    want_g0 = sum(float(i) for i in range(30) if i % 3 == 0)
+    want_gx = sum(float(i) for i in range(0, 30, 5))
+    want_all = sum(float(i) for i in range(30))  # each leaf ONCE
+    assert cube.get(("g0", "value")) == pytest.approx(want_g0)
+    assert cube.get(("gx", "value")) == pytest.approx(want_gx)
+    assert cube.get(("All", "value")) == pytest.approx(want_all)
+    path = str(tmp_path / "mpdb")
+    db.save(path)
+    engine.clear_caches()
+    db2 = Database.open(path, spark=spark)
+    d2 = db2.dimension("keys")
+    assert d2._src.get("multi_parent") is True
+    cube2 = db2.cube("c")
+    assert cube2.get(("g0", "value")) == pytest.approx(want_g0)
+    assert cube2.get(("gx", "value")) == pytest.approx(want_gx)
+    assert cube2.get(("All", "value")) == pytest.approx(want_all)
+    assert d2._closure == []
+    # leaf frame re-derives one row per member from the edge parquet
+    leaves2 = engine._from_df_leaf_frame(spark, d2)
+    assert leaves2.count() == 30
+    assert d2._n_leaves == 30
+    # the dual-membership edges survived the round trip
+    edges2 = engine._from_df_edge_frame(spark, d2)
+    assert edges2.count() == 36
+    engine.clear_caches()
+
+
+def test_from_dataframe_multi_parent_requires_parent_col(spark):
+    with pytest.raises(InvalidAddressError, match="parent_col"):
+        Dimension.from_dataframe(
+            "mpbad",
+            spark.createDataFrame([("a",)], "leaf string"),
+            "leaf",
+            multi_parent=True,
+        )
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r12 #1: from_dataframe dimensions persist through save()/open()
 # ---------------------------------------------------------------------------
 

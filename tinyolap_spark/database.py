@@ -97,6 +97,7 @@ class Database:
         weight_col: "str | None" = None,
         top: str = "All",
         description: str = "",
+        multi_parent: bool = False,
     ) -> Dimension:
         """Register a :meth:`Dimension.from_dataframe` dimension — the
         100x construction path for very-high-cardinality member sets
@@ -113,6 +114,7 @@ class Database:
             name, df, leaf_col,
             parent_col=parent_col, weight_col=weight_col,
             top=top, description=description,
+            multi_parent=multi_parent,
         )
         self.dimensions[key] = d
         return d
@@ -322,9 +324,17 @@ class Database:
                 from . import engine
 
                 rel = os.path.join("dims", f"{d.name.lower()}.parquet")
-                engine._from_df_leaf_frame(self.spark, d).write.mode(
-                    "overwrite"
-                ).parquet(os.path.join(path, rel))
+                frame = (
+                    # multi_parent: the EDGE frame is the durable truth
+                    # (several rows per member); the leaf frame derives
+                    # from it on open
+                    engine._from_df_edge_frame(self.spark, d)
+                    if d._src.get("multi_parent")
+                    else engine._from_df_leaf_frame(self.spark, d)
+                )
+                frame.write.mode("overwrite").parquet(
+                    os.path.join(path, rel)
+                )
                 dd["from_dataframe"]["leaf_file"] = rel
             dims_meta.append(dd)
         meta = {

@@ -276,6 +276,39 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
     if df is not None:
         return df
     src = dim._src
+    if (
+        src.get("df") is None
+        and src.get("leaf_file")
+        and src.get("multi_parent")
+    ):
+        # persisted multi_parent dimension: the parquet holds EDGE rows
+        # (several per member) — the leaf frame collapses them to one
+        # canonical row each (names are identical per member, fixed at
+        # build; the representative parent is the max id = the last
+        # group in sorted order, matching the single-parent last-wins
+        # flavor).  Derived from the checkpointed edge frame, so plans
+        # stay LogicalRDD-rooted — no extra checkpoint job.
+        edges = _from_df_edge_frame(spark, dim)
+        df = edges.groupBy("member_id").agg(
+            F.max("name").alias("name"),
+            F.max("parent_id").alias("parent_id"),
+            F.max_by("weight", "parent_id").alias("weight"),
+        ).select(
+            F.col("member_id").cast(IntegerType()).alias("member_id"),
+            F.col("name").cast(StringType()).alias("name"),
+            F.col("parent_id").cast(IntegerType()).alias("parent_id"),
+            F.col("weight").cast(DoubleType()).alias("weight"),
+        )
+        for old in [
+            k
+            for k in _leaf_cache
+            if k[0] == key[0] and k[1] == key[1] and k[2] != key[2]
+        ]:
+            _leaf_cache.pop(old)
+        _leaf_cache[key] = df
+        if dim._n_leaves is None:
+            dim._n_leaves = df.count()
+        return df
     if src.get("df") is None and src.get("leaf_file"):
         # persisted dimension (Database.open): member ids are BAKED
         # into the parquet Database.save() wrote, so facts saved
@@ -503,28 +536,154 @@ def _from_df_leaf_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
     return df
 
 
+#: multi_parent from_dataframe EDGE frames (member_id, name, parent_id,
+#: weight — several rows per member), checkpointed eager like the leaf
+#: frames; this is also the frame Database.save persists for them
+_edge_cache: dict[tuple[int, int, int], DataFrame] = {}
+_ckpt_edges: dict[tuple[int, int, int], object] = {}
+
+
+def _from_df_edge_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
+    """Edge frame for a ``multi_parent`` from_dataframe dimension
+    (VERDICT r12 #4): one row per DISTINCT (leaf, parent) pair —
+    duplicate source rows for the same edge dedupe to their MAX weight
+    (deterministic; the driver analogue of repeated
+    ``add_member(parent, [leaf], [w])`` where the last write wins has
+    no stable order over a distributed frame).  Leaf ids and canonical
+    names come from the leaf frame, which already ran the
+    null/clash/unknown-parent validation over the same source."""
+    key = (id(spark), dim.uid, dim.version)
+    df = _edge_cache.get(key)
+    if df is not None:
+        return df
+    src = dim._src
+    if src.get("df") is None and src.get("leaf_file"):
+        # persisted (Database.open): the parquet IS the edge frame for
+        # multi_parent dimensions — ids baked, validation already ran
+        df = spark.read.parquet(src["leaf_file"]).select(
+            F.col("member_id").cast(IntegerType()).alias("member_id"),
+            F.col("name").cast(StringType()).alias("name"),
+            F.col("parent_id").cast(IntegerType()).alias("parent_id"),
+            F.col("weight").cast(DoubleType()).alias("weight"),
+        )
+    else:
+        leaves = _from_df_leaf_frame(spark, dim)
+        leaf_col, parent_col = src["leaf_col"], src["parent_col"]
+        weight_col = src["weight_col"]
+        w = (
+            F.col(weight_col).cast(DoubleType())
+            if weight_col
+            else F.lit(1.0).cast(DoubleType())
+        )
+        rows = src["df"].select(
+            F.lower(
+                F.trim(F.col(leaf_col).cast(StringType()))
+            ).alias("__key"),
+            F.lower(
+                F.trim(F.col(parent_col).cast(StringType()))
+            ).alias("__pkey"),
+            w.alias("weight"),
+        )
+        edges = rows.groupBy("__key", "__pkey").agg(
+            F.max("weight").alias("weight")
+        )
+        ids = leaves.select(
+            F.lower(F.col("name")).alias("__key"), "member_id", "name"
+        )
+        upper_df = spark.createDataFrame(
+            [(k, int(i)) for k, i in dim._lookup.items()],
+            schema="__pkey string, parent_id int",
+        )
+        df = (
+            edges.join(ids, "__key")
+            .join(F.broadcast(upper_df), "__pkey")
+            .select(
+                "member_id",
+                "name",
+                "parent_id",
+                F.col("weight").cast(DoubleType()).alias("weight"),
+            )
+        )
+    df = df.localCheckpoint(eager=True)
+    from .pipeline.dedup import _ckpt_rdd
+
+    rdd = _ckpt_rdd(df)
+    if rdd is not None:
+        _ckpt_edges[key] = rdd
+    for old in [
+        k
+        for k in _edge_cache
+        if k[0] == key[0] and k[1] == key[1] and k[2] != key[2]
+    ]:
+        _edge_cache.pop(old)
+        r = _ckpt_edges.pop(old, None)
+        if r is not None:
+            try:
+                r.unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
+    _edge_cache[key] = df
+    return df
+
+
 def _from_df_closure_frame(spark: SparkSession, dim: Dimension) -> DataFrame:
     """Closure frame for a from_dataframe dimension: upper closure rows
     (O(groups), driver walk) ∪ leaf identities ∪ leaf->ancestor rows
     (leaf edges joined to the broadcast upper closure — a leaf inherits
-    every ancestor of its parent, weights multiplying leaf-up)."""
+    every ancestor of its parent, weights multiplying leaf-up).
+
+    ``multi_parent`` dimensions contribute one row per DISTINCT
+    (leaf, ancestor) pair: for a direct parent the edge weight; toward
+    a shared ancestor the competing paths merge with the driver walk's
+    last-DFS-path-wins rule — ``max_by`` over the ancestor-down
+    child-position path key (lex-MAX = last in DFS order, the exact
+    :func:`_distributed_closure_df` key rule; equal-length keys per
+    group because from_dataframe's groups all sit at the same depth)."""
     leaves = _from_df_leaf_frame(spark, dim)
     upper = spark.createDataFrame(
         [(int(m), int(a), float(w)) for m, a, w in dim._upper_closure_rows()],
         schema=_CLOSURE_SCHEMA,
     )
-    anc = upper.select(
-        F.col("member_id").alias("__p"),
-        F.col("ancestor_id"),
-        F.col("weight").alias("__wu"),
-    )
-    leaf_up = leaves.join(
-        F.broadcast(anc), leaves["parent_id"] == F.col("__p")
-    ).select(
-        F.col("member_id"),
-        F.col("ancestor_id"),
-        (F.col("weight") * F.col("__wu")).cast(DoubleType()).alias("weight"),
-    )
+    if dim._src.get("multi_parent"):
+        edges = _from_df_edge_frame(spark, dim)
+        anc_k = spark.createDataFrame(
+            [
+                (int(m), int(a), float(w), k)
+                for m, a, w, k in dim._upper_closure_rows_keyed()
+            ],
+            schema="__p int, ancestor_id int, __wu double, __k string",
+        )
+        leaf_up = (
+            edges.join(
+                F.broadcast(anc_k), edges["parent_id"] == F.col("__p")
+            )
+            .groupBy("member_id", "ancestor_id")
+            .agg(
+                F.max_by(
+                    F.col("weight") * F.col("__wu"), F.col("__k")
+                ).alias("weight")
+            )
+            .select(
+                F.col("member_id"),
+                F.col("ancestor_id"),
+                F.col("weight").cast(DoubleType()).alias("weight"),
+            )
+        )
+    else:
+        anc = upper.select(
+            F.col("member_id").alias("__p"),
+            F.col("ancestor_id"),
+            F.col("weight").alias("__wu"),
+        )
+        leaf_up = leaves.join(
+            F.broadcast(anc), leaves["parent_id"] == F.col("__p")
+        ).select(
+            F.col("member_id"),
+            F.col("ancestor_id"),
+            (F.col("weight") * F.col("__wu"))
+            .cast(DoubleType())
+            .alias("weight"),
+        )
     leaf_id = leaves.select(
         F.col("member_id"),
         F.col("member_id").alias("ancestor_id"),
@@ -761,17 +920,19 @@ def members_df(spark: SparkSession, dim: Dimension) -> DataFrame:
 def clear_caches() -> None:
     for key in list(_ckpt_closures):
         _free_ckpt_closure(key)
-    for key in list(_ckpt_leaves):
-        rdd = _ckpt_leaves.pop(key, None)
-        if rdd is not None:
-            try:
-                rdd.unpersist(False)
-            except Exception:  # noqa: BLE001 — session torn down
-                pass
+    for store in (_ckpt_leaves, _ckpt_edges):
+        for key in list(store):
+            rdd = store.pop(key, None)
+            if rdd is not None:
+                try:
+                    rdd.unpersist(False)
+                except Exception:  # noqa: BLE001 — session torn down
+                    pass
     _closure_cache.clear()
     _closure_counts.clear()
     _members_cache.clear()
     _leaf_cache.clear()
+    _edge_cache.clear()
 
 
 # ---------------------------------------------------------------------------

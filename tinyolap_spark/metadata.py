@@ -509,6 +509,7 @@ class Dimension:
         weight_col: Optional[str] = None,
         top: str = "All",
         description: str = "",
+        multi_parent: bool = False,
     ) -> "Dimension":
         """Build a BIG flat/2-level dimension from a source DataFrame —
         the 100x construction path for the ``large_dim`` shape (VERDICT
@@ -522,10 +523,23 @@ class Dimension:
         (optional) = each leaf's group name — groups sit under ``top``;
         without it every leaf sits directly under ``top``.
         ``weight_col`` (optional) = the leaf->parent edge weight
-        (default 1.0).  A leaf appearing under several parents resolves
-        to the lexicographically-LAST (parent, weight) struct —
-        deterministic; model true multi-parent DAGs with the editable
-        API instead.
+        (default 1.0).  By default a leaf appearing under several
+        parents resolves to the lexicographically-LAST (parent, weight)
+        struct — deterministic single-edge semantics.
+
+        ``multi_parent=True`` treats the source as an EDGE LIST instead
+        (VERDICT r12 #4): every distinct (leaf, parent) row becomes a
+        true DAG edge (duplicate edges dedupe to their max weight), so
+        a leaf under two groups contributes to BOTH groups' rollups,
+        and its weight toward the top merges with the driver walk's
+        exact last-DFS-path-wins rule (the path through the parent at
+        the greatest child position under the shared ancestor wins —
+        groups sit under ``top`` in sorted-name order, so "last" is
+        deterministic; bit-exact vs the editable-API closure by the
+        round-13 differential test).  Requires ``parent_col``; the
+        upper hierarchy stays the flat groups-under-top shape either
+        way — model DEEP multi-parent hierarchies with the editable
+        API.
 
         Contract (all enforced or documented):
 
@@ -542,6 +556,12 @@ class Dimension:
         """
         from pyspark.sql import functions as F
 
+        if multi_parent and parent_col is None:
+            raise InvalidAddressError(
+                f"from_dataframe dimension '{name}': multi_parent=True "
+                f"needs parent_col — without parents there are no "
+                f"edges to multiply"
+            )
         if parent_col is not None:
             groups = sorted(
                 r[0]
@@ -589,6 +609,7 @@ class Dimension:
             "weight_col": weight_col,
             "top": top,
             "nparts": nparts,
+            "multi_parent": bool(multi_parent),
         }
         d._n_leaves = None
         # eager leaf-frame build: assigns ids, counts leaves, and raises
@@ -603,19 +624,40 @@ class Dimension:
         top — O(groups) rows), for the from_dataframe frame builders.
         Distinct from ``closure_rows``, which for a from_dataframe
         dimension raises (it would be missing every leaf)."""
-        rows: list[tuple[int, int, float]] = []
+        return [(m, a, w) for m, a, w, _k in self._upper_closure_rows_keyed()]
+
+    def _upper_closure_rows_keyed(
+        self,
+    ) -> list[tuple[int, int, float, str]]:
+        """:meth:`_upper_closure_rows` plus the DFS child-position path
+        key from the ancestor DOWN to the member ("%08x" per hop,
+        ancestor-first) — the multi_parent leaf-closure merge key:
+        last-DFS-path-wins is lexicographically-MAX key, the exact rule
+        ``engine._distributed_closure_df`` uses for driver-graph DAGs.
+        For the shapes from_dataframe constructs (groups all at the
+        same depth under top) competing paths for one (leaf, ancestor)
+        pair carry equal-length keys, so string order is positional
+        order."""
+        pos = {
+            i: {c: p for p, c in enumerate(mdef.children)}
+            for i, mdef in self._defs.items()
+        }
+        rows: list[tuple[int, int, float, str]] = []
         for i in self._defs:
-            rows.append((i, i, 1.0))
-        for i, mdef in self._defs.items():
+            rows.append((i, i, 1.0, ""))
+        for i in self._defs:
             # iterative upward walk with path-weight products; the upper
             # graph is a tree built by from_dataframe (each group has
             # exactly one parent edge), so no merge policy is needed
-            stack = [(i, 1.0)]
+            # among UPPER members — merging happens only at the leaf
+            # level, keyed by these paths
+            stack = [(i, 1.0, "")]
             while stack:
-                cur, w = stack.pop()
+                cur, w, key = stack.pop()
                 for p, pw in self._defs[cur].parents.items():
-                    rows.append((i, p, w * pw))
-                    stack.append((p, w * pw))
+                    k = f"{pos[p][cur]:08x}" + key
+                    rows.append((i, p, w * pw, k))
+                    stack.append((p, w * pw, k))
         return rows
 
     def _require_edit(self) -> None:
@@ -1271,6 +1313,7 @@ class Dimension:
                 "parent_col": src["parent_col"],
                 "weight_col": src["weight_col"],
                 "nparts": src.get("nparts"),
+                "multi_parent": bool(src.get("multi_parent", False)),
                 "n_leaves": self._n_leaves,
                 "leaf_file": src.get("leaf_file"),
             }
@@ -1388,6 +1431,7 @@ class Dimension:
                 "weight_col": fd.get("weight_col"),
                 "top": fd.get("top"),
                 "nparts": fd.get("nparts"),
+                "multi_parent": bool(fd.get("multi_parent", False)),
                 "leaf_file": leaf_file,
             }
             dim._n_leaves = fd.get("n_leaves")
