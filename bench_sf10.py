@@ -173,9 +173,23 @@ def main():
         dedup against the warm index — the bench's per-batch headline
         kernel without the streaming harness."""
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        t0 = time.time()
-        idx = dd.CorpusDedupIndex(docs)
-        timings[f"{label}_index_build"] = round(time.time() - t0, 2)
+        # TWO builds, publish the min (the warm one): the r13 stage
+        # decomposition showed the index build's replicate spread
+        # (ratios 4.09-8.27 across sessions) lives entirely in the sf1
+        # DENOMINATOR's cold-vs-warm scan variance (sf1 build 4.3-10.8s
+        # by page-cache state; sf10 stage walls are stable ~31s =
+        # shingle ~19s + signature ~12s, both linear scans) — a single
+        # cold sf1 build understated the denominator and inflated the
+        # ratio.  The first build's wall is kept in extra.
+        builds = []
+        for _rep in range(2):
+            t0 = time.time()
+            idx = dd.CorpusDedupIndex(docs)
+            builds.append(round(time.time() - t0, 2))
+            if _rep == 0:
+                idx.release()
+        timings[f"{label}_index_build"] = min(builds)
+        extra[f"{label}_index_build_runs"] = builds
         # warm off-clock (service-lifetime cost, same as bench.py)
         idx.banded_capped(200)
         warm = docs.where(F.col("doc_id") < 50).select("doc_id", "text")
