@@ -567,6 +567,9 @@ def test_million_leaf_from_dataframe_save_open_fresh_session(
     got = json.loads(out.stdout.strip().splitlines()[-1])
     assert got["all"] == pytest.approx(want_all)
     assert got["g7"] == pytest.approx(want_g7)
+    # free the 1M-row persisted fact + checkpointed frames: later
+    # endurance tests in the same session time their per-batch walls
+    cube._fact.unpersist(blocking=True)
     engine.clear_caches()
 
 
