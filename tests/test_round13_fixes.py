@@ -391,6 +391,48 @@ def test_from_dataframe_multi_parent_rollup_and_roundtrip(spark, tmp_path):
     engine.clear_caches()
 
 
+def test_purge_orphans_refuses_from_dataframe_dim(spark):
+    """r13 probe finding: purge_orphans built its valid-id set from the
+    DRIVER member list — for a from_dataframe dimension that is the
+    upper hierarchy only, so every DataFrame-resident leaf fact would
+    be silently deleted.  It must refuse instead (the dimension is
+    immutable — nothing can orphan a member), and the facts must
+    survive the attempt."""
+    from tinyolap_spark.metadata import TinyOlapError
+
+    db, d, cube = _fdf_cube(spark, "purge13", 120)
+    before = cube.get(("AllCust", "value"))
+    with pytest.raises(TinyOlapError, match="immutable"):
+        db.purge_orphans(d)
+    assert cube.get(("AllCust", "value")) == pytest.approx(before)
+    engine.clear_caches()
+
+
+def test_star_surfaces_named_member_contract(spark):
+    """The "*" / default-axis member surface of a from_dataframe
+    dimension is the UPPER hierarchy (groups + top) — leaves live in a
+    DataFrame; pinned so the semantics stay deliberate, not
+    accidental.  api.py's members_count, by contrast, counts leaves."""
+    from tinyolap_spark.view import View
+
+    db, d, cube = _fdf_cube(spark, "star13", 120, groups=4)
+    view = View(
+        cube,
+        rows=[(d.name, None)],  # default axis = named-member surface
+        columns=[(cube.dimensions[1].name, ["value"])],
+    )
+    grid = view.to_df()
+    label = f"{cube._cols[0]}_name"
+    names = sorted(r[label] for r in grid.collect())
+    assert names == sorted(
+        ["AllCust"] + [f"g{i}" for i in range(4)]
+    )  # upper only, never the 120 leaves
+    # len(d) counts Spark-side leaves; d.members is the driver surface
+    assert len(d) == 120 + 5
+    assert len(d.members) == 5
+    engine.clear_caches()
+
+
 def test_from_dataframe_multi_parent_requires_parent_col(spark):
     with pytest.raises(InvalidAddressError, match="parent_col"):
         Dimension.from_dataframe(

@@ -273,7 +273,9 @@ class RestServer:
                     {
                         "id": d.name,
                         "description": d.description,
-                        "members_count": len(d.members),
+                        # len(d), not len(d.members): a from_dataframe
+                        # dimension's Spark-side leaves count too
+                        "members_count": len(d),
                     }
                     for d in db.dimensions.values()
                 ],

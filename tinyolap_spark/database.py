@@ -255,6 +255,19 @@ class Database:
         ``cube.py:565-576``) and drop caches."""
         from pyspark.sql import functions as F
 
+        if getattr(dim, "_from_dataframe", False):
+            # r13 probe finding: ``dim.members`` enumerates the driver
+            # graph (upper hierarchy only) — treating it as the valid
+            # id set would classify EVERY DataFrame-resident leaf as an
+            # orphan and silently delete all fact rows.  The dimension
+            # is immutable anyway, so there is nothing to purge.
+            raise TinyOlapError(
+                f"purge_orphans is meaningless for from_dataframe "
+                f"dimension '{dim.name}': it is immutable (no edit can "
+                f"orphan a member), and its leaves live in a DataFrame "
+                f"— the driver member list would wrongly mark every "
+                f"leaf fact as an orphan"
+            )
         valid = [m.index for m in dim.members]
         for cube in self.cubes.values():
             for col, d in cube._dims_spec():

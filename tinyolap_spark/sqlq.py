@@ -210,6 +210,10 @@ class Query:
             dim = cube.dimensions[pos]
             rhs = rhs.strip()
             if rhs == "*":
+                # named-member surface: for a from_dataframe dimension
+                # "*" expands to the upper hierarchy (groups + top) —
+                # leaves live in a DataFrame, not the driver graph
+                # (same contract as View's "*" axis)
                 add(pos, [m.index for m in dim.members])
             elif rhs.startswith("("):
                 names = [

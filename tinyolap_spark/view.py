@@ -42,6 +42,12 @@ class ViewAxis:
             pos = cube._dim_position(dim_name)
             dim = cube.dimensions[pos]
             if members is None or members == "*":
+                # the NAMED-member surface: for a from_dataframe
+                # dimension this is the upper hierarchy (groups + top)
+                # by design — its leaves live in a DataFrame and a
+                # 10^7-row view axis is never what "*" means; query
+                # leaves with DataFrame filters instead (pinned by
+                # tests/test_round13_fixes.py)
                 idxs = [m.index for m in dim.members]
             elif isinstance(members, str):
                 if members.lower() in dim.subsets:
