@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Capture .explain("formatted") for every ACTIVE declared query into
+plans/r13/<query>_<tag>.txt (tag = before/after).  Same session conf as
+bench.py so the plans match what the bench executes.
+
+Usage: python scripts/capture_plans.py <tag> [query ...]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
+ONLY = set(sys.argv[2:])
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("capture-plans")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.maxPlanStringLength", "5000000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entry
+
+    here = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r13",
+    )
+    os.makedirs(here, exist_ok=True)
+    qs = entry.queries()
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            plan = f"ERROR: {type(exc).__name__}: {exc}"
+        with open(os.path.join(here, f"{name}_{TAG}.txt"), "w") as f:
+            f.write(plan)
+        print(f"{name}: {time.time() - t0:.1f}s, {len(plan)} chars")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -374,10 +374,23 @@ def _banded_frame(
     Barrier: the output is 3 small ints per doc-band — tiny next to the
     signature stage producing it (num_hashes HOF min-hashes over every
     shingle array).  Multiple consumers follow (bucket sizing, the cap
-    semi-join, both sides of the pair join); without the checkpoint
+    semi-join, the grouped pair explosion); without the checkpoint
     Spark recomputes the signature stage per branch whenever exchange
     reuse doesn't kick in (measured: first-run variance up to 4x on the
-    10x corpus)."""
+    10x corpus).
+
+    r13 optimization note — a third signature formulation was measured
+    and REJECTED: exploding the shingle array and computing the lanes as
+    ``num_hashes`` codegen ``min(xxhash64(g, seed))`` aggregates per doc
+    is bit-identical and ~25% faster on a clean heap at 10x data
+    (1.7s -> 1.3s, 64 lanes), but its map-side hash-agg state (one
+    64-long buffer per doc per partition) turns pathological under
+    mid-session heap pressure: first runs measured 12.6s/4.6s on the
+    same data where this streaming HOF projection holds a flat
+    1.3-2.0s.  A bench full of persisted frames is exactly that
+    environment, and at 100 TB the agg state grows with docs/partition
+    while this form stays O(1).  Do not re-try without solving the agg
+    memory profile."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col("sh"), num_hashes)
     with_sig = sh_df.select(F.col("doc"), sig.alias("sig"))
@@ -472,17 +485,34 @@ def minhash_lsh_candidates(
         on=["band", "bucket"],
         how="leftsemi",
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # In-bucket pair explosion instead of the former bucket self-join
+    # (r13, guide §2.4 "remove shuffles outright"): the cap semi-join
+    # leaves buckets of <= max_bucket docs and comes out partitioned on
+    # (band, bucket), so grouping each bucket to a sorted doc array adds
+    # NO exchange, and the i<j pair explosion replaces the self-join's
+    # extra shuffle + join build entirely.  Arrays are bounded by
+    # ``max_bucket`` (the skew cap runs BEFORE any array materializes —
+    # a degenerate bucket is dropped by the map-side-combinable count
+    # aggregate, never collected).  Identical pair set and
+    # n_shared_bands (differential-checked): sorted array + i<j ==
+    # a.doc < b.doc per co-occupied bucket.  Measured (r13, 10x corpus):
+    # candidate stage 2.6s -> 1.6-1.8s; neutral at sf0.1.
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc")).alias("ds")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -764,6 +794,82 @@ def simhash_near_pairs(
     )
 
 
+#: Edge count up to which connected components run as bounded min-label
+#: rounds ON THE DRIVER (~16 bytes/edge -> a few MB collected) instead
+#: of Spark jobs whose per-round fixed cost dwarfs the data.  Collected
+#: rows are edges (duplicate-pair-sized, NOT corpus-sized — same class
+#: as the group lists / centroids the engine already collects); past
+#: the cap the distributed propagation runs unchanged.
+DRIVER_CC_MAX_EDGES = 100_000
+
+#: label types the driver rounds handle with Python ``min`` agreeing
+#: with Spark's ``min`` ordering (numeric; UTF8 string order == code
+#: point order); anything else falls back to the distributed path
+_DRIVER_CC_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _driver_small_edges(pairs: DataFrame, a_col: str, b_col: str):
+    """The collected edge list when the pair graph is driver-small, else
+    None.  One capped ``limit``+``collect`` decides AND fetches: under
+    the cap the rows are the driver rounds' input; over it the probe
+    stops at DRIVER_CC_MAX_EDGES + 1 rows (no full scan of a huge pair
+    set).  NULL ids or exotic label types defer to the distributed
+    path, whose semantics stay authoritative."""
+    dts = dict(pairs.dtypes)
+    if dts.get(a_col) not in _DRIVER_CC_TYPES or dts.get(a_col) != dts.get(
+        b_col
+    ):
+        return None
+    rows = (
+        pairs.select(a_col, b_col).limit(DRIVER_CC_MAX_EDGES + 1).collect()
+    )
+    if len(rows) > DRIVER_CC_MAX_EDGES:
+        return None
+    edges = [(r[0], r[1]) for r in rows]
+    if any(a is None or b is None for a, b in edges):
+        return None
+    return edges
+
+
+def _driver_min_label_rounds(
+    spark, edges, lbl_type, max_iter, id_out, cluster_col, stats
+):
+    """Bounded min-label propagation on a collected edge list — the
+    exact driver twin of the distributed loop below: per round every
+    node takes the min of its own and its neighbors' labels, stopping
+    at convergence or ``max_iter`` (so truncation semantics match
+    round-for-round; pinned by the max_iter tests and the r13
+    driver/distributed differential)."""
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {d: d for d in nbrs}
+    rounds = 0
+    for _ in range(max_iter):
+        changed = False
+        new_labels = {}
+        for d, ns in nbrs.items():
+            lbl = labels[d]
+            for n in ns:
+                ln = labels[n]
+                if ln < lbl:
+                    lbl = ln
+            new_labels[d] = lbl
+            if lbl < labels[d]:
+                changed = True
+        labels = new_labels
+        rounds += 1
+        if not changed:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    return spark.createDataFrame(
+        sorted(labels.items()),
+        f"{id_out} {lbl_type}, {cluster_col} {lbl_type}",
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -797,6 +903,23 @@ def duplicate_clusters(
     docs_dup_clusters entry — the floor is LSH pair GENERATION, not
     round count or checkpoint I/O (BENCH_NOTES_r9.md).
 
+    Small-graph regime (r13, guide §1.2 "the distributed algorithm"
+    applied the other way): a duplicate-pair graph of up to
+    ``DRIVER_CC_MAX_EDGES`` edges (a few MB of (long, long) rows) is
+    resolved ON THE DRIVER with the *same bounded min-label rounds* —
+    bit-identical labels, including the documented ``max_iter``
+    truncation semantics — instead of paying 2 + 2x(rounds) Spark jobs
+    of pure fixed overhead (~1.0s at sf0.1, ~1.7s at 10x data, for
+    graphs of a few thousand edges).  The probe is one capped
+    ``limit(N+1).collect()``: under the cap the collected edges ARE the
+    input to the driver rounds; over it (the 100 TB regime — pair sets
+    there are billions of rows) the distributed propagation below runs
+    unchanged.  This is the same two-regime pattern as
+    ``gram_join_strategy`` / the engine's broadcast-vs-shuffle closure
+    routing: size decides, semantics never change
+    (``test_round13_opt.py`` pins the driver/distributed differential;
+    ``stats["path"]`` records which regime answered).
+
     Scale notes: the edge frame and each round's labels are
     ``localCheckpoint``-ed — an ITERATIVE algorithm's lineage otherwise
     doubles per round and planning time explodes; blocks are bounded by
@@ -813,6 +936,16 @@ def duplicate_clusters(
     their own cluster and are NOT emitted; union them in at the call
     site if needed.
     """
+    small = _driver_small_edges(pairs, a_col, b_col)
+    if small is not None:
+        if stats is not None:
+            stats["path"] = "driver"
+        return _driver_min_label_rounds(
+            pairs.sparkSession, small, dict(pairs.dtypes)[a_col],
+            max_iter, id_out, cluster_col, stats,
+        )
+    if stats is not None:
+        stats["path"] = "distributed"
     sym = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
