@@ -73,7 +73,7 @@ def main():
         tables = ss.load_tables(spark, sf_dir)
         meta = t("_collect_dim_metadata (1 job)",
                  lambda: ss._collect_dim_metadata(tables), reps=3)
-        geo_pairs, brand_names, years = meta
+        geo_pairs, brand_names, years = meta[:3]
         from tinyolap_spark import Database
 
         def dims_only():
