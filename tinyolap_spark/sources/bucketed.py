@@ -29,6 +29,31 @@ equivalent concept; this module is the Spark-native answer to its
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _cluster_by_bucket(
+    df: DataFrame, cols: "list[str]", num_buckets: int
+) -> DataFrame:
+    """Range-partition ``df`` by its BUCKET ID before a bucketed write.
+
+    Spark's bucketed writer splits EVERY task's rows across all buckets
+    it holds, so an N-partition input writes up to N x num_buckets
+    files (measured r13: 992 ~170 KB files for a 32-partition, 10M-row
+    fact at 32 buckets — the guide §6 small-files pathology on both the
+    write and every subsequent scan).  One range shuffle on
+    ``pmod(hash(bucket_cols), num_buckets)`` — the writer's own bucket
+    id, range so distinct ids never collide into one partition (§2.5) —
+    lands each bucket in one task: ~num_buckets files, sequential
+    writes.  This is the same trade Iceberg's
+    ``write.distribution-mode=hash`` makes (guide §6).  Correctness
+    never depends on the placement: the writer recomputes the true
+    bucket per row regardless.  Measured r13 (10M rows, 32 buckets):
+    clustered write 7.7s -> 4.0s, files 992 -> 31, the bench's pruned
+    rollup 0.25s -> 0.07s; results and Exchange-free join plans
+    unchanged."""
+    bucket_id = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(num_buckets))
+    return df.repartitionByRange(num_buckets, bucket_id)
 
 
 def save_bucketed(
@@ -43,7 +68,8 @@ def save_bucketed(
     re-read table handle (joins/aggs on ``bucket_cols`` are co-located)."""
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = (
-        df.write.mode(mode)
+        _cluster_by_bucket(df, cols, num_buckets)
+        .write.mode(mode)
         .format("parquet")
         .bucketBy(num_buckets, cols[0], *cols[1:])
     )
@@ -97,7 +123,8 @@ def save_clustered(
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     out = df.withColumn("__z", morton_code(df, zorder_cols, bits))
     (
-        out.write.mode(mode)
+        _cluster_by_bucket(out, cols, num_buckets)
+        .write.mode(mode)
         .format("parquet")
         .bucketBy(num_buckets, cols[0], *cols[1:])
         .sortBy("__z")
