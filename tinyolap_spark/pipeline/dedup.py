@@ -610,6 +610,14 @@ def containment_pairs(
     returning, mirroring ``rare_gram_stats``/``near_duplicates``.  Pass
     ``share_posts=False`` for a fully lazy plan.
     """
+    # r13: small corpora skip the persist+count sizing machinery and the
+    # checkpoint barrier entirely (zero-job Catalyst-stats gate, same as
+    # rare_gram_stats/salient-terms): under SMALL_CORPUS_STATS_BYTES the
+    # posting build fits the non-spillable hash budget by construction,
+    # and the fully lazy single-job plan measured 2.5s -> 1.7s at sf0.1
+    # with identical rows.  The shared/sized path is unchanged at scale.
+    if share_posts and corpus_is_small(docs):
+        share_posts = False
     posts = shingle_posts(
         docs, text_col, id_col, shingle_n, hash_keys=hash_keys
     ).select(F.col(id_col).alias("doc"), "g")

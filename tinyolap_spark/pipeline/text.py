@@ -500,8 +500,18 @@ def rare_gram_stats(
     Returns ``(id_col, n_grams, n_rare)``; docs whose text produces zero
     grams still appear (0, 0).
     """
-    from .dedup import gram_join_strategy, shingle_posts
+    from .dedup import corpus_is_small, gram_join_strategy, shingle_posts
 
+    # r13: the small-corpus gate (same zero-job Catalyst-stats check as
+    # the salient-terms/chunk-frequency sites, r12) routes tiny corpora
+    # onto the fully lazy single-job plan — under
+    # SMALL_CORPUS_STATS_BYTES the posting build fits the non-spillable
+    # hash budget by construction, so the persist+count sizing job and
+    # the checkpoint barrier are pure per-call overhead there (measured
+    # sf0.1: 5.6s -> 1.8s string keys, 1.5s -> 1.2s hashed, identical
+    # rows).  At scale the shared/sized path runs unchanged.
+    if share_posts and corpus_is_small(docs):
+        share_posts = False
     # posting build: position explode + codegen gram projection + one
     # distinct groupBy — 2x faster than exploding the HOF-built shingle
     # array even counting the shuffle; see dedup.shingle_posts
