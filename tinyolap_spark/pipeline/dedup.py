@@ -822,7 +822,16 @@ def _driver_small_edges(pairs: DataFrame, a_col: str, b_col: str):
     the cap the rows are the driver rounds' input; over it the probe
     stops at DRIVER_CC_MAX_EDGES + 1 rows (no full scan of a huge pair
     set).  NULL ids or exotic label types defer to the distributed
-    path, whose semantics stay authoritative."""
+    path, whose semantics stay authoritative.
+
+    Callers with an EXPENSIVE pair plan should pass a materialized
+    (checkpointed) frame: a global ``limit`` over a lazy plan executes
+    the final stage in scale-up waves (1, 4, 16, ... partitions —
+    ``spark.sql.limit.scaleUpFactor``), re-reading the upstream
+    shuffle per wave, and over the cap the distributed path would then
+    recompute the plan from scratch.  ``duplicate_clusters`` does this
+    (r13: the probe-on-lazy-plan shape measured +3-5s on the sf1 chain
+    corpus vs probing the checkpointed frame)."""
     dts = dict(pairs.dtypes)
     if dts.get(a_col) not in _DRIVER_CC_TYPES or dts.get(a_col) != dts.get(
         b_col
@@ -944,20 +953,41 @@ def duplicate_clusters(
     their own cluster and are NOT emitted; union them in at the call
     site if needed.
     """
-    small = _driver_small_edges(pairs, a_col, b_col)
+    dts = dict(pairs.dtypes)
+    src = pairs
+    if dts.get(a_col) in _DRIVER_CC_TYPES and dts.get(a_col) == dts.get(
+        b_col
+    ):
+        # Materialize the pair plan ONCE before the regime probe (r13,
+        # guide §1.4/§5): without this the probe's global ``limit``
+        # executes the pair plan in CollectLimit scale-up waves, and in
+        # the over-cap regime the distributed path then RECOMPUTES every
+        # post-checkpoint stage (candidates + Jaccard verify) from the
+        # banded frame — pair generation's tail paid twice.  With it:
+        # one computation, a cheap probe over checkpointed blocks, and
+        # both regimes consume the materialized edges.  Measured
+        # (sf1 chain corpus, interleaved fresh-session min-of-3):
+        # neutral within noise at this scale — the expensive signature
+        # stage is already shared via the banded localCheckpoint, so
+        # only the verify tail was being recomputed — but at corpus
+        # scale the verify join IS the dominant stage and must not run
+        # twice; the checkpointed frame is also what the distributed
+        # path's ``sym`` doubling reads, so no extra storage class.
+        src = pairs.select(a_col, b_col).localCheckpoint(eager=True)
+    small = _driver_small_edges(src, a_col, b_col)
     if small is not None:
         if stats is not None:
             stats["path"] = "driver"
         return _driver_min_label_rounds(
-            pairs.sparkSession, small, dict(pairs.dtypes)[a_col],
+            pairs.sparkSession, small, dts[a_col],
             max_iter, id_out, cluster_col, stats,
         )
     if stats is not None:
         stats["path"] = "distributed"
-    sym = pairs.select(
+    sym = src.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        src.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     edges = sym.repartition("src").localCheckpoint(eager=True)
     labels = (
