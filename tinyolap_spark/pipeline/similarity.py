@@ -321,12 +321,29 @@ class IVFIndex:
         materialization of query vectors): query→probe-cell assignment
         runs in the same Arrow/NumPy pass shape as corpus assignment
         (centroid matrix in the closure, O(1) plan in ncells), exploded to
-        one (qid, qvec, cell) row per probe; that frame joins the assigned
-        corpus on ``cell`` (AQE picks broadcast at runtime when the query
-        side is small); scoring is one Arrow/NumPy pass emitting per-batch
-        top-k per query; a final window keeps global top-k.  Shuffle
-        volume ≈ corpus rows in probed cells x avg queries per cell for
-        the join, then k x nbatches x nqueries for the top-k."""
+        one (qid, qvec, cell) row per probe; the probed subset of the
+        corpus and the probe frame are then COGROUPED per cell and scored
+        in one Arrow/NumPy pass emitting per-cell top-k per query; a
+        final window keeps global top-k.
+
+        r13 (guide §8 "move heavy bytes once"): the previous shape joined
+        the corpus to the probe frame on ``cell``, duplicating every
+        corpus row — vector payload included — once per query probing its
+        cell, so the Python scoring boundary carried
+        ``probed_corpus_bytes x avg_queries_per_cell`` (~190 MB for the
+        bench's 1000-query search over 2k vectors; quadratic-ish in
+        general).  The cogroup ships each corpus vector and each query
+        vector across the boundary ONCE (plus one exchange of the probed
+        corpus subset by ``cell`` — bytes that move once, not per query),
+        scores each cell as one NumPy block, and emits k rows per
+        (query, cell).  Per-row score arithmetic is unchanged
+        (``(M * q).sum(1)`` row shape), and per-cell candidates are
+        ranked by the same (score DESC, id ASC) order as the final
+        window, so the window's global top-k is reproduced exactly —
+        candidate sets per query always contain the global top-k under
+        that order.  Group memory is bounded: a cell holds
+        ~corpus/ncells vectors (ncells ~ sqrt(corpus)) and the queries
+        probing it."""
         from pyspark.sql.window import Window
 
         spark = self.assigned.sparkSession
@@ -372,41 +389,75 @@ class IVFIndex:
             probe_batches,
             schema=f"{qid_col} long, {qvec} array<double>, cell int",
         )
-        joined = self.assigned.join(probes, "cell")
         id_col = self.id_col
+        corpus = self.assigned.select("cell", id_col, vec_col)
+        if n_probe < len(cent_list):
+            # prune the corpus side to probed cells before it shuffles:
+            # the distinct-cell frame is bounded by ncells
+            # (~sqrt(corpus)), so the broadcast build never grows with
+            # data.  Skipped for exhaustive search (nprobe == ncells —
+            # every cell is probed by construction), where it would just
+            # re-run the probe pass and add a broadcast for a no-op
+            # filter.
+            corpus = corpus.join(
+                F.broadcast(probes.select("cell").distinct()),
+                on="cell",
+                how="leftsemi",
+            )
 
-        def scorer(batches):
+        def score_cell(cpdf, qpdf):
             import numpy as np
             import pandas as pd
 
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                M = np.vstack(
-                    pdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float64))
+            empty = pd.DataFrame(
+                {
+                    qid_col: pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+            if len(cpdf) == 0 or len(qpdf) == 0:
+                return empty
+            M = np.vstack(
+                cpdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float64))
+            )
+            ids = cpdf[id_col].values
+            Mn = np.linalg.norm(M, axis=1)
+            Q = np.vstack(
+                qpdf[qvec].map(lambda a: np.asarray(a, dtype=np.float64))
+            )
+            # 2-D axis norm, NOT per-vector np.linalg.norm(q): the 1-D
+            # path accumulates through BLAS dot in a different order and
+            # drifts a ulp — scores must stay bit-identical to the
+            # former row-wise formulation
+            Qn = np.linalg.norm(Q, axis=1)
+            outs = []
+            for j, qid in enumerate(qpdf[qid_col].values):
+                q = Q[j]
+                # identical per-row arithmetic to the former joined
+                # formulation: elementwise product + row sum, then the
+                # norm product — keeps scores bit-stable across the
+                # rewrite
+                scores = (M * q[None, :]).sum(1) / (Mn * Qn[j])
+                # per-cell candidates ranked exactly like the final
+                # window — (score DESC, id ASC) — so ties at the k
+                # boundary resolve identically end-to-end
+                order = np.lexsort((ids, -scores))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            qid_col: np.repeat(np.int64(qid), len(order)),
+                            id_col: ids[order],
+                            "score": scores[order],
+                        }
+                    )
                 )
-                Qm = np.vstack(
-                    pdf[qvec].map(lambda a: np.asarray(a, dtype=np.float64))
-                )
-                dots = (M * Qm).sum(1)
-                scores = dots / (
-                    np.linalg.norm(M, axis=1) * np.linalg.norm(Qm, axis=1)
-                )
-                out = pd.DataFrame(
-                    {
-                        qid_col: pdf[qid_col].values,
-                        id_col: pdf[id_col].values,
-                        "score": scores,
-                    }
-                )
-                yield (
-                    out.sort_values("score", ascending=False)
-                    .groupby(qid_col, sort=False)
-                    .head(k)
-                )
+            return pd.concat(outs, ignore_index=True) if outs else empty
 
-        partial = joined.mapInPandas(
-            scorer, schema=f"{qid_col} long, {id_col} long, score double"
+        partial = corpus.groupBy("cell").cogroup(
+            probes.groupBy("cell")
+        ).applyInPandas(
+            score_cell, schema=f"{qid_col} long, {id_col} long, score double"
         )
         w = Window.partitionBy(qid_col).orderBy(
             F.desc("score"), F.col(id_col)
