@@ -973,7 +973,15 @@ def duplicate_clusters(
         # scale the verify join IS the dominant stage and must not run
         # twice; the checkpointed frame is also what the distributed
         # path's ``sym`` doubling reads, so no extra storage class.
-        src = pairs.select(a_col, b_col).localCheckpoint(eager=True)
+        # Already-materialized input (a ``LogicalRDD`` plan — what
+        # ``near_duplicates(cleanup=True)`` always hands over) skips the
+        # re-checkpoint: probing storage blocks is cheap and the
+        # over-cap path re-reads them, recomputing nothing (r13: one
+        # job less on every dup-clusters call).
+        if _ckpt_rdd(pairs) is not None:
+            src = pairs
+        else:
+            src = pairs.select(a_col, b_col).localCheckpoint(eager=True)
     small = _driver_small_edges(src, a_col, b_col)
     if small is not None:
         if stats is not None:
