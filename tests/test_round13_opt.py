@@ -1,9 +1,11 @@
 """Round-13 OPTIMIZATION guards: the restructured operators must be
 bit-equivalent to the shapes they replaced.
 
-1. ``_banded_frame`` signature stage moved from 64 interpreted HOF lanes
-   to exploded-posting codegen ``min(xxhash64)`` aggregates — the band
-   keys must match the HOF formula exactly.
+1. ``minhash_signature`` moved from 64 independent
+   ``array_min(transform(...))`` lanes to ONE ``aggregate`` pass with a
+   64-wide ``zip_with(acc, hashes, least)`` accumulator — the band keys
+   must match the original HOF formula exactly (the old formulation is
+   kept below as the reference spec).
 2. ``minhash_lsh_candidates`` pair generation moved from a bucket
    self-join to in-bucket sorted pair explosion — pair set AND
    n_shared_bands must match a reference self-join.

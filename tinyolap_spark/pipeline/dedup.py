@@ -223,6 +223,12 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(s, F.lit(seed))
 
 
+#: fold seed for the single-pass signature: xxhash64 never has to emit
+#: this exact value for correctness (if it does, min(h) == MAXL == the
+#: untouched accumulator lane — the same answer either way)
+_SIG_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(
     shingle_col: Column, num_hashes: int = 64
 ) -> Column:
@@ -230,20 +236,37 @@ def minhash_signature(
 
     array<bigint> of length ``num_hashes``; all JVM-side.
 
+    r13 formulation — ONE ``aggregate`` pass over the shingle array
+    with a ``num_hashes``-wide accumulator (``zip_with(acc, hashes(s),
+    least)`` per shingle) instead of ``num_hashes`` independent
+    ``array_min(transform(...))`` lanes each re-traversing the array.
+    Same xxhash64 calls, bit-identical lanes (``shingles`` never yields
+    an empty/NULL array — NULL text folds to one empty-string shingle —
+    so the MAXL zero vector never leaks; and a 2^-64 MAXL hash collides
+    with the accumulator's identity, same value either way).  Measured
+    interleaved at 10x local data: 1.55-1.79s -> 1.08-1.12s (-33%) for
+    the 64-lane signature projection, stable under a heap-pressured
+    session (this is a streaming projection — per-row O(num_hashes)
+    transient state, none of the agg-buffer pathology that killed
+    alternative (b) below).
+
     Two alternatives measured SLOWER on the 10x corpus and rejected —
     do not re-try without new evidence: (a) pre-hashing shingles to
     int64 and re-hashing the long per lane (no change — lane cost is
     HOF evaluation, not hash-input width, unlike the decontam gram
     scan); (b) the simhash-style explode + groupBy(doc) with 64
-    ``min`` aggregates (1.8x slower — 64 aggregation buffers per group
-    cost more than the interpreted ``array_min(transform(...))``
-    lanes, and it adds a shuffle).
+    ``min`` aggregates (1.8x slower clean, pathological under heap
+    pressure — 64-long aggregation buffers per doc per partition held
+    in the map-side hash map).
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, _seeded_hash(i)))
-            for i in range(num_hashes)
-        ]
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(_SIG_MAX_LONG).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -372,8 +395,8 @@ def _banded_frame(
     """(doc, band, bucket) LSH band keys from a shingle frame.
 
     Barrier: the output is 3 small ints per doc-band — tiny next to the
-    signature stage producing it (num_hashes HOF min-hashes over every
-    shingle array).  Multiple consumers follow (bucket sizing, the cap
+    signature stage producing it (one ``aggregate`` pass folding
+    num_hashes min-lanes over every shingle array).  Multiple consumers follow (bucket sizing, the cap
     semi-join, the grouped pair explosion); without the checkpoint
     Spark recomputes the signature stage per branch whenever exchange
     reuse doesn't kick in (measured: first-run variance up to 4x on the
