@@ -362,10 +362,16 @@ def main() -> None:
     def ann_section():
         from tinyolap_spark.pipeline.similarity import IVFIndex
 
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-        n_vec = emb.count()
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
         def build():
+            # The fixture cache+count sits INSIDE the timed build
+            # (VERDICT r13 #7): the entry now reflects the cold
+            # scan+materialize+assign cost instead of timing against a
+            # pre-warmed cached table.  r13 and earlier timed this entry
+            # with the scan already cached — compare accordingly.
+            emb.cache()
+            n_vec = emb.count()
             return IVFIndex(emb, ncells=max(16, int(n_vec**0.5)))
 
         idx = timed("emb_ivf_build", build)
@@ -1307,7 +1313,20 @@ def main() -> None:
         guarded("combined_layout_section", combined_layout_section)
         tiny_canary("after_combined_layout")
 
-    total = round(sum(timings.values()), 4)
+    # sf1_prepare_scaleup is cross-run-cached INPUT-DATA GENERATION: it
+    # reads ~0s when /tmp/spark_graft_sf1 is warm and ~55s cold, so it
+    # whipsawed the compared total by half a round's delta (VERDICT r13
+    # "What's wrong" #3).  The honest measurement stays in `queries` (the
+    # entry is never removed) and in extra, but the headline `value`
+    # excludes it; the old accounting is kept as total_incl_sf1_prepare.
+    total_incl_prepare = round(sum(timings.values()), 4)
+    _prep = timings.get("sf1_prepare_scaleup")
+    if isinstance(_prep, (int, float)):
+        extra["sf1_prepare_scaleup_sec"] = _prep
+        extra["total_incl_sf1_prepare"] = total_incl_prepare
+        total = round(total_incl_prepare - _prep, 4)
+    else:
+        total = total_incl_prepare
     # canary-relative totals (VERDICT r7 #1, reworked r9): the wall total
     # re-expressed at a FIXED reference ambient, so cross-round totals
     # compare even when the host speed drifts.  TWO canaries, because the
@@ -1336,6 +1355,11 @@ def main() -> None:
         extra["tiny_canary_relative_total"] = round(
             total * (TINY_CANARY_REF / tiny_canary), 3
         )
+    # short→full key map for the compact line's abbreviated queries;
+    # recorded in the full record so every abbreviation is decodable
+    extra["qk_abbrev"] = {
+        short: full for full, short in _abbrev_keys(list(timings)).items()
+    }
     out = {
         "metric": "bench_total_wall",
         "value": total,
@@ -1437,11 +1461,24 @@ def main() -> None:
             f.write(json.dumps(out) + "\n")
     except Exception:
         pass
+    # Per-query detail MUST reach the driver (VERDICT r13 #1): the driver
+    # keeps only the last ~2000 stdout chars, and the 85 full entry names
+    # alone are 1884 chars — no full-name line can ever fit.  Since r10
+    # the >1900-char guard below silently dropped the whole map, leaving
+    # PERF_r{10..13} with per_query: {} and no geomean/scaling data.  Fix
+    # (the scheme VERDICT r13 #1 proposes): emit ABBREVIATED keys — each
+    # '_'-separated token truncated to its first 2 chars, tokens extended
+    # only where needed for uniqueness — which fits all entries in ~1700
+    # chars.  The short→full map ships in extra["qk_abbrev"] of the full
+    # record (stdout big line, bench_out.json, BENCH_LOCAL.jsonl), and
+    # both driver runs (32c and 8c) share the deterministic scheme, so
+    # scaling.per_query matches key-for-key.
+    qk = _abbrev_keys(list(timings))
     compact = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {qk[k]: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "run_id": run_id,
     }
@@ -1455,11 +1492,45 @@ def main() -> None:
             "tiny_canary_relative_total"
         )
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # still too big: drop per-query detail, keep total
+    # progressive fallback: shed metadata before ever touching `queries`
+    for drop in ("run_id", "tiny_canary_relative_total", "canary"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # truly last resort (was the r10-r13 behavior)
         compact.pop("queries")
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
+
+
+def _abbrev_keys(names) -> "dict[str, str]":
+    """Deterministic short keys for the driver-facing compact line.
+
+    Each ``_``-separated token is truncated to its first 2 characters;
+    any names whose abbreviations collide have their token width widened
+    (3, 4, ...) until every short key is unique.  Deterministic in the
+    name set only, so the driver's 32-core and 8-core runs of the same
+    bench produce identical keys and its scaling comparison matches
+    key-for-key.  Terminates because distinct names render distinctly at
+    full token width."""
+    width = {name: 2 for name in names}
+    while True:
+        groups: dict[str, list] = {}
+        for name in names:
+            short = "_".join(t[: width[name]] for t in name.split("_"))
+            groups.setdefault(short, []).append(name)
+        colliding = [ns for ns in groups.values() if len(ns) > 1]
+        if not colliding:
+            return {
+                name: short
+                for short, ns in groups.items()
+                for name in ns
+            }
+        for ns in colliding:
+            for name in ns:
+                width[name] += 1
 
 
 def _parse_bench_record(data, n) -> "dict | None":

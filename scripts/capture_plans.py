@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for every ACTIVE declared query into
-plans/r13/<query>_<tag>.txt (tag = before/after).  Same session conf as
-bench.py so the plans match what the bench executes.
+plans/<round>/<query>_<tag>.txt (tag = before/after; round from
+$SPARK_GRAFT_PLANS_ROUND, default r14).  Same session conf as bench.py
+so the plans match what the bench executes.
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
 """
@@ -39,7 +40,7 @@ def main():
 
     here = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r13",
+        "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(here, exist_ok=True)
     qs = entry.queries()
