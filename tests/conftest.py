@@ -146,3 +146,37 @@ class DictOracle:
                 if isinstance(value, float):
                     total += value * w
         return total if found else None
+
+
+# ---------------------------------------------------------------------------
+# default deselection of slow/endurance tests (VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+# The full 742-test suite outgrew the driver's verify window (killed at
+# 67% in r13).  By default the heavyweight tests (markers `slow` and
+# `endurance`) are DESELECTED so `python -m pytest tests/ -x -q` runs
+# the fast set: the DuckDB oracle-parity sweep (active + retired rows),
+# the operator differentials, and the registry-wide plan lint.
+#
+# - run EVERYTHING:        SPARK_GRAFT_RUN_SLOW=1 python -m pytest tests/
+# - run only the slow set: python -m pytest tests/ -m "slow or endurance"
+# - an explicit -m expression always overrides the default deselection.
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_RUN_SLOW") == "1":
+        return
+    if config.getoption("-m"):
+        return
+    deselected = [
+        it
+        for it in items
+        if "slow" in it.keywords or "endurance" in it.keywords
+    ]
+    if not deselected:
+        return
+    config.hook.pytest_deselected(items=deselected)
+    items[:] = [
+        it
+        for it in items
+        if "slow" not in it.keywords and "endurance" not in it.keywords
+    ]

@@ -111,6 +111,7 @@ def test_area_multiply_and_transform(fresh):
     assert cube[addr] == pytest.approx(before)
 
 
+@pytest.mark.slow
 def test_area_copy_assignment(fresh):
     """cube.area('2023') = cube.area('2022') * 1.5 (reference area.py:72-78)."""
     db, cube, rows = fresh
@@ -159,6 +160,7 @@ def test_view_nested_axes_and_renderers(fresh):
     assert len(d["rows"]) == 4 and len(d["columns"]) == 2
 
 
+@pytest.mark.slow
 def test_view_zero_suppression(fresh):
     db, cube, rows = fresh
     cube.area("2021", "months:Oct").clear()
@@ -173,6 +175,7 @@ def test_view_zero_suppression(fresh):
     assert [r["row"] for r in d["rows"]] == [("Nov",)]
 
 
+@pytest.mark.slow
 def test_view_to_df(fresh):
     db, cube, rows = fresh
     v = View(
@@ -343,6 +346,7 @@ def _area_golden_model(spark):
     return db, cube
 
 
+@pytest.mark.slow
 def test_dense_fill_empty_area(spark):
     """Reference tests/test_area.py:36-70 semantics: set_value on an EMPTY
     area enumerates the data space (area.py:315-336) — dense fill of
@@ -361,6 +365,7 @@ def test_dense_fill_empty_area(spark):
     assert cube["2020", "Jan", "North", "A", "Sales"] is None
 
 
+@pytest.mark.slow
 def test_dense_fill_zero_arg_callable(spark):
     """Reference area.py:322-326 calls value() with NO arguments."""
     import random
@@ -380,6 +385,7 @@ def test_dense_fill_zero_arg_callable(spark):
     assert area2.sum() == pytest.approx(3 * 3 * 1.0 + 3 * 3 * 3 * 0.5)
 
 
+@pytest.mark.slow
 def test_dense_fill_respects_existing_rows(spark):
     """With stored rows present, set_value updates ONLY those rows
     (reference else-branch area.py:328-336); enumerate_data_space=True

@@ -281,6 +281,7 @@ def test_ivf_kmeans_centroids_recall_on_clustered(spark):
         emb.unpersist()
 
 
+@pytest.mark.slow
 def test_repetition_filter_streaming_twin(spark, tmp_path, docs):
     """Stateless quality filters apply unchanged to a stream: the same
     repetition_filter column works under readStream with identical

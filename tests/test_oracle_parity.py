@@ -224,6 +224,7 @@ def ddb10x(spark):
 
 
 @pytest.mark.parametrize("name", SF10X_QUERIES)
+@pytest.mark.slow
 def test_sf10x_query_matches_oracle(spark, ddb10x, name):
     q = entry_mod.all_queries()[name]
     sdf = q(spark, SF10X_DIR)

@@ -7,6 +7,8 @@ the invariants that matter (determinism, monotone shrinkage, disjoint
 splits).  Each stage is the library operator, not a reimplementation."""
 
 import pytest
+
+pytestmark = pytest.mark.slow  # composition/fuzz stress: deselected by default (VERDICT r13 #2)
 from pyspark.sql import functions as F
 
 from tinyolap_spark.pipeline import dedup, sampling, text

@@ -6,6 +6,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # composition/fuzz stress: deselected by default (VERDICT r13 #2)
+
 from tinyolap_spark import Database
 
 from conftest import DictOracle

@@ -95,6 +95,7 @@ def test_closure_checkpoint_blocks_freed_on_clear(spark):
     assert blocks() == n0
 
 
+@pytest.mark.slow
 def test_million_member_large_dim_commits_bounded_and_rolls_up(spark):
     """VERDICT r10 #1 'done' bar: a >=1M-member synthetic dimension
     commits within a bounded wall (the closure walk is deferred — commit

@@ -525,6 +525,7 @@ def test_from_dataframe_save_open_encrypted(spark, tmp_path):
 
 
 @pytest.mark.endurance
+@pytest.mark.slow
 def test_million_leaf_from_dataframe_save_open_fresh_session(
     spark, tmp_path
 ):

@@ -237,6 +237,7 @@ def test_compact_summaries_flattens_fold_lineage(spark):
 
 
 # ------------------------------------------ 5b. CorpusDedupIndex.compact
+@pytest.mark.slow
 def test_corpus_dedup_index_compact(spark, tmp_path):
     from tinyolap_spark.pipeline.dedup import CorpusDedupIndex
 

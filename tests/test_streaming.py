@@ -217,6 +217,7 @@ def test_attribution_stream_stateful(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_funnel_stream_matches_batch(spark, tmp_path):
     """Streaming funnel (applyInPandasWithState): stage state carries
     across micro-batches; a TIME-ORDERED feed reproduces the batch

@@ -22,6 +22,7 @@ def tesla_db(spark):
     db.cube("sales")._fact.unpersist()
 
 
+@pytest.mark.slow
 def test_play_tesla_golden_values(tesla_db):
     """The deterministic model reproduces the reference sample's
     arithmetic (tesla.py:50-82 with constant Actuals)."""
@@ -87,6 +88,7 @@ def enterprise_db(spark):
         db.cube(name)._fact.unpersist()
 
 
+@pytest.mark.slow
 def test_enterprise_webdemo_routes_live(enterprise_db):
     """The enterprise shell (samples/enterprise_web_demo.py): several
     cubes in one database, a RANDOM one per new report, db name in the
