@@ -341,14 +341,16 @@ SHUFFLE_HASH_BUILD_ROWS_PER_PARTITION = 250_000
 
 #: the same non-spillable build budget for HASHED-gram rows (8-byte
 #: xxhash64 keys instead of raw gram strings).  The r11 OOM calibration
-#: above is a BYTE budget expressed in rows at string-gram row weight
-#: (~40-byte UTF8 gram + offsets vs one 8-byte long — the unsafe row is
-#: the build-relation row, key plus doc id); hashed rows weigh ~1/3 of
-#: string rows in the UnsafeRow build map, so the row budget scales 3x.
-#: Verified on the r14 sf10 probe (25M postings, 32 partitions = ~780k
-#: hashed rows/partition) — the regime the string budget flips to
-#: merge, the hashed build survives; see OPTIMIZATION_r14.md.
-HASHED_GRAM_BUILD_ROWS_PER_PARTITION = 750_000
+#: above is a BYTE budget expressed in rows at string-gram row weight:
+#: 250k string rows x ~100 B UnsafeRow (UTF8 gram + offsets + doc id)
+#: ≈ 25 MB per build relation.  A hashed build row is two longs
+#: (~24 B), so the SAME byte envelope holds 1M rows.  Calibrated on
+#: the r14 sf10 probe (25M postings / 32 partitions = ~781k hashed
+#: rows/partition — past the string budget's flip point): the hashed
+#: shuffle_hash build completed twice with identical results and beat
+#: the spillable merge plan by 19-31% interleaved (62.2s vs 90.7s,
+#: 29.1s vs 35.8s); see OPTIMIZATION_r14.md.
+HASHED_GRAM_BUILD_ROWS_PER_PARTITION = 1_000_000
 
 
 def gram_join_strategy(
